@@ -1,0 +1,334 @@
+"""Scene representation: host-side build, device-side packed arrays.
+
+Replaces the reference's habitat-sim scene/asset managers + Recast/Detour navmesh
+(SURVEY §2.9; call sites habitat_simulator.py:299-371, 528-596) with:
+
+- ``SceneData``: host (numpy) triangle soup + navigability grid for ONE scene.
+- ``build_navgrid``: occupancy-grid "navmesh" baked from the triangle soup
+  (agent-radius eroded), replacing ``recompute_navmesh``/``NavMeshSettings``.
+- ``geodesic_field``: multi-source geodesic distance field over the navgrid via
+  vectorized 16-neighborhood chamfer sweeps (exact 16-connected shortest path at
+  convergence), replacing ``PathFinder.find_path`` / ``MultiGoalShortestPath``.
+- ``ScenePack``: S scenes padded & stacked into device arrays (HBM-resident),
+  indexable by per-env scene id inside jit — the TPU-native answer to the
+  reference's one-scene-per-process model (vector_env.py:135).
+
+Coordinates: y-up, units meters (habitat convention). Navgrid cells are in the
+xz plane at the scene's floor height.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+# 16-neighborhood offsets (dx, dz) and their metric costs (in cells).
+_CHAMFER_OFFSETS: List[Tuple[int, int, float]] = (
+    [(1, 0, 1.0), (-1, 0, 1.0), (0, 1, 1.0), (0, -1, 1.0)]
+    + [(1, 1, np.sqrt(2.0)), (1, -1, np.sqrt(2.0)), (-1, 1, np.sqrt(2.0)), (-1, -1, np.sqrt(2.0))]
+    + [
+        (2, 1, np.sqrt(5.0)),
+        (2, -1, np.sqrt(5.0)),
+        (-2, 1, np.sqrt(5.0)),
+        (-2, -1, np.sqrt(5.0)),
+        (1, 2, np.sqrt(5.0)),
+        (1, -2, np.sqrt(5.0)),
+        (-1, 2, np.sqrt(5.0)),
+        (-1, -2, np.sqrt(5.0)),
+    ]
+)
+
+INF_DIST = np.float32(1e6)
+
+
+@dataclasses.dataclass
+class SceneData:
+    """One scene on the host. Triangle soup + navgrid."""
+
+    scene_id: str
+    # triangles
+    vertices: np.ndarray  # (T, 3, 3) f32 — per-triangle vertex positions
+    colors: np.ndarray  # (T, 3) f32 in [0,1]
+    semantic_ids: np.ndarray  # (T,) int32
+    # navgrid
+    nav_occ: Optional[np.ndarray] = None  # (NX, NZ) bool, True = navigable
+    nav_lo: Optional[np.ndarray] = None  # (2,) world xz of cell (0,0) CENTER
+    nav_res: float = 0.1
+    floor_y: float = 0.0
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.vertices.shape[0])
+
+    def bounds(self) -> Tuple[np.ndarray, np.ndarray]:
+        v = self.vertices.reshape(-1, 3)
+        return v.min(axis=0), v.max(axis=0)
+
+    # -- navgrid helpers (host) -------------------------------------------
+    def world_to_cell(self, xz: np.ndarray) -> np.ndarray:
+        return np.round((np.asarray(xz) - self.nav_lo) / self.nav_res).astype(np.int64)
+
+    def cell_to_world(self, ij: np.ndarray) -> np.ndarray:
+        return np.asarray(ij, dtype=np.float64) * self.nav_res + self.nav_lo
+
+    def is_navigable(self, pos: np.ndarray) -> bool:
+        i, k = self.world_to_cell(np.asarray(pos)[[0, 2]])
+        nx, nz = self.nav_occ.shape
+        if not (0 <= i < nx and 0 <= k < nz):
+            return False
+        return bool(self.nav_occ[i, k])
+
+    def sample_navigable_point(self, rng: np.random.Generator) -> np.ndarray:
+        ii, kk = np.nonzero(self.nav_occ)
+        j = rng.integers(len(ii))
+        xz = self.cell_to_world(np.array([ii[j], kk[j]]))
+        return np.array([xz[0], self.floor_y, xz[1]], dtype=np.float32)
+
+
+def rasterize_occupancy(
+    scene: SceneData,
+    res: float = 0.1,
+    agent_radius: float = 0.1,
+    agent_height: float = 1.5,
+    floor_y: Optional[float] = None,
+    step_clearance: float = 0.2,
+    pad_cells: int = 2,
+) -> None:
+    """Bake the navgrid from the triangle soup (in place).
+
+    TPU-native replacement for Recast navmesh building
+    (reference habitat_simulator.py:357-371 NavMeshSettings defaults:
+    agent radius 0.1, height 1.5). A cell is navigable iff (a) some triangle
+    provides floor support near ``floor_y`` and (b) no obstacle triangle
+    intersects the agent's body slab ``[floor+step_clearance, floor+height]``
+    within ``agent_radius`` of the cell center.
+    """
+    lo, hi = scene.bounds()
+    if floor_y is None:
+        floor_y = float(lo[1])
+    nav_lo = lo[[0, 2]] - pad_cells * res
+    nx = int(np.ceil((hi[0] - lo[0]) / res)) + 2 * pad_cells + 1
+    nz = int(np.ceil((hi[2] - lo[2]) / res)) + 2 * pad_cells + 1
+
+    floor = np.zeros((nx, nz), dtype=bool)
+    obst = np.zeros((nx, nz), dtype=bool)
+
+    v = scene.vertices  # (T, 3, 3)
+    ymin = v[:, :, 1].min(axis=1)
+    ymax = v[:, :, 1].max(axis=1)
+    is_floor = (ymin <= floor_y + 0.05) & (ymax <= floor_y + step_clearance)
+    is_obst = ymax > floor_y + step_clearance
+    # obstacle must overlap the body slab
+    is_obst &= ymin < floor_y + agent_height
+
+    def _raster_tri(mask, tri_xz):
+        """Conservative rasterization of the 2D triangle (xz projection)."""
+        tlo = np.floor((tri_xz.min(axis=0) - nav_lo) / res).astype(int)
+        thi = np.ceil((tri_xz.max(axis=0) - nav_lo) / res).astype(int)
+        tlo = np.clip(tlo, 0, [nx - 1, nz - 1])
+        thi = np.clip(thi, 0, [nx - 1, nz - 1])
+        if np.any(thi < tlo):
+            return
+        ii = np.arange(tlo[0], thi[0] + 1)
+        kk = np.arange(tlo[1], thi[1] + 1)
+        cx = ii[:, None] * res + nav_lo[0]
+        cz = kk[None, :] * res + nav_lo[1]
+        # point-in-triangle via sign of edge cross products (with tolerance of
+        # half a cell so thin triangles still mark cells they pass through)
+        tol = 0.75 * res
+        inside = np.ones((len(ii), len(kk)), dtype=bool)
+        for a in range(3):
+            p0 = tri_xz[a]
+            p1 = tri_xz[(a + 1) % 3]
+            e = p1 - p0
+            en = np.linalg.norm(e) + 1e-12
+            # signed distance of cell centers to edge line (positive = left)
+            d = ((cx - p0[0]) * e[1] - (cz - p0[1]) * e[0]) / en
+            inside &= d <= tol
+        # orientation-agnostic: also test flipped winding
+        inside2 = np.ones((len(ii), len(kk)), dtype=bool)
+        for a in range(3):
+            p0 = tri_xz[a]
+            p1 = tri_xz[(a + 1) % 3]
+            e = p1 - p0
+            en = np.linalg.norm(e) + 1e-12
+            d = ((cx - p0[0]) * e[1] - (cz - p0[1]) * e[0]) / en
+            inside2 &= d >= -tol
+        mask[np.ix_(ii, kk)] |= inside | inside2
+
+    for t in np.nonzero(is_floor)[0]:
+        _raster_tri(floor, v[t][:, [0, 2]])
+    for t in np.nonzero(is_obst)[0]:
+        _raster_tri(obst, v[t][:, [0, 2]])
+
+    # erode navigable area by agent radius: dilate obstacles with a disk
+    r_cells = int(np.ceil(agent_radius / res))
+    if r_cells > 0:
+        from scipy import ndimage
+
+        yy, xx = np.mgrid[-r_cells : r_cells + 1, -r_cells : r_cells + 1]
+        disk = (xx**2 + yy**2) <= r_cells**2
+        obst = ndimage.binary_dilation(obst, structure=disk)
+        # also keep agents away from the floor boundary (falling off the map)
+        floor = ndimage.binary_erosion(floor, structure=disk)
+
+    scene.nav_occ = floor & ~obst
+    scene.nav_lo = nav_lo.astype(np.float32)
+    scene.nav_res = float(res)
+    scene.floor_y = float(floor_y)
+
+
+def geodesic_field(
+    nav_occ: np.ndarray, sources: np.ndarray, res: float, max_iters: Optional[int] = None
+) -> np.ndarray:
+    """Multi-source geodesic distance field (meters) over the navgrid.
+
+    Vectorized Bellman–Ford with a 16-neighborhood (chamfer-16) stencil; exact
+    16-connected shortest paths at convergence (<=1.3% metrication error vs the
+    reference's navmesh geodesics, habitat_simulator.py:528-554).
+
+    sources: (M, 2) int cell indices. Returns (NX, NZ) f32, INF_DIST where
+    unreachable or non-navigable.
+    """
+    nx, nz = nav_occ.shape
+    d = np.full((nx, nz), INF_DIST, dtype=np.float32)
+    src = np.asarray(sources).reshape(-1, 2)
+    ok = (
+        (src[:, 0] >= 0) & (src[:, 0] < nx) & (src[:, 1] >= 0) & (src[:, 1] < nz)
+    )
+    src = src[ok]
+    d[src[:, 0], src[:, 1]] = 0.0
+    blocked = ~nav_occ
+    d[blocked & (d > 0)] = INF_DIST
+    if max_iters is None:
+        max_iters = 2 * (nx + nz)
+    big = np.float32(INF_DIST)
+    for _ in range(max_iters):
+        nd = d.copy()
+        for dx, dz, c in _CHAMFER_OFFSETS:
+            # shifted[i,k] = d[i-dx, k-dz] (value propagated FROM that neighbor)
+            shifted = np.roll(d, (dx, dz), axis=(0, 1))
+            # invalidate wrapped-around borders
+            if dx > 0:
+                shifted[:dx, :] = big
+            elif dx < 0:
+                shifted[dx:, :] = big
+            if dz > 0:
+                shifted[:, :dz] = big
+            elif dz < 0:
+                shifted[:, dz:] = big
+            np.minimum(nd, shifted + np.float32(c * res), out=nd)
+        nd[blocked] = big
+        # re-pin sources (even ones snapped onto blocked cells)
+        nd[src[:, 0], src[:, 1]] = 0.0
+        if np.array_equal(nd, d):
+            break
+        d = nd
+    return d
+
+
+@dataclasses.dataclass
+class ScenePack:
+    """S scenes packed into device arrays (a jax pytree). Padded to max sizes."""
+
+    tri_v0: jnp.ndarray  # (S, T, 3) f32
+    tri_e1: jnp.ndarray  # (S, T, 3) f32 — v1 - v0
+    tri_e2: jnp.ndarray  # (S, T, 3) f32 — v2 - v0
+    tri_color: jnp.ndarray  # (S, T, 3) f32
+    tri_sem: jnp.ndarray  # (S, T) i32
+    tri_valid: jnp.ndarray  # (S, T) bool
+    nav_occ: jnp.ndarray  # (S, NX, NZ) bool
+    nav_lo: jnp.ndarray  # (S, 2) f32
+    floor_y: jnp.ndarray  # (S,) f32
+    nav_res: float  # static
+    scene_ids: Tuple[str, ...]  # static (host metadata)
+
+    @property
+    def num_scenes(self) -> int:
+        return int(self.tri_v0.shape[0])
+
+    @property
+    def max_triangles(self) -> int:
+        return int(self.tri_v0.shape[1])
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pack_scenes(scenes: List[SceneData], tri_pad: int = 256) -> ScenePack:
+    """Pack host scenes into one padded device pytree."""
+    assert len(scenes) > 0
+    t_max = _round_up(max(s.num_triangles for s in scenes), tri_pad)
+    grids = [s.nav_occ.shape for s in scenes]
+    nx = max(g[0] for g in grids)
+    nz = max(g[1] for g in grids)
+
+    S = len(scenes)
+    v0 = np.zeros((S, t_max, 3), np.float32)
+    e1 = np.zeros((S, t_max, 3), np.float32)
+    e2 = np.zeros((S, t_max, 3), np.float32)
+    col = np.zeros((S, t_max, 3), np.float32)
+    sem = np.zeros((S, t_max), np.int32)
+    valid = np.zeros((S, t_max), bool)
+    occ = np.zeros((S, nx, nz), bool)
+    lo = np.zeros((S, 2), np.float32)
+    fy = np.zeros((S,), np.float32)
+
+    for i, s in enumerate(scenes):
+        n = s.num_triangles
+        v = s.vertices
+        v0[i, :n] = v[:, 0]
+        e1[i, :n] = v[:, 1] - v[:, 0]
+        e2[i, :n] = v[:, 2] - v[:, 0]
+        col[i, :n] = s.colors
+        sem[i, :n] = s.semantic_ids
+        valid[i, :n] = True
+        g = s.nav_occ
+        occ[i, : g.shape[0], : g.shape[1]] = g
+        lo[i] = s.nav_lo
+        fy[i] = s.floor_y
+
+    return ScenePack(
+        tri_v0=jnp.asarray(v0),
+        tri_e1=jnp.asarray(e1),
+        tri_e2=jnp.asarray(e2),
+        tri_color=jnp.asarray(col),
+        tri_sem=jnp.asarray(sem),
+        tri_valid=jnp.asarray(valid),
+        nav_occ=jnp.asarray(occ),
+        nav_lo=jnp.asarray(lo),
+        floor_y=jnp.asarray(fy),
+        nav_res=scenes[0].nav_res,
+        scene_ids=tuple(s.scene_id for s in scenes),
+    )
+
+
+import jax.tree_util as jtu
+
+
+def _scenepack_flatten(sp: ScenePack):
+    children = (
+        sp.tri_v0,
+        sp.tri_e1,
+        sp.tri_e2,
+        sp.tri_color,
+        sp.tri_sem,
+        sp.tri_valid,
+        sp.nav_occ,
+        sp.nav_lo,
+        sp.floor_y,
+    )
+    aux = (sp.nav_res, sp.scene_ids)
+    return children, aux
+
+
+def _scenepack_unflatten(aux, children):
+    return ScenePack(*children, nav_res=aux[0], scene_ids=aux[1])
+
+
+jtu.register_pytree_node(ScenePack, _scenepack_flatten, _scenepack_unflatten)
