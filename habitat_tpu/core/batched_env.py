@@ -1,0 +1,342 @@
+"""Batched functional environment — the TPU replacement for VectorEnv.
+
+The reference runs N envs as N worker processes over pipes
+(habitat-lab/habitat/core/vector_env.py:135, worker loop :234-301) around a
+single-env ``Env`` (core/env.py:236 reset, :283 step) that calls C++ habitat-sim.
+Here all N envs are ONE array program: ``EnvState`` is a batched pytree in HBM,
+``reset``/``step`` are pure jittable functions, auto-reset is masking
+(VectorEnv's ``auto_reset_done=True`` semantics), and scene switching is an
+indexed gather into the packed scene table — no processes, no pipes, no host.
+
+Reward/done composition matches RLTaskEnv (core/environments.py:73-97):
+``reward = slack + reward_measure (+ success_reward if success)``,
+``done = episode_over or (end_on_success and success)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from gymnasium import spaces
+
+from habitat_tpu.core.dataset import EpisodeTable
+from habitat_tpu.core.embodied_task import (
+    FunctionalAction,
+    FunctionalMeasure,
+    FunctionalSensor,
+    StepContext,
+    order_measures,
+)
+from habitat_tpu.ops import navgrid as ng
+from habitat_tpu.ops.raycast import render_batch
+from habitat_tpu.sims.scene import ScenePack
+from habitat_tpu.tasks.nav import VisualSensorSpec, DepthSensor
+from habitat_tpu.utils.geometry import yaw_to_forward
+
+
+@jtu.register_dataclass
+@dataclasses.dataclass
+class EnvState:
+    """Batched env state (one pytree for all N envs, resident in HBM)."""
+
+    ep_ptr: jnp.ndarray  # (N,) i32 — position in the per-env episode order
+    ep_idx: jnp.ndarray  # (N,) i32 — current episode id
+    step: jnp.ndarray  # (N,) i32
+    pos: jnp.ndarray  # (N,3) f32
+    yaw: jnp.ndarray  # (N,) f32
+    pitch: jnp.ndarray  # (N,) f32
+    prev_pos: jnp.ndarray  # (N,3) f32
+    stop_called: jnp.ndarray  # (N,) bool
+    collided: jnp.ndarray  # (N,) bool — last step
+    collision_count: jnp.ndarray  # (N,) i32
+    last_action: jnp.ndarray  # (N,) i32
+    episode_over: jnp.ndarray  # (N,) bool
+    episode_count: jnp.ndarray  # (N,) i32 — completed episodes
+    measure_state: Dict[str, Any]
+    key: jax.Array  # PRNG key
+
+
+@dataclasses.dataclass(frozen=True)
+class RewardSpec:
+    """RLTaskEnv reward composition (reference core/environments.py:42-97)."""
+
+    reward_measure: str = "distance_to_goal_reward"
+    success_measure: str = "success"
+    slack_reward: float = -0.01
+    success_reward: float = 2.5
+    end_on_success: bool = True
+
+
+class BatchedEnv:
+    """N batched envs over a ScenePack + EpisodeTable.
+
+    Exposes pure ``reset_fn(key)`` / ``step_fn(state, actions)`` for fusion
+    into larger jits (the PPO trainer runs them inside lax.scan), plus jitted
+    host conveniences ``reset()`` / ``step(actions)``.
+    """
+
+    def __init__(
+        self,
+        pack: ScenePack,
+        table: EpisodeTable,
+        episode_order: np.ndarray,  # (N, L) int32 per-env episode schedule
+        sensors: Sequence[FunctionalSensor],
+        measures: Sequence[FunctionalMeasure],
+        actions: Sequence[FunctionalAction],
+        *,
+        max_episode_steps: int = 500,
+        reward_spec: RewardSpec = RewardSpec(),
+        slide_substeps: int = 4,
+    ):
+        self.pack = pack
+        self.table = table
+        self.order = jnp.asarray(episode_order, jnp.int32)
+        self.num_envs = int(episode_order.shape[0])
+        self._order_len = int(episode_order.shape[1])
+        self.sensors = tuple(sensors)
+        self.measures = order_measures(measures)
+        self.actions = tuple(actions)
+        self.max_episode_steps = int(max_episode_steps)
+        self.reward_spec = reward_spec
+        self.slide_substeps = slide_substeps
+
+        # fused per-action parameter tables (stop/move/turn/tilt)
+        self._move_amt = jnp.asarray([a.move_amount() for a in self.actions], jnp.float32)
+        self._turn_amt = jnp.asarray([a.turn_amount() for a in self.actions], jnp.float32)
+        self._tilt_amt = jnp.asarray([a.tilt_amount() for a in self.actions], jnp.float32)
+        self._stop_flag = jnp.asarray([a.is_stop() for a in self.actions], bool)
+
+        self.visual_sensors: Tuple[VisualSensorSpec, ...] = tuple(
+            s for s in self.sensors if isinstance(s, VisualSensorSpec)
+        )
+        self.state_sensors = tuple(
+            s for s in self.sensors if not isinstance(s, VisualSensorSpec)
+        )
+        if self.visual_sensors:
+            hw = {(s.height, s.width, s.hfov) for s in self.visual_sensors}
+            assert len(hw) == 1, (
+                "All visual sensors must share resolution/hfov in one render "
+                f"group for now, got {hw}"
+            )
+            self._render_h, self._render_w, self._render_hfov = next(iter(hw))
+            depth_cfgs = [s for s in self.visual_sensors if isinstance(s, DepthSensor)]
+            d = depth_cfgs[0] if depth_cfgs else DepthSensor(None)
+            self._depth_cfg = (d.min_depth, d.max_depth, d.normalize_depth)
+            self._cam_height = self.visual_sensors[0].position_y
+
+        self.action_space = spaces.Discrete(len(self.actions))
+        self.action_names = tuple(a.name for a in self.actions)
+        self.observation_space = spaces.Dict(
+            {s.uuid: s.observation_space() for s in self.sensors}
+        )
+
+        self._jit_reset = jax.jit(self.reset_fn)
+        self._jit_step = jax.jit(self.step_fn, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # functional core
+    # ------------------------------------------------------------------
+
+    def _episode_pose(self, ep_idx):
+        pos = self.table.start_pos[ep_idx]
+        yaw = self.table.start_yaw[ep_idx]
+        return pos, yaw
+
+    def _make_ctx(self, state: EnvState) -> StepContext:
+        sid = self.table.scene_idx[state.ep_idx]
+        return StepContext(
+            pack=self.pack,
+            table=self.table,
+            ep_idx=state.ep_idx,
+            sid=sid,
+            pos=state.pos,
+            yaw=state.yaw,
+            pitch=state.pitch,
+            prev_pos=state.prev_pos,
+            start_pos=self.table.start_pos[state.ep_idx],
+            start_yaw=self.table.start_yaw[state.ep_idx],
+            step=state.step,
+            action=state.last_action,
+            stop_called=state.stop_called,
+            collided=state.collided,
+            collision_count=state.collision_count,
+            rng=jnp.zeros((state.pos.shape[0], 2), jnp.uint32),
+        )
+
+    def _observations(self, state: EnvState) -> Dict[str, jnp.ndarray]:
+        ctx = self._make_ctx(state)
+        obs = {s.uuid: s.compute(ctx) for s in self.state_sensors}
+        if self.visual_sensors:
+            cam_pos = state.pos + jnp.array([0.0, self._cam_height, 0.0])
+            mn, mx, norm = self._depth_cfg
+            frames = render_batch(
+                self.pack,
+                ctx.sid,
+                cam_pos,
+                state.yaw,
+                state.pitch,
+                height=self._render_h,
+                width=self._render_w,
+                hfov_deg=self._render_hfov,
+                min_depth=mn,
+                max_depth=mx,
+                normalize_depth=norm,
+            )
+            for s in self.visual_sensors:
+                obs[s.uuid] = frames[s.uuid]
+        return obs
+
+    def reset_fn(self, key: jax.Array) -> Tuple[EnvState, Dict[str, jnp.ndarray]]:
+        n = self.num_envs
+        ep_ptr = jnp.zeros((n,), jnp.int32)
+        env_ids = jnp.arange(n)
+        ep_idx = self.order[env_ids, ep_ptr % self._order_len]
+        pos, yaw = self._episode_pose(ep_idx)
+        state = EnvState(
+            ep_ptr=ep_ptr,
+            ep_idx=ep_idx,
+            step=jnp.zeros((n,), jnp.int32),
+            pos=pos,
+            yaw=yaw,
+            pitch=jnp.zeros((n,), jnp.float32),
+            prev_pos=pos,
+            stop_called=jnp.zeros((n,), bool),
+            collided=jnp.zeros((n,), bool),
+            collision_count=jnp.zeros((n,), jnp.int32),
+            last_action=jnp.full((n,), -1, jnp.int32),
+            episode_over=jnp.zeros((n,), bool),
+            episode_count=jnp.zeros((n,), jnp.int32),
+            measure_state={},
+            key=key,
+        )
+        ctx = self._make_ctx(state)
+        mstate: Dict[str, Any] = {}
+        for m in self.measures:
+            ms, _ = m.reset(ctx)
+            mstate[m.uuid] = ms
+        state = dataclasses.replace(state, measure_state=mstate)
+        return state, self._observations(state)
+
+    def step_fn(
+        self, state: EnvState, actions: jnp.ndarray
+    ) -> Tuple[EnvState, Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """One batched step. Returns (state, obs, reward, done, info)."""
+        a = actions.astype(jnp.int32)
+        sid = self.table.scene_idx[state.ep_idx]
+
+        stop = state.stop_called | self._stop_flag[a]
+        yaw = state.yaw + self._turn_amt[a]
+        pitch = jnp.clip(state.pitch + self._tilt_amt[a], -np.pi / 2, np.pi / 2)
+        move = self._move_amt[a]
+        target = state.pos + yaw_to_forward(yaw) * move[:, None]
+        new_pos, collided = jax.vmap(
+            functools.partial(ng.try_step, self.pack, n_substeps=self.slide_substeps)
+        )(sid, state.pos, target)
+        moved = move > 0
+        collided = collided & moved
+        new_pos = jnp.where(moved[:, None], new_pos, state.pos)
+
+        step = state.step + 1
+        state = dataclasses.replace(
+            state,
+            pos=new_pos,
+            yaw=yaw,
+            pitch=pitch,
+            prev_pos=state.pos,
+            stop_called=stop,
+            collided=collided,
+            collision_count=state.collision_count + collided.astype(jnp.int32),
+            last_action=a,
+            step=step,
+        )
+
+        # measures in dependency order (reference update_measures,
+        # embodied_task.py:168-173)
+        ctx = self._make_ctx(state)
+        values: Dict[str, jnp.ndarray] = {}
+        new_mstate: Dict[str, Any] = {}
+        for m in self.measures:
+            ms, v = m.update(state.measure_state[m.uuid], ctx, values)
+            new_mstate[m.uuid] = ms
+            values[m.uuid] = v
+
+        # episode termination (Env._past_limit, core/env.py:222 + stop)
+        episode_over = stop | (step >= self.max_episode_steps)
+        rs = self.reward_spec
+        success_val = values.get(rs.success_measure, jnp.zeros_like(step, dtype=jnp.float32))
+        is_success = success_val > 0
+        done = episode_over | (is_success if rs.end_on_success else jnp.zeros_like(episode_over))
+
+        reward = (
+            rs.slack_reward
+            + values.get(rs.reward_measure, jnp.zeros_like(success_val))
+            + rs.success_reward * is_success.astype(jnp.float32)
+        )
+
+        info = dict(values)
+        info["is_collision"] = collided.astype(jnp.float32)
+
+        # ---- auto-reset done envs (VectorEnv auto_reset_done semantics) ----
+        n = self.num_envs
+        env_ids = jnp.arange(n)
+        ep_ptr = jnp.where(done, state.ep_ptr + 1, state.ep_ptr)
+        ep_idx = self.order[env_ids, ep_ptr % self._order_len]
+        rpos, ryaw = self._episode_pose(ep_idx)
+        d1 = done[:, None]
+        state = dataclasses.replace(
+            state,
+            ep_ptr=ep_ptr,
+            ep_idx=ep_idx,
+            step=jnp.where(done, 0, step),
+            pos=jnp.where(d1, rpos, state.pos),
+            yaw=jnp.where(done, ryaw, yaw),
+            pitch=jnp.where(done, 0.0, pitch),
+            prev_pos=jnp.where(d1, rpos, state.prev_pos),
+            stop_called=jnp.where(done, False, stop),
+            collided=jnp.where(done, False, collided),
+            collision_count=jnp.where(done, 0, state.collision_count),
+            last_action=jnp.where(done, -1, a),
+            episode_over=episode_over,
+            episode_count=state.episode_count + done.astype(jnp.int32),
+            measure_state=new_mstate,
+        )
+
+        # merge measure reset state for done envs
+        reset_ctx = self._make_ctx(state)
+        merged: Dict[str, Any] = {}
+        for m in self.measures:
+            rms, _ = m.reset(reset_ctx)
+            merged[m.uuid] = jtu.tree_map(
+                lambda r, u: jnp.where(
+                    done.reshape(done.shape + (1,) * (r.ndim - 1)), r, u
+                )
+                if hasattr(r, "ndim") and r.ndim >= 1
+                else u,
+                rms,
+                new_mstate[m.uuid],
+            )
+        state = dataclasses.replace(state, measure_state=merged)
+
+        obs = self._observations(state)
+        return state, obs, reward, done, info
+
+    # ------------------------------------------------------------------
+    # host conveniences
+    # ------------------------------------------------------------------
+
+    def reset(self, seed: int = 0):
+        return self._jit_reset(jax.random.PRNGKey(seed))
+
+    def step(self, state: EnvState, actions):
+        return self._jit_step(state, jnp.asarray(actions))
+
+    def get_metrics(self, info) -> Dict[str, np.ndarray]:
+        """Host view of the last info dict (Env.get_metrics parity)."""
+        return {k: np.asarray(v) for k, v in info.items()}

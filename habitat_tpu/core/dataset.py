@@ -1,0 +1,426 @@
+"""Episodes, datasets, iterators — host API parity + device episode tables.
+
+Host side mirrors the reference surface (habitat-lab/habitat/core/dataset.py):
+``Episode`` (:57), ``Dataset`` (:111 — get_splits:231, filter_episodes:216,
+get_scenes_to_load:126) and ``EpisodeIterator`` (:329 — cycle / shuffle /
+group-by-scene / max-scene-repeat with jittered switch).
+
+TPU side adds ``EpisodeTable``: all episodes packed into HBM-resident arrays so
+episode advance/reset happens inside jit with zero host round trips — the
+device-side replacement for the per-worker python iterator
+(SURVEY §7 step 3).
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import random
+from itertools import groupby
+from typing import Any, Callable, Dict, Generic, Iterator, List, Optional, Sequence, TypeVar
+
+import numpy as np
+
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+ALL_SCENES_MASK = "*"
+
+
+@dataclasses.dataclass
+class BaseEpisode:
+    episode_id: str
+    scene_id: str
+
+
+@dataclasses.dataclass
+class Episode(BaseEpisode):
+    """An episode spec: scene + initial agent state (+ task extras).
+
+    start_rotation is quaternion coeffs [x, y, z, w] (reference convention,
+    nav.py:90).
+    """
+
+    start_position: List[float] = dataclasses.field(default_factory=list)
+    start_rotation: List[float] = dataclasses.field(default_factory=lambda: [0, 0, 0, 1])
+    info: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    _shortest_path_cache: Any = None
+
+    @property
+    def start_yaw(self) -> float:
+        """Heading angle about +y recovered from the quaternion."""
+        x, y, z, w = self.start_rotation
+        # yaw of quaternion assumed to be a pure y rotation
+        return float(2.0 * np.arctan2(y, w))
+
+
+@dataclasses.dataclass
+class NavigationGoal:
+    position: List[float] = dataclasses.field(default_factory=list)
+    radius: Optional[float] = None
+
+
+@dataclasses.dataclass
+class NavigationEpisode(Episode):
+    goals: List[NavigationGoal] = dataclasses.field(default_factory=list)
+    start_room: Optional[str] = None
+    shortest_paths: Optional[List[Any]] = None
+
+
+T = TypeVar("T", bound=Episode)
+
+
+class Dataset(Generic[T]):
+    """Collection of episodes + splits/filtering (reference dataset.py:111)."""
+
+    episodes: List[T]
+
+    def __init__(self, episodes: Optional[List[T]] = None) -> None:
+        self.episodes = episodes or []
+
+    @property
+    def scene_ids(self) -> List[str]:
+        return sorted({episode.scene_id for episode in self.episodes})
+
+    def scene_from_scene_path(self, scene_path: str) -> str:
+        return scene_path.split("/")[-1].split(".")[0]
+
+    def get_scene_episodes(self, scene_id: str) -> List[T]:
+        return [e for e in self.episodes if e.scene_id == scene_id]
+
+    def get_episodes(self, indexes: Sequence[int]) -> List[T]:
+        return [self.episodes[i] for i in indexes]
+
+    def filter_episodes(self, filter_fn: Callable[[T], bool]) -> "Dataset":
+        """New dataset with episodes passing filter_fn (reference :216)."""
+        new = copy.copy(self)
+        new.episodes = [e for e in self.episodes if filter_fn(e)]
+        return new
+
+    def get_splits(
+        self,
+        num_splits: int,
+        episodes_allowed: Optional[Sequence[str]] = None,
+        collate_scene_ids: bool = True,
+        sort_by_episode_id: bool = False,
+        allow_uneven_splits: bool = False,
+    ) -> List["Dataset"]:
+        """Split into num_splits datasets (reference :231): used for sharding
+        episodes across rollout workers / data-parallel replicas."""
+        if episodes_allowed is not None:
+            allowed = set(episodes_allowed)
+            eps = [e for e in self.episodes if e.episode_id in allowed]
+        else:
+            eps = list(self.episodes)
+        if collate_scene_ids:
+            eps.sort(key=lambda e: e.scene_id)
+        if sort_by_episode_id:
+            eps.sort(key=lambda e: e.episode_id)
+        n = len(eps)
+        if not allow_uneven_splits:
+            n = (n // num_splits) * num_splits
+        splits: List[Dataset] = []
+        for i in range(num_splits):
+            new = copy.copy(self)
+            new.episodes = eps[i:n:num_splits]
+            splits.append(new)
+        return splits
+
+    def get_scenes_to_load(self) -> List[str]:
+        return self.scene_ids
+
+    def get_episode_iterator(self, *args, **kwargs) -> "EpisodeIterator":
+        return EpisodeIterator(self.episodes, *args, **kwargs)
+
+
+class EpisodeIterator(Iterator[T]):
+    """cycle / shuffle / group-by-scene / max-scene-repeat iterator
+    (reference core/dataset.py:329-584, __next__:419, step_taken:525,
+    _randomize_value:531 jitter)."""
+
+    def __init__(
+        self,
+        episodes: Sequence[T],
+        cycle: bool = True,
+        shuffle: bool = True,
+        group_by_scene: bool = True,
+        max_scene_repeat_episodes: int = -1,
+        max_scene_repeat_steps: int = -1,
+        num_episode_sample: int = -1,
+        step_repetition_range: float = 0.2,
+        seed: Optional[int] = None,
+    ) -> None:
+        if seed is not None:
+            random.seed(seed)
+            np.random.seed(seed)
+        episodes = list(episodes)
+        if num_episode_sample >= 0:
+            episodes = list(
+                np.random.choice(episodes, num_episode_sample, replace=False)
+            )
+        self.cycle = cycle
+        self.group_by_scene = group_by_scene
+        self.shuffle = shuffle
+        if shuffle:
+            random.shuffle(episodes)
+        if group_by_scene:
+            episodes = self._group_scenes(episodes)
+        self.max_scene_repetition_episodes = max_scene_repeat_episodes
+        self.max_scene_repetition_steps = max_scene_repeat_steps
+        self._rep_count = -1  # first switch accounted by reset
+        self._step_count = 0
+        self._prev_scene_id: Optional[str] = None
+        self.episodes = episodes
+        self._iterator = iter(self.episodes)
+        self.step_repetition_range = step_repetition_range
+        self._set_shuffle_intervals()
+
+    def __iter__(self) -> "EpisodeIterator":
+        return self
+
+    def __next__(self) -> Episode:
+        self._forced_scene_switch_if()
+        next_episode = next(self._iterator, None)
+        if next_episode is None:
+            if not self.cycle:
+                raise StopIteration
+            self._iterator = iter(self.episodes)
+            if self.shuffle:
+                self._shuffle()
+            next_episode = next(self._iterator)
+        if (
+            self._prev_scene_id != next_episode.scene_id
+            and self._prev_scene_id is not None
+        ):
+            self._rep_count = 0
+            self._step_count = 0
+        self._prev_scene_id = next_episode.scene_id
+        return next_episode
+
+    def _forced_scene_switch(self) -> None:
+        """Rotate remaining episodes so a new scene comes first (reference :474)."""
+        grouped_episodes = [
+            list(g) for k, g in groupby(self._iterator, key=lambda x: x.scene_id)
+        ]
+        if len(grouped_episodes) > 1:
+            grouped_episodes = grouped_episodes[1:] + grouped_episodes[:1]
+        self._iterator = iter(sum(grouped_episodes, []))
+
+    def _shuffle(self) -> None:
+        assert self.shuffle
+        episodes = list(self.episodes)
+        random.shuffle(episodes)
+        if self.group_by_scene:
+            episodes = self._group_scenes(episodes)
+        self.episodes = episodes
+        self._iterator = iter(self.episodes)
+
+    def _group_scenes(self, episodes: Sequence[T]) -> List[T]:
+        """Group by scene, keeping scene first-appearance order (reference :497)."""
+        assert self.group_by_scene
+        scene_sort_keys: Dict[str, int] = {}
+        for e in episodes:
+            if e.scene_id not in scene_sort_keys:
+                scene_sort_keys[e.scene_id] = len(scene_sort_keys)
+        return sorted(episodes, key=lambda e: scene_sort_keys[e.scene_id])
+
+    def step_taken(self) -> None:
+        self._step_count += 1
+
+    @staticmethod
+    def _randomize_value(value: int, value_range: float) -> int:
+        return random.randint(
+            int(value * (1 - value_range)), int(value * (1 + value_range))
+        )
+
+    def _set_shuffle_intervals(self) -> None:
+        if self.max_scene_repetition_episodes > 0:
+            self._max_rep_episode = self.max_scene_repetition_episodes
+        else:
+            self._max_rep_episode = None
+        if self.max_scene_repetition_steps > 0:
+            self._max_rep_step = self._randomize_value(
+                self.max_scene_repetition_steps, self.step_repetition_range
+            )
+        else:
+            self._max_rep_step = None
+
+    def _forced_scene_switch_if(self) -> None:
+        do_switch = False
+        self._rep_count += 1
+        if (
+            self._max_rep_episode is not None
+            and self._rep_count >= self._max_rep_episode
+        ):
+            do_switch = True
+        if self._max_rep_step is not None and self._step_count >= self._max_rep_step:
+            do_switch = True
+        if do_switch:
+            self._forced_scene_switch()
+            self._set_shuffle_intervals()
+
+
+# ---------------------------------------------------------------------------
+# Device-side episode table
+# ---------------------------------------------------------------------------
+
+MAX_GOALS_DEFAULT = 1
+
+
+@dataclasses.dataclass
+class EpisodeTable:
+    """All episodes packed as device arrays; indexed inside jit by episode id.
+
+    ``dist_field`` holds the per-episode multi-goal geodesic distance-to-goal
+    field (min over goals, precomputed on the navgrid), replacing the per-call
+    MultiGoalShortestPath + per-episode cache in the reference
+    (habitat_simulator.py:528-554).
+    """
+
+    scene_idx: jnp.ndarray  # (E,) int32 index into ScenePack
+    start_pos: jnp.ndarray  # (E,3) f32
+    start_yaw: jnp.ndarray  # (E,) f32
+    goal_pos: jnp.ndarray  # (E,G,3) f32
+    goal_valid: jnp.ndarray  # (E,G) bool
+    geodesic_start: jnp.ndarray  # (E,) f32 — start-to-goal geodesic (SPL denom)
+    dist_field: jnp.ndarray  # (E,NX,NZ) f16 — geodesic distance-to-goal
+    object_category: jnp.ndarray  # (E,) int32 — objectnav goal category (-1: n/a)
+
+    @property
+    def num_episodes(self) -> int:
+        return int(self.scene_idx.shape[0])
+
+
+def _table_flatten(t: EpisodeTable):
+    return (
+        t.scene_idx,
+        t.start_pos,
+        t.start_yaw,
+        t.goal_pos,
+        t.goal_valid,
+        t.geodesic_start,
+        t.dist_field,
+        t.object_category,
+    ), None
+
+
+def _table_unflatten(aux, children):
+    return EpisodeTable(*children)
+
+
+jtu.register_pytree_node(EpisodeTable, _table_flatten, _table_unflatten)
+
+
+def build_episode_table(
+    episodes: Sequence[NavigationEpisode],
+    scenes: Dict[str, Any],  # scene_id -> SceneData
+    scene_index: Dict[str, int],
+    grid_shape: Optional[tuple] = None,
+    max_goals: int = MAX_GOALS_DEFAULT,
+    field_dtype=jnp.float16,
+    precomputed_fields: Optional[Dict[str, np.ndarray]] = None,
+) -> EpisodeTable:
+    """Pack episodes + precompute per-episode geodesic fields (host).
+
+    precomputed_fields: optional episode_id -> field map (e.g. from the
+    procedural generator, which already ran the geodesic solve).
+    """
+    from habitat_tpu.sims.scene import geodesic_field
+
+    E = len(episodes)
+    if grid_shape is None:
+        nx = max(scenes[sid].nav_occ.shape[0] for sid in scene_index)
+        nz = max(scenes[sid].nav_occ.shape[1] for sid in scene_index)
+        grid_shape = (nx, nz)
+    nx, nz = grid_shape
+
+    scene_idx = np.zeros((E,), np.int32)
+    start_pos = np.zeros((E, 3), np.float32)
+    start_yaw = np.zeros((E,), np.float32)
+    goal_pos = np.zeros((E, max_goals, 3), np.float32)
+    goal_valid = np.zeros((E, max_goals), bool)
+    geo_start = np.zeros((E,), np.float32)
+    fields = np.zeros((E, nx, nz), np.float32)
+    obj_cat = np.full((E,), -1, np.int32)
+
+    for i, ep in enumerate(episodes):
+        scene = scenes[ep.scene_id]
+        scene_idx[i] = scene_index[ep.scene_id]
+        start_pos[i] = np.asarray(ep.start_position, np.float32)
+        start_yaw[i] = ep.start_yaw
+        goals = ep.goals[:max_goals]
+        cells = []
+        for g, goal in enumerate(goals):
+            goal_pos[i, g] = np.asarray(goal.position, np.float32)
+            goal_valid[i, g] = True
+            cells.append(scene.world_to_cell(np.asarray(goal.position)[[0, 2]]))
+        if precomputed_fields is not None and ep.episode_id in precomputed_fields:
+            f = precomputed_fields[ep.episode_id]
+        else:
+            f = geodesic_field(scene.nav_occ, np.asarray(cells), scene.nav_res)
+        gx, gz = f.shape
+        fields[i, :gx, :gz] = f
+        fields[i, gx:, :] = 1e6
+        fields[i, :, gz:] = 1e6
+        # keep within float16 range (6e4 ~ "unreachable" at scene scale)
+        np.minimum(fields[i], 6.0e4, out=fields[i])
+        sc = scene.world_to_cell(start_pos[i][[0, 2]])
+        geo = ep.info.get("geodesic_distance")
+        geo_start[i] = geo if geo is not None else f[sc[0], sc[1]]
+        cat = ep.info.get("object_category_id")
+        if cat is not None:
+            obj_cat[i] = cat
+
+    return EpisodeTable(
+        scene_idx=jnp.asarray(scene_idx),
+        start_pos=jnp.asarray(start_pos),
+        start_yaw=jnp.asarray(start_yaw),
+        goal_pos=jnp.asarray(goal_pos),
+        goal_valid=jnp.asarray(goal_valid),
+        geodesic_start=jnp.asarray(geo_start),
+        dist_field=jnp.asarray(fields, dtype=field_dtype),
+        object_category=jnp.asarray(obj_cat),
+    )
+
+
+def build_env_episode_order(
+    episodes: Sequence[Episode],
+    num_envs: int,
+    *,
+    group_by_scene: bool = True,
+    shuffle: bool = True,
+    seed: int = 0,
+) -> np.ndarray:
+    """(num_envs, L) int32 episode-index schedule reproducing the reference's
+    scene-split strategy (habitat_env_factory.py:48-69: scenes round-robin over
+    workers) + per-worker shuffled cycling (EpisodeIterator semantics).
+
+    Env i plays order[i, k % L] as its k-th episode.
+    """
+    rng = np.random.default_rng(seed)
+    by_scene: Dict[str, List[int]] = {}
+    for idx, e in enumerate(episodes):
+        by_scene.setdefault(e.scene_id, []).append(idx)
+    scene_list = sorted(by_scene)
+
+    env_eps: List[List[int]] = [[] for _ in range(num_envs)]
+    if group_by_scene and len(scene_list) >= num_envs:
+        # round-robin scenes over envs; each env owns its scenes' episodes
+        for j, sid in enumerate(scene_list):
+            env_eps[j % num_envs].extend(by_scene[sid])
+    else:
+        # fewer scenes than envs: every env cycles all episodes (reference
+        # behavior when a worker gets multiple scenes collapses similarly)
+        for i in range(num_envs):
+            env_eps[i] = list(range(len(episodes)))
+
+    L = max(len(x) for x in env_eps)
+    order = np.zeros((num_envs, L), np.int32)
+    for i, eps in enumerate(env_eps):
+        eps = np.asarray(eps, np.int32)
+        if shuffle:
+            eps = rng.permutation(eps)
+        # tile to L
+        reps = int(np.ceil(L / len(eps)))
+        order[i] = np.tile(eps, reps)[:L]
+    return order

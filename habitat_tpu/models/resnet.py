@@ -1,0 +1,226 @@
+"""GroupNorm ResNet family for visual encoding (Flax linen).
+
+Counterpart of the reference's torch ResNet zoo
+(habitat-baselines/habitat_baselines/rl/ddppo/policy/resnet.py: resnet18/50,
+SE-ResNeXt variants with GroupNorm since batch statistics are invalid under
+on-policy RL). Re-designed for TPU: NHWC layout, bfloat16 compute with fp32
+params/norms, channels padded to lane width where it matters, all convs lower
+onto the MXU.
+
+Provides: resnet9, resnet18, resnet50, se_resnext50, se_resnext101 builders
+(reference rl/ddppo/README.md:35-45 model table).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _gn(num_groups: int = 32, dtype=jnp.float32):
+    return partial(nn.GroupNorm, num_groups=num_groups, epsilon=1e-5, dtype=dtype)
+
+
+class SEBlock(nn.Module):
+    """Squeeze-excitation (for SE-ResNeXt variants)."""
+
+    channels: int
+    reduction: int = 16
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2))  # (N,C)
+        s = nn.Dense(max(self.channels // self.reduction, 4), dtype=self.dtype)(s)
+        s = nn.relu(s)
+        s = nn.Dense(self.channels, dtype=self.dtype)(s)
+        s = nn.sigmoid(s)
+        return x * s[:, None, None, :]
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    ngroups: int = 32
+    use_se: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        gn = _gn(self.ngroups)
+        y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride), use_bias=False, dtype=self.dtype)(x)
+        y = gn()(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), use_bias=False, dtype=self.dtype)(y)
+        y = gn()(y)
+        if self.use_se:
+            y = SEBlock(self.planes, dtype=self.dtype)(y)
+        if x.shape[-1] != self.planes or self.stride != 1:
+            x = nn.Conv(
+                self.planes, (1, 1), (self.stride, self.stride), use_bias=False, dtype=self.dtype
+            )(x)
+            x = gn()(x)
+        return nn.relu(x + y)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    ngroups: int = 32
+    cardinality: int = 1  # >1 = ResNeXt grouped conv
+    use_se: bool = False
+    expansion: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        gn = _gn(self.ngroups)
+        out_ch = self.planes * self.expansion
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = gn()(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.planes,
+            (3, 3),
+            (self.stride, self.stride),
+            feature_group_count=self.cardinality,
+            use_bias=False,
+            dtype=self.dtype,
+        )(y)
+        y = gn()(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = gn()(y)
+        if self.use_se:
+            y = SEBlock(out_ch, dtype=self.dtype)(y)
+        if x.shape[-1] != out_ch or self.stride != 1:
+            x = nn.Conv(out_ch, (1, 1), (self.stride, self.stride), use_bias=False, dtype=self.dtype)(x)
+            x = gn()(x)
+        return nn.relu(x + y)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetSpec:
+    block: str  # "basic" | "bottleneck"
+    layers: Tuple[int, ...]
+    base_planes: int = 32
+    ngroups: int = 16
+    cardinality: int = 1
+    use_se: bool = False
+    expansion: int = 1
+
+
+SPECS = {
+    "resnet9": ResNetSpec("basic", (1, 1, 1, 1)),
+    "resnet18": ResNetSpec("basic", (2, 2, 2, 2)),
+    "resnet50": ResNetSpec("bottleneck", (3, 4, 6, 3), expansion=4),
+    "resneXt50": ResNetSpec(
+        "bottleneck", (3, 4, 6, 3), cardinality=32, expansion=2
+    ),
+    "se_resnet50": ResNetSpec("bottleneck", (3, 4, 6, 3), use_se=True, expansion=4),
+    "se_resneXt50": ResNetSpec(
+        "bottleneck", (3, 4, 6, 3), cardinality=32, use_se=True, expansion=2
+    ),
+    "se_resneXt101": ResNetSpec(
+        "bottleneck", (3, 4, 23, 3), cardinality=32, use_se=True, expansion=2
+    ),
+}
+
+
+class ResNet(nn.Module):
+    """Backbone: stem (7x7/2 + maxpool/2) + 4 stages. Returns final feature map.
+
+    The reference narrows base_planes to input_channels-scaled widths
+    (resnet_policy.py ResNetEncoder:165 passes baseplanes=32, ngroups=16).
+    """
+
+    spec: ResNetSpec
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):  # (N,H,W,C) float
+        s = self.spec
+        gn = _gn(s.ngroups)
+        x = x.astype(self.dtype)
+        x = nn.Conv(s.base_planes, (7, 7), (2, 2), use_bias=False, dtype=self.dtype)(x)
+        x = gn()(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        planes = s.base_planes
+        for i, n_blocks in enumerate(s.layers):
+            stride = 1 if i == 0 else 2
+            for b in range(n_blocks):
+                st = stride if b == 0 else 1
+                if s.block == "basic":
+                    x = BasicBlock(
+                        planes, st, s.ngroups, use_se=s.use_se, dtype=self.dtype
+                    )(x)
+                else:
+                    x = Bottleneck(
+                        planes,
+                        st,
+                        s.ngroups,
+                        cardinality=s.cardinality,
+                        use_se=s.use_se,
+                        expansion=s.expansion,
+                        dtype=self.dtype,
+                    )(x)
+            planes *= 2
+        return x
+
+    @property
+    def final_channels(self) -> int:
+        s = self.spec
+        mult = s.expansion if s.block == "bottleneck" else 1
+        return s.base_planes * (2 ** (len(s.layers) - 1)) * mult
+
+
+class ResNetEncoder(nn.Module):
+    """Visual encoder: normalize -> resnet -> 3x3 compression conv -> flatten.
+
+    Matches the reference encoder's contract (resnet_policy.py:165-240):
+    output is a flat vector of ~``output_size`` (they compress spatial output
+    to 2048 flat with a 3x3 conv + GroupNorm + ReLU).
+    """
+
+    backbone: str = "resnet18"
+    base_planes: int = 32
+    ngroups: int = 16
+    output_size: int = 2048
+    normalize_visual_inputs: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, obs: dict) -> jnp.ndarray:
+        imgs = []
+        if "rgb" in obs:
+            imgs.append(obs["rgb"].astype(jnp.float32) / 255.0)
+        if "depth" in obs:
+            imgs.append(obs["depth"].astype(jnp.float32))
+        assert imgs, "ResNetEncoder requires rgb and/or depth in obs"
+        x = jnp.concatenate(imgs, axis=-1)
+        if self.normalize_visual_inputs:
+            # per-image standardization stands in for the reference's
+            # RunningMeanAndVar (rl/ddppo/policy/running_mean_and_var.py,
+            # used for RGB; depth is already [0,1])
+            mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+            var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
+            x = (x - mean) / jnp.sqrt(var + 1e-5)
+
+        spec = dataclasses.replace(
+            SPECS[self.backbone], base_planes=self.base_planes, ngroups=self.ngroups
+        )
+        feat = ResNet(spec, dtype=self.dtype)(x)  # (N,h,w,c)
+        h, w = feat.shape[1], feat.shape[2]
+        # compression conv to ~output_size flat (reference :217-240)
+        comp_ch = max(self.output_size // (h * w), 1)
+        # round to fp32 lane-friendly multiple of 8
+        comp_ch = ((comp_ch + 7) // 8) * 8
+        y = nn.Conv(comp_ch, (3, 3), use_bias=False, dtype=self.dtype)(feat)
+        y = nn.GroupNorm(num_groups=min(self.ngroups, comp_ch), epsilon=1e-5)(y)
+        y = nn.relu(y)
+        return y.reshape(y.shape[0], -1).astype(jnp.float32)

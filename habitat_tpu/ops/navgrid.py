@@ -165,24 +165,33 @@ def greedy_follower_step(
     """Greedy geodesic follower: pick {stop=0, fwd=1, left=2, right=3}.
 
     Replaces habitat-sim GreedyGeodesicFollower (used by
-    tasks/nav/shortest_path_follower.py:55-86): descends the distance field by
-    evaluating the field at the pose reached by each candidate action.
+    tasks/nav/shortest_path_follower.py:55-86): steers toward the downhill
+    direction of the geodesic distance field (sampled over a ring of
+    candidate headings one step ahead), turning when the best heading
+    deviates from the current one. Unlike naive 3-candidate lookahead this
+    cannot wedge into walls: the best-direction ring sees around corners.
     """
     d_here = distance_at(field, nav_lo, nav_res, pos)
 
-    fwd = jnp.stack([-jnp.sin(yaw), jnp.array(0.0), -jnp.cos(yaw)])
-    p_fwd = pos + fwd * forward_step
-    d_fwd = distance_at(field, nav_lo, nav_res, p_fwd)
+    # ring of candidate headings (static unroll, 16 directions)
+    n_dirs = 16
+    offsets = jnp.arange(n_dirs) * (2 * jnp.pi / n_dirs)
+    cand_yaw = yaw + offsets
 
-    # look-ahead after turning then stepping
-    def after_turn(dyaw):
-        y2 = yaw + dyaw
-        f2 = jnp.stack([-jnp.sin(y2), jnp.array(0.0), -jnp.cos(y2)])
-        return distance_at(field, nav_lo, nav_res, pos + f2 * forward_step)
+    def d_at_heading(y2):
+        f2 = jnp.stack([-jnp.sin(y2), jnp.zeros_like(y2), -jnp.cos(y2)], axis=-1)
+        p2 = pos[None, :] + f2 * forward_step
+        return jax.vmap(lambda p: distance_at(field, nav_lo, nav_res, p))(p2)
 
-    d_left = after_turn(jnp.asarray(turn_angle))
-    d_right = after_turn(jnp.asarray(-turn_angle))
+    d_cands = d_at_heading(cand_yaw)  # (n_dirs,)
+    best = jnp.argmin(d_cands)
+    # signed heading error to the best direction, wrapped to [-pi, pi]
+    err = offsets[best]
+    err = jnp.arctan2(jnp.sin(err), jnp.cos(err))
 
-    cands = jnp.stack([d_fwd, d_left, d_right])
-    act = jnp.argmin(cands).astype(jnp.int32) + 1
-    return jnp.where(d_here <= goal_radius, 0, act)
+    act = jnp.where(
+        jnp.abs(err) <= 0.75 * turn_angle,
+        jnp.int32(1),  # forward
+        jnp.where(err > 0, jnp.int32(2), jnp.int32(3)),  # left / right
+    )
+    return jnp.where(d_here <= goal_radius, jnp.int32(0), act)

@@ -56,6 +56,7 @@ class SceneData:
     semantic_ids: np.ndarray  # (T,) int32
     # navgrid
     nav_occ: Optional[np.ndarray] = None  # (NX, NZ) bool, True = navigable
+    obst_dist: Optional[np.ndarray] = None  # (NX, NZ) f32 — meters to nearest obstacle
     nav_lo: Optional[np.ndarray] = None  # (2,) world xz of cell (0,0) CENTER
     nav_res: float = 0.1
     floor_y: float = 0.0
@@ -177,6 +178,13 @@ def rasterize_occupancy(
         floor = ndimage.binary_erosion(floor, structure=disk)
 
     scene.nav_occ = floor & ~obst
+    # euclidean distance (meters) to nearest non-navigable cell — powers
+    # ProximitySensor (reference nav.py:456) and distance_to_closest_obstacle
+    from scipy import ndimage as _ndi
+
+    scene.obst_dist = (
+        _ndi.distance_transform_edt(scene.nav_occ).astype(np.float32) * res
+    )
     scene.nav_lo = nav_lo.astype(np.float32)
     scene.nav_res = float(res)
     scene.floor_y = float(floor_y)
@@ -242,6 +250,7 @@ class ScenePack:
     tri_sem: jnp.ndarray  # (S, T) i32
     tri_valid: jnp.ndarray  # (S, T) bool
     nav_occ: jnp.ndarray  # (S, NX, NZ) bool
+    obst_dist: jnp.ndarray  # (S, NX, NZ) f32 meters to nearest obstacle
     nav_lo: jnp.ndarray  # (S, 2) f32
     floor_y: jnp.ndarray  # (S,) f32
     nav_res: float  # static
@@ -276,6 +285,7 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = 256) -> ScenePack:
     sem = np.zeros((S, t_max), np.int32)
     valid = np.zeros((S, t_max), bool)
     occ = np.zeros((S, nx, nz), bool)
+    odist = np.zeros((S, nx, nz), np.float32)
     lo = np.zeros((S, 2), np.float32)
     fy = np.zeros((S,), np.float32)
 
@@ -290,6 +300,7 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = 256) -> ScenePack:
         valid[i, :n] = True
         g = s.nav_occ
         occ[i, : g.shape[0], : g.shape[1]] = g
+        odist[i, : g.shape[0], : g.shape[1]] = s.obst_dist
         lo[i] = s.nav_lo
         fy[i] = s.floor_y
 
@@ -301,6 +312,7 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = 256) -> ScenePack:
         tri_sem=jnp.asarray(sem),
         tri_valid=jnp.asarray(valid),
         nav_occ=jnp.asarray(occ),
+        obst_dist=jnp.asarray(odist),
         nav_lo=jnp.asarray(lo),
         floor_y=jnp.asarray(fy),
         nav_res=scenes[0].nav_res,
@@ -320,6 +332,7 @@ def _scenepack_flatten(sp: ScenePack):
         sp.tri_sem,
         sp.tri_valid,
         sp.nav_occ,
+        sp.obst_dist,
         sp.nav_lo,
         sp.floor_y,
     )

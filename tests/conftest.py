@@ -1,17 +1,33 @@
 """Test config: run on a virtual 8-device CPU mesh so multi-chip sharding
-paths are exercised without TPU hardware (SURVEY §4 implication note)."""
+paths are exercised without TPU hardware (SURVEY §4 implication note).
+
+Note: this image pre-imports jax and pins the default backend to the tunneled
+'axon' TPU at interpreter start (sitecustomize), and ignores JAX_PLATFORMS.
+The CPU client is created lazily, so setting XLA_FLAGS here (before first use)
+still yields 8 virtual CPU devices; we then force default placement to CPU.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+CPU_DEVICES = jax.devices("cpu")
+assert len(CPU_DEVICES) == 8, CPU_DEVICES
+jax.config.update("jax_default_device", CPU_DEVICES[0])
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return CPU_DEVICES
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,129 @@
+"""Renderer correctness: analytic depth in a known room (SURVEY §4 strategy —
+dataless kernels unit-tested against known geometry)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from habitat_tpu.sims.procedural import generate_empty_room, generate_apartment
+from habitat_tpu.sims.scene import pack_scenes
+from habitat_tpu.ops.raycast import render_env, render_batch
+
+
+@pytest.fixture(scope="module")
+def room_pack():
+    return pack_scenes([generate_empty_room(extent=6.0)])
+
+
+def test_depth_facing_wall(room_pack):
+    # agent at (3, 0, 3) facing -z (yaw=0): wall at z=0, planar distance 3.0
+    out = render_env(
+        room_pack,
+        jnp.int32(0),
+        jnp.array([3.0, 1.25, 3.0]),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        height=64,
+        width=64,
+        hfov_deg=90.0,
+        max_depth=10.0,
+        normalize_depth=False,
+    )
+    depth = np.asarray(out["depth"])[:, :, 0]
+    # center pixel: straight ahead -> 3m planar depth
+    c = depth[32, 32]
+    assert abs(c - 3.0) < 0.05, c
+    # planar depth is constant along rows for a fronto-parallel wall
+    row = depth[32, 8:-8]
+    assert np.all(np.abs(row - 3.0) < 0.1), row.min()
+
+
+def test_depth_yaw_quarter_turn(room_pack):
+    # yaw=pi/2 faces -x: wall at x=0 is 3m away; yaw=-pi/2 faces +x -> x=6 wall 3m
+    for yaw in (np.pi / 2, -np.pi / 2):
+        out = render_env(
+            room_pack,
+            jnp.int32(0),
+            jnp.array([3.0, 1.25, 3.0]),
+            jnp.float32(yaw),
+            jnp.float32(0.0),
+            height=32,
+            width=32,
+            normalize_depth=False,
+        )
+        d = float(np.asarray(out["depth"])[16, 16, 0])
+        assert abs(d - 3.0) < 0.1, (yaw, d)
+
+
+def test_semantic_and_rgb(room_pack):
+    out = render_env(
+        room_pack,
+        jnp.int32(0),
+        jnp.array([3.0, 1.25, 3.0]),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        height=32,
+        width=32,
+    )
+    sem = np.asarray(out["semantic"])[:, :, 0]
+    # looking at a wall: center is wall (2); bottom rows hit floor (1)
+    assert sem[16, 16] == 2
+    assert sem[31, 16] == 1
+    rgb = np.asarray(out["rgb"])
+    assert rgb.dtype == np.uint8
+    assert rgb.shape == (32, 32, 3)
+    assert rgb.std() > 1.0  # not a constant image
+
+
+def test_look_down_sees_floor(room_pack):
+    out = render_env(
+        room_pack,
+        jnp.int32(0),
+        jnp.array([3.0, 1.25, 3.0]),
+        jnp.float32(0.0),
+        jnp.float32(-1.2),  # look down
+        height=32,
+        width=32,
+        normalize_depth=False,
+    )
+    sem = np.asarray(out["semantic"])[:, :, 0]
+    assert (sem == 1).mean() > 0.8  # mostly floor
+
+
+def test_normalized_depth_range(room_pack):
+    out = render_env(
+        room_pack,
+        jnp.int32(0),
+        jnp.array([3.0, 1.25, 3.0]),
+        jnp.float32(0.3),
+        jnp.float32(0.0),
+        height=32,
+        width=32,
+        max_depth=10.0,
+        normalize_depth=True,
+    )
+    d = np.asarray(out["depth"])
+    assert d.min() >= 0.0 and d.max() <= 1.0
+
+
+def test_render_batch_multi_scene():
+    scenes = [generate_apartment(seed=s, extent=8.0) for s in range(2)]
+    pack = pack_scenes(scenes)
+    n = 4
+    sids = jnp.array([0, 1, 0, 1], jnp.int32)
+    pos = jnp.tile(jnp.array([[4.0, 1.25, 4.0]]), (n, 1))
+    yaw = jnp.linspace(0, 2 * np.pi, n)
+    pitch = jnp.zeros((n,))
+    out = jax.jit(
+        lambda s, p, y, pi: render_batch(
+            pack, s, p, y, pi, height=32, width=32
+        )
+    )(sids, pos, yaw, pitch)
+    assert out["rgb"].shape == (n, 32, 32, 3)
+    assert out["depth"].shape == (n, 32, 32, 1)
+    assert out["semantic"].shape == (n, 32, 32, 1)
+    # envs in different scenes produce different images
+    img0 = np.asarray(out["rgb"][0])
+    img1 = np.asarray(out["rgb"][1])
+    assert not np.array_equal(img0, img1)
