@@ -1,0 +1,377 @@
+"""PPO / DD-PPO as one fused jitted train step.
+
+Re-architecture of the reference training loop (SURVEY §3.1):
+PPOTrainer.train (rl/ppo/ppo_trainer.py:656) split rollout collection across
+worker processes, staged observations CPU->GPU, and ran PPO epochs in torch
+with DDP gradient all-reduce (rl/ddppo/algo/ddppo.py:105-157). Here the whole
+update — rollout unroll (lax.scan over env.step_fn + policy act), GAE
+(reference common/rollout_storage.py:174-205), and the clipped-surrogate PPO
+epochs (reference rl/ppo/ppo.py:165-300) — is ONE jit. Sharding over the
+``data`` mesh axis replaces DDP: env state lives sharded in HBM, params are
+replicated, and XLA inserts the gradient all-reduce (the ddp_utils TCPStore/
+NCCL machinery, ddp_utils.py:271-309, has no equivalent because SPMD is
+lock-step by construction).
+
+Math parity notes:
+- GAE: delta = r + gamma*V'*nd - V;  A = delta + gamma*tau*nd*A'   (:174-205)
+- policy loss: -min(ratio*A, clip(ratio)*A)                        (ppo.py:165+)
+- value loss: 0.5*max((v-R)^2, (v_clip-R)^2) when clipped          (ppo.py)
+- entropy bonus, grad-norm clip, Adam(eps)                         (ppo.py:301)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from habitat_tpu.core.batched_env import BatchedEnv, EnvState
+from habitat_tpu.core.registry import registry
+from habitat_tpu.models.policy import (
+    ActorCritic,
+    evaluate_actions_stats,
+    sample_action,
+)
+from habitat_tpu.models.rnn_state_encoder import initial_hidden_state
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Defaults mirror the reference structured config
+    (habitat-baselines/habitat_baselines/config/default_structured_configs.py
+    HabitatBaselinesRLConfig.rl.ppo)."""
+
+    clip_param: float = 0.2
+    ppo_epoch: int = 4
+    num_mini_batch: int = 2
+    value_loss_coef: float = 0.5
+    entropy_coef: float = 0.01
+    lr: float = 2.5e-4
+    eps: float = 1e-5
+    max_grad_norm: float = 0.2
+    num_steps: int = 128
+    use_gae: bool = True
+    gamma: float = 0.99
+    tau: float = 0.95
+    use_linear_lr_decay: bool = False
+    use_linear_clip_decay: bool = False
+    use_clipped_value_loss: bool = True
+    use_normalized_advantage: bool = False
+    reward_window_size: int = 50
+
+
+class RolloutBatch(NamedTuple):
+    """On-device rollout storage (counterpart of common/rollout_storage.py:112
+    insert — but produced wholesale by the rollout scan, never staged via host)."""
+
+    obs: Dict[str, jnp.ndarray]  # (T, N, ...)
+    actions: jnp.ndarray  # (T, N)
+    log_probs: jnp.ndarray  # (T, N)
+    values: jnp.ndarray  # (T, N)
+    rewards: jnp.ndarray  # (T, N)
+    dones: jnp.ndarray  # (T, N) — done AFTER step t
+    masks: jnp.ndarray  # (T, N) — 1 - done BEFORE step t ("not done" input mask)
+    prev_actions: jnp.ndarray  # (T, N)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_state: EnvState
+    obs: Dict[str, jnp.ndarray]
+    hidden: jnp.ndarray
+    prev_action: jnp.ndarray  # (N,)
+    not_done: jnp.ndarray  # (N,) float 1.0 = episode continues
+    key: jax.Array
+    update_idx: jnp.ndarray  # scalar i32
+    # windowed episode accounting (device-side, replaces the host deque in
+    # ppo_trainer._coalesce_post_step :524)
+    ep_return_acc: jnp.ndarray  # (N,) running return of current episode
+    ep_len_acc: jnp.ndarray  # (N,)
+
+
+def compute_gae(rewards, values, dones, last_value, gamma, tau):
+    """(T,N) arrays -> (advantages, returns), reference rollout_storage.py:174."""
+    nd = 1.0 - dones.astype(jnp.float32)
+
+    def scan_fn(carry, xs):
+        adv_next, v_next, nd_t = carry
+        r_t, v_t, nd_after = xs
+        delta = r_t + gamma * v_next * nd_after - v_t
+        adv = delta + gamma * tau * nd_after * adv_next
+        return (adv, v_t, nd_after), adv
+
+    (_, _, _), advs = jax.lax.scan(
+        scan_fn,
+        (jnp.zeros_like(last_value), last_value, jnp.ones_like(last_value)),
+        (rewards, values, nd),
+        reverse=True,
+    )
+    returns = advs + values
+    return advs, returns
+
+
+def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr, eps=cfg.eps),
+    )
+
+
+class PPOLearner:
+    """Builds the fused (init_fn, train_step) pair for a BatchedEnv + policy.
+
+    Registered under both 'ppo' and 'ddppo' like the reference
+    (ppo_trainer.py:70-71) — on TPU they are the same program; 'ddppo' just
+    runs it over a multi-device mesh.
+    """
+
+    def __init__(
+        self,
+        env: BatchedEnv,
+        policy: ActorCritic,
+        cfg: PPOConfig = PPOConfig(),
+        *,
+        measure_keys: Tuple[str, ...] = ("success", "spl", "distance_to_goal"),
+    ):
+        self.env = env
+        self.policy = policy
+        self.cfg = cfg
+        self.optimizer = make_optimizer(cfg)
+        self.measure_keys = measure_keys
+        n = env.num_envs
+        assert n % cfg.num_mini_batch == 0, (n, cfg.num_mini_batch)
+
+    # -- init ---------------------------------------------------------
+    def init_fn(self, key: jax.Array) -> TrainState:
+        k_env, k_param = jax.random.split(key)
+        env_state, obs = self.env.reset_fn(k_env)
+        n = self.env.num_envs
+        net = self.policy.net
+        hidden = initial_hidden_state(
+            n, net.hidden_size, net.num_recurrent_layers, net.rnn_type
+        )
+        prev_action = jnp.zeros((n,), jnp.int32)
+        not_done = jnp.zeros((n,), jnp.float32)  # start of episode -> mask 0
+        params = self.policy.init(k_param, obs, hidden, prev_action, not_done)
+        opt_state = self.optimizer.init(params)
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=obs,
+            hidden=hidden,
+            prev_action=prev_action,
+            not_done=not_done,
+            key=key,
+            update_idx=jnp.int32(0),
+            ep_return_acc=jnp.zeros((n,), jnp.float32),
+            ep_len_acc=jnp.zeros((n,), jnp.float32),
+        )
+
+    # -- rollout ------------------------------------------------------
+    def _collect_rollout(self, ts: TrainState):
+        """lax.scan of T steps: act -> env.step (reference double-buffered
+        _compute_actions_and_step_envs / _collect_environment_result,
+        ppo_trainer.py:343-487 — no buffering needed, it is one fused scan)."""
+        cfg = self.cfg
+
+        def step(carry, _):
+            env_state, obs, hidden, prev_action, not_done, key, ep_ret, ep_len = carry
+            key, k_act = jax.random.split(key)
+            logits, value, new_hidden = self.policy.apply(
+                ts.params, obs, hidden, prev_action, not_done
+            )
+            action, logp = sample_action(logits, k_act)
+            new_env_state, new_obs, reward, done, info = self.env.step_fn(
+                env_state, action
+            )
+            ep_ret = ep_ret + reward
+            ep_len = ep_len + 1.0
+            done_f = done.astype(jnp.float32)
+            stats = {
+                "reward_sum": jnp.sum(ep_ret * done_f),
+                "len_sum": jnp.sum(ep_len * done_f),
+                "done_count": jnp.sum(done_f),
+            }
+            for k in self.measure_keys:
+                if k in info:
+                    stats[f"m_{k}"] = jnp.sum(info[k] * done_f)
+            out = (
+                obs,
+                action,
+                logp,
+                value,
+                reward,
+                done_f,
+                not_done,
+                prev_action,
+                stats,
+            )
+            ep_ret = ep_ret * (1.0 - done_f)
+            ep_len = ep_len * (1.0 - done_f)
+            new_carry = (
+                new_env_state,
+                new_obs,
+                new_hidden,
+                action,
+                1.0 - done_f,
+                key,
+                ep_ret,
+                ep_len,
+            )
+            return new_carry, out
+
+        carry0 = (
+            ts.env_state,
+            ts.obs,
+            ts.hidden,
+            ts.prev_action,
+            ts.not_done,
+            ts.key,
+            ts.ep_return_acc,
+            ts.ep_len_acc,
+        )
+        carry, outs = jax.lax.scan(step, carry0, None, length=cfg.num_steps)
+        (env_state, obs, hidden, prev_action, not_done, key, ep_ret, ep_len) = carry
+        (o, a, lp, v, r, d, m, pa, stats) = outs
+        batch = RolloutBatch(
+            obs=o,
+            actions=a,
+            log_probs=lp,
+            values=v,
+            rewards=r,
+            dones=d,
+            masks=m,
+            prev_actions=pa,
+        )
+        # bootstrap value (reference get_value at rollout end,
+        # ppo_trainer.py:489-506)
+        logits, last_value, _ = self.policy.apply(
+            ts.params, obs, hidden, prev_action, not_done
+        )
+        rollout_stats = jax.tree.map(lambda x: jnp.sum(x, axis=0), stats)
+        new_ts = ts._replace(
+            env_state=env_state,
+            obs=obs,
+            hidden=hidden,
+            prev_action=prev_action,
+            not_done=not_done,
+            key=key,
+            ep_return_acc=ep_ret,
+            ep_len_acc=ep_len,
+        )
+        return new_ts, batch, last_value, ts.hidden, rollout_stats
+
+    # -- update -------------------------------------------------------
+    def _loss_fn(self, params, mb, h0_mb, clip_param):
+        cfg = self.cfg
+        logits, values, _ = self.policy.apply(
+            params, mb["obs"], h0_mb, mb["prev_actions"], mb["masks"]
+        )
+        logp, entropy = evaluate_actions_stats(logits, mb["actions"])
+        ratio = jnp.exp(logp - mb["log_probs"])
+        adv = mb["advantages"]
+        surr1 = ratio * adv
+        surr2 = jnp.clip(ratio, 1.0 - clip_param, 1.0 + clip_param) * adv
+        action_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+        if cfg.use_clipped_value_loss:
+            v_clip = mb["values"] + jnp.clip(
+                values - mb["values"], -clip_param, clip_param
+            )
+            vl = jnp.maximum(
+                (values - mb["returns"]) ** 2, (v_clip - mb["returns"]) ** 2
+            )
+            value_loss = 0.5 * jnp.mean(vl)
+        else:
+            value_loss = 0.5 * jnp.mean((values - mb["returns"]) ** 2)
+        ent = jnp.mean(entropy)
+        total = (
+            action_loss
+            + cfg.value_loss_coef * value_loss
+            - cfg.entropy_coef * ent
+        )
+        aux = {
+            "losses/learner_loss": total,
+            "losses/action_loss": action_loss,
+            "losses/value_loss": value_loss,
+            "losses/entropy": ent,
+        }
+        return total, aux
+
+    def _update(self, ts: TrainState, batch: RolloutBatch, last_value, h0):
+        cfg = self.cfg
+        advantages, returns = compute_gae(
+            batch.rewards,
+            batch.values,
+            batch.dones,
+            last_value,
+            cfg.gamma,
+            cfg.tau,
+        )
+        if cfg.use_normalized_advantage:
+            mean = jnp.mean(advantages)
+            std = jnp.std(advantages) + 1e-5
+            advantages = (advantages - mean) / std
+
+        n = self.env.num_envs
+        mb_size = n // cfg.num_mini_batch
+        data = {
+            "obs": batch.obs,
+            "actions": batch.actions,
+            "log_probs": batch.log_probs,
+            "values": batch.values,
+            "prev_actions": batch.prev_actions,
+            "masks": batch.masks,
+            "advantages": advantages,
+            "returns": returns,
+        }
+
+        def epoch_body(carry, _):
+            params, opt_state = carry
+
+            def mb_body(carry, i):
+                params, opt_state = carry
+                # contiguous env-dim minibatches: pure slicing, shard-local
+                # (reference shuffles env indices, rollout_storage.py:207-257;
+                # contiguous slices keep data device-local under the mesh)
+                sl = i * mb_size
+                mb = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(x, sl, mb_size, axis=1),
+                    data,
+                )
+                h0_mb = jax.lax.dynamic_slice_in_dim(h0, sl, mb_size, axis=0)
+                (loss, aux), grads = jax.value_and_grad(
+                    self._loss_fn, has_aux=True
+                )(params, mb, h0_mb, cfg.clip_param)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                aux["grad_norm"] = optax.global_norm(grads)
+                return (params, opt_state), aux
+
+            (params, opt_state), auxs = jax.lax.scan(
+                mb_body, (params, opt_state), jnp.arange(cfg.num_mini_batch)
+            )
+            return (params, opt_state), jax.tree.map(jnp.mean, auxs)
+
+        (params, opt_state), auxs = jax.lax.scan(
+            epoch_body, (ts.params, ts.opt_state), None, length=cfg.ppo_epoch
+        )
+        metrics = jax.tree.map(jnp.mean, auxs)
+        return ts._replace(
+            params=params, opt_state=opt_state, update_idx=ts.update_idx + 1
+        ), metrics
+
+    # -- full step ------------------------------------------------------
+    def train_step(self, ts: TrainState) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        ts, batch, last_value, h0, rollout_stats = self._collect_rollout(ts)
+        ts, metrics = self._update(ts, batch, last_value, h0)
+        metrics.update(rollout_stats)
+        metrics["reward_step_mean"] = jnp.mean(batch.rewards)
+        return ts, metrics

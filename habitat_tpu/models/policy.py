@@ -25,7 +25,10 @@ from flax import linen as nn
 
 from habitat_tpu.core.registry import registry
 from habitat_tpu.models.resnet import ResNetEncoder
-from habitat_tpu.models.rnn_state_encoder import RNNStateEncoder
+from habitat_tpu.models.rnn_state_encoder import (
+    RNNStateEncoder,
+    initial_hidden_state,
+)
 
 PointGoalKeys = (
     "pointgoal_with_gps_compass",
@@ -203,7 +206,12 @@ class ActorCritic(nn.Module):
         return logits, values, new_hidden
 
     def initial_hidden(self, batch: int) -> jnp.ndarray:
-        return self.net.rnn().initial_state(batch)
+        return initial_hidden_state(
+            batch,
+            self.net.hidden_size,
+            self.net.num_recurrent_layers,
+            self.net.rnn_type,
+        )
 
 
 def sample_action(logits: jnp.ndarray, key: jax.Array, deterministic: bool = False):

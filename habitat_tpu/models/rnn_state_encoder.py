@@ -24,6 +24,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def initial_hidden_state(
+    batch: int, hidden_size: int, num_layers: int = 1, rnn_type: str = "LSTM"
+) -> jnp.ndarray:
+    """Zero hidden state (N, L, S, H) without constructing a module (usable
+    outside flax apply contexts)."""
+    s = 2 if rnn_type.upper() == "LSTM" else 1
+    return jnp.zeros((batch, num_layers, s, hidden_size), jnp.float32)
+
+
 class RNNStateEncoder(nn.Module):
     hidden_size: int = 512
     num_layers: int = 1

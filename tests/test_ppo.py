@@ -1,0 +1,126 @@
+"""PPO math + learning regression.
+
+Mirrors the reference's strategy: GAE/update math unit checks
+(rl/ppo/ppo.py:139,165) and the train-to-reward-threshold floor
+(test/test_baseline_training.py:420-503 — reward must improve over updates)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from habitat_tpu.baselines.ppo import PPOConfig, PPOLearner, compute_gae
+from habitat_tpu.core.env_factory import make_nav_env
+from habitat_tpu.datasets.pointnav import make_procedural_pointnav
+from habitat_tpu.models.policy import make_pointnav_resnet_policy
+
+
+def test_gae_matches_reference_recursion():
+    T, N = 5, 3
+    rng = np.random.default_rng(0)
+    r = rng.normal(size=(T, N)).astype(np.float32)
+    v = rng.normal(size=(T, N)).astype(np.float32)
+    d = (rng.random((T, N)) > 0.7).astype(np.float32)
+    last_v = rng.normal(size=(N,)).astype(np.float32)
+    gamma, tau = 0.99, 0.95
+
+    adv, ret = compute_gae(
+        jnp.asarray(r), jnp.asarray(v), jnp.asarray(d), jnp.asarray(last_v), gamma, tau
+    )
+
+    # naive reference recursion (rollout_storage.py:174-205)
+    adv_ref = np.zeros((T, N), np.float32)
+    gae = np.zeros(N, np.float32)
+    for t in reversed(range(T)):
+        v_next = last_v if t == T - 1 else v[t + 1]
+        nd = 1.0 - d[t]
+        delta = r[t] + gamma * v_next * nd - v[t]
+        gae = delta + gamma * tau * nd * gae
+        adv_ref[t] = gae
+    np.testing.assert_allclose(np.asarray(adv), adv_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret), adv_ref + v, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def small_learner():
+    scenes, episodes, fields = make_procedural_pointnav(
+        num_scenes=2, episodes_per_scene=8, seed=3, extent=8.0
+    )
+    env = make_nav_env(
+        scenes,
+        episodes,
+        num_envs=8,
+        precomputed_fields=fields,
+        max_episode_steps=64,
+    )
+    policy = make_pointnav_resnet_policy(
+        len(env.actions), has_visual=False, hidden_size=64
+    )
+    cfg = PPOConfig(num_steps=32, num_mini_batch=2, ppo_epoch=2, lr=1e-3)
+    return PPOLearner(env, policy, cfg)
+
+
+def test_train_step_runs_and_shapes(small_learner):
+    learner = small_learner
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0))
+    step = jax.jit(learner.train_step, donate_argnums=(0,))
+    ts, metrics = step(ts)
+    assert float(metrics["losses/value_loss"]) >= 0
+    assert np.isfinite(float(metrics["losses/learner_loss"]))
+    assert int(ts.update_idx) == 1
+    # params actually changed
+    ts2, m2 = step(ts)
+    assert int(ts2.update_idx) == 2
+
+
+@pytest.mark.slow
+def test_blind_pointnav_learns(small_learner):
+    """Reward must improve substantially within 40 updates (reference
+    learning floor: reward >= threshold @ 40 updates, test_baseline_training)."""
+    learner = small_learner
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(1))
+    step = jax.jit(learner.train_step, donate_argnums=(0,))
+    first_rewards, last_rewards = [], []
+    n_updates = 120
+    for i in range(n_updates):
+        ts, metrics = step(ts)
+        dc = float(metrics["done_count"])
+        if dc > 0:
+            ep_rew = float(metrics["reward_sum"]) / dc
+            if i < 15:
+                first_rewards.append(ep_rew)
+            if i >= n_updates - 15:
+                last_rewards.append(ep_rew)
+    assert last_rewards, "no episodes finished late in training"
+    improvement = np.mean(last_rewards) - np.mean(first_rewards)
+    assert improvement > 0.3, (np.mean(first_rewards), np.mean(last_rewards))
+
+
+def test_train_step_multi_device_sharded(small_learner):
+    """The SAME train step over an 8-device CPU mesh (DD-PPO path)."""
+    from habitat_tpu.parallel import mesh as meshlib
+
+    learner = small_learner
+    mesh = meshlib.make_mesh(jax.devices("cpu"))
+    assert mesh.shape["data"] == 8
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0))
+    n = learner.env.num_envs
+    ts = ts._replace(
+        params=meshlib.replicate_pytree(ts.params, mesh),
+        opt_state=meshlib.replicate_pytree(ts.opt_state, mesh),
+        env_state=meshlib.shard_env_pytree(ts.env_state, mesh, n),
+        obs=meshlib.shard_env_pytree(ts.obs, mesh, n),
+        hidden=meshlib.shard_env_pytree(ts.hidden, mesh, n),
+        prev_action=meshlib.shard_env_pytree(ts.prev_action, mesh, n),
+        not_done=meshlib.shard_env_pytree(ts.not_done, mesh, n),
+        key=meshlib.replicate_pytree(ts.key, mesh),
+        update_idx=meshlib.replicate_pytree(ts.update_idx, mesh),
+        ep_return_acc=meshlib.shard_env_pytree(ts.ep_return_acc, mesh, n),
+        ep_len_acc=meshlib.shard_env_pytree(ts.ep_len_acc, mesh, n),
+    )
+    step = jax.jit(learner.train_step, donate_argnums=(0,))
+    ts, metrics = step(ts)
+    assert np.isfinite(float(metrics["losses/learner_loss"]))
+    # params remain replicated and identical across devices
+    leaf = jax.tree.leaves(ts.params)[0]
+    assert leaf.sharding.is_fully_replicated
