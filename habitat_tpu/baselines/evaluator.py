@@ -1,0 +1,125 @@
+"""Checkpoint evaluation with exactly-once episode accounting.
+
+Counterpart of HabitatEvaluator.evaluate_agent (reference
+rl/ppo/habitat_evaluator.py:39) + pause_envs (rl/ppo/evaluator.py:57): the
+reference pauses finished worker processes so each eval episode is counted
+once; here all envs run batched and "pausing" is an accounting mask — each env
+has an episode quota (its share of the eval set) and contributions beyond the
+quota are ignored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from habitat_tpu.core.batched_env import BatchedEnv
+from habitat_tpu.core.logging import logger
+from habitat_tpu.models.policy import ActorCritic, sample_action
+from habitat_tpu.models.rnn_state_encoder import initial_hidden_state
+
+
+def evaluate_agent(
+    env: BatchedEnv,
+    policy: ActorCritic,
+    params: Any,
+    *,
+    episodes_per_env: Optional[int] = None,
+    deterministic: bool = False,
+    seed: int = 0,
+    max_steps: Optional[int] = None,
+    measure_keys: Tuple[str, ...] = ("success", "spl", "soft_spl", "distance_to_goal", "num_steps"),
+) -> Dict[str, float]:
+    """Run evaluation; returns aggregated metrics (reference aggregates the
+    per-episode stats dict the same way, habitat_evaluator.py:39+)."""
+    n = env.num_envs
+    if episodes_per_env is None:
+        episodes_per_env = max(1, env.table.num_episodes // n)
+    quota = np.full((n,), episodes_per_env, np.int64)
+
+    net = policy.net
+    hidden = initial_hidden_state(
+        n, net.hidden_size, net.num_recurrent_layers, net.rnn_type
+    )
+    prev_action = jnp.zeros((n,), jnp.int32)
+    not_done = jnp.zeros((n,), jnp.float32)
+
+    @jax.jit
+    def act_step(params, obs, hidden, prev_action, not_done, key):
+        logits, _, new_hidden = policy.apply(params, obs, hidden, prev_action, not_done)
+        action, _ = sample_action(logits, key, deterministic=deterministic)
+        return action, new_hidden
+
+    state, obs = env.reset(seed=seed)
+    key = jax.random.PRNGKey(seed)
+    counted = np.zeros((n,), np.int64)
+    sums: Dict[str, float] = defaultdict(float)
+    reward_acc = np.zeros((n,), np.float64)
+    total_eps = 0
+
+    if max_steps is None:
+        max_steps = env.max_episode_steps * (episodes_per_env + 1) * 2
+
+    for t in range(max_steps):
+        key, k = jax.random.split(key)
+        action, hidden = act_step(params, obs, hidden, prev_action, not_done, k)
+        state, obs, reward, done, info = env.step(state, action)
+        prev_action = action
+        not_done = 1.0 - np.asarray(done).astype(np.float32)
+        not_done = jnp.asarray(not_done)
+        reward_acc += np.asarray(reward)
+        d = np.asarray(done)
+        if d.any():
+            active = counted < quota
+            take = d & active
+            for kname in measure_keys:
+                if kname in info:
+                    sums[kname] += float(np.asarray(info[kname])[take].sum())
+            sums["reward"] += float(reward_acc[take].sum())
+            total_eps += int(take.sum())
+            counted += take.astype(np.int64)
+            reward_acc[d] = 0.0
+        if np.all(counted >= quota):
+            break
+
+    if total_eps == 0:
+        logger.warning("evaluation finished no episodes")
+        return {}
+    out = {k: v / total_eps for k, v in sums.items()}
+    out["num_episodes"] = float(total_eps)
+    return out
+
+
+def evaluate_from_config(config, trainer) -> Dict[str, float]:
+    """Eval entry (reference BaseTrainer.eval, common/base_trainer.py:66):
+    loads latest checkpoint if present, evaluates, logs."""
+    import os
+
+    env = trainer.env
+    policy = trainer.policy
+    ts = trainer._init(jax.random.PRNGKey(0))
+    latest = os.path.join(
+        os.path.abspath(trainer.run_cfg.checkpoint_folder), "latest"
+    )
+    if os.path.exists(latest) and config.get_path(
+        "habitat_baselines.eval.should_load_ckpt", True
+    ):
+        ts = trainer.load_checkpoint("latest", ts)
+    count = int(config.get_path("habitat_baselines.test_episode_count", -1))
+    per_env = None if count <= 0 else max(1, count // env.num_envs)
+    metrics = evaluate_agent(
+        env,
+        policy,
+        ts.params,
+        episodes_per_env=per_env,
+        deterministic=False,
+        seed=int(config.habitat.get("seed", 100)),
+    )
+    logger.info("eval: " + " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items())))
+    return metrics

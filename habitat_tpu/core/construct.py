@@ -1,0 +1,227 @@
+"""Config → engine construction.
+
+Counterpart of the reference wiring: Env.__init__ (make_dataset/make_sim/
+make_task, core/env.py:70-137), EmbodiedTask._init_entities (registry-driven
+type resolution, core/embodied_task.py:275-292) and the baselines env factory
+(common/habitat_env_factory.py:19). All ``type:`` strings resolve through the
+registry exactly like the reference, so reference-style YAML composes into the
+TPU engine.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from habitat_tpu.core.batched_env import BatchedEnv, RewardSpec
+from habitat_tpu.core.dataset import (
+    NavigationEpisode,
+    build_env_episode_order,
+    build_episode_table,
+)
+from habitat_tpu.core.logging import logger
+from habitat_tpu.core.registry import registry
+from habitat_tpu.config.omega import Config
+from habitat_tpu.sims.scene import SceneData, pack_scenes
+
+# populate the registry (reference does this in habitat/__init__.py imports)
+import habitat_tpu.tasks.nav  # noqa: F401
+import habitat_tpu.models.policy  # noqa: F401
+import habitat_tpu.datasets.pointnav  # noqa: F401
+
+
+def load_dataset(ds_cfg: Config):
+    """Returns (scenes, episodes, precomputed_fields|None).
+
+    "PointNav-v1": reference JSON.gz episodes (needs scene meshes on disk).
+    "PointNav-v1-Procedural" (or missing data + procedural.enabled): built-in
+    generator (the image ships no scan data).
+    """
+    from habitat_tpu.datasets.pointnav import (
+        PointNavDatasetV1,
+        make_procedural_pointnav,
+    )
+
+    ds_type = ds_cfg.get("type", "PointNav-v1")
+    proc = ds_cfg.get("procedural", Config())
+
+    data_path = (ds_cfg.get("data_path") or "").format(split=ds_cfg.get("split", "train"))
+    if ds_type == "PointNav-v1" and data_path and os.path.exists(data_path):
+        dataset = PointNavDatasetV1(ds_cfg)
+        from habitat_tpu.sims.loaders import load_scene
+
+        scenes = [
+            load_scene(sid, scenes_dir=ds_cfg.get("scenes_dir", ""))
+            for sid in dataset.scene_ids
+        ]
+        return scenes, dataset.episodes, None
+
+    if ds_type == "PointNav-v1" and data_path:
+        logger.warning(
+            f"dataset file {data_path!r} not found — falling back to the "
+            f"built-in procedural dataset (reference would raise; this image "
+            f"has no downloaded data)"
+        )
+
+    scenes, episodes, fields = make_procedural_pointnav(
+        num_scenes=int(proc.get("num_scenes", 4)),
+        episodes_per_scene=int(proc.get("episodes_per_scene", 32)),
+        seed=int(proc.get("seed", 0)),
+        extent=float(proc.get("extent", 10.0)),
+        nav_res=float(proc.get("nav_res", 0.1)),
+        closest_dist_limit=float(proc.get("closest_dist_limit", 1.0)),
+        furthest_dist_limit=float(proc.get("furthest_dist_limit", 30.0)),
+        geodesic_to_euclid_ratio=float(proc.get("geodesic_to_euclid_ratio", 1.1)),
+    )
+    return scenes, episodes, fields
+
+
+def _sensor_instances(config: Config) -> List:
+    """Visual sensors from sim_sensors + lab sensors from task.lab_sensors."""
+    sensors = []
+    agents = config.habitat.simulator.get("agents", Config())
+    for agent_name in config.habitat.simulator.get("agents_order") or sorted(agents):
+        agent = agents[agent_name]
+        for _, s_cfg in sorted(agent.get("sim_sensors", Config()).items()):
+            cls = registry.get_sensor(s_cfg["type"])
+            sensors.append(cls(s_cfg))
+    for _, s_cfg in sorted(config.habitat.task.get("lab_sensors", Config()).items()):
+        cls = registry.get_sensor(s_cfg["type"])
+        sensors.append(cls(s_cfg))
+    return sensors
+
+
+def _measure_instances(config: Config) -> List:
+    measures = []
+    for _, m_cfg in sorted(config.habitat.task.get("measurements", Config()).items()):
+        try:
+            cls = registry.get_measure(m_cfg["type"])
+        except KeyError:
+            logger.warning(f"measure type {m_cfg['type']!r} not implemented; skipped")
+            continue
+        measures.append(cls(m_cfg))
+    return measures
+
+
+def _action_instances(config: Config) -> List:
+    sim = config.habitat.simulator
+    actions = []
+    for name, a_cfg in config.habitat.task.get("actions", Config()).items():
+        cls = registry.get_task_action(a_cfg["type"])
+        merged = Config(a_cfg.to_dict())
+        # nav actions read movement amounts from the simulator config
+        # (reference MoveForwardAction calls sim defaults)
+        merged["forward_step_size"] = sim.get("forward_step_size", 0.25)
+        merged["turn_angle"] = sim.get("turn_angle", 10)
+        merged["tilt_angle"] = sim.get("tilt_angle", 15)
+        actions.append(cls(merged))
+    # stable, reference-like ordering: stop first if present, then insertion
+    actions.sort(key=lambda a: (not a.is_stop(),))
+    return actions
+
+
+def env_from_config(config: Config, num_envs: Optional[int] = None) -> BatchedEnv:
+    scenes, episodes, fields = load_dataset(config.habitat.dataset)
+    if num_envs is None:
+        num_envs = int(config.get_path("habitat_baselines.num_environments", 16))
+
+    task = config.habitat.task
+    reward_spec = RewardSpec(
+        reward_measure=task.get("reward_measure") or "distance_to_goal_reward",
+        success_measure=task.get("success_measure") or "success",
+        slack_reward=float(task.get("slack_reward", -0.01)),
+        success_reward=float(task.get("success_reward", 2.5)),
+        end_on_success=bool(task.get("end_on_success", False)),
+    )
+
+    scene_index = {s.scene_id: i for i, s in enumerate(scenes)}
+    scene_map = {s.scene_id: s for s in scenes}
+    pack = pack_scenes(list(scenes))
+    table = build_episode_table(
+        list(episodes), scene_map, scene_index, precomputed_fields=fields
+    )
+    it_opts = config.habitat.environment.get("iterator_options", Config())
+    order = build_env_episode_order(
+        list(episodes),
+        num_envs,
+        group_by_scene=bool(it_opts.get("group_by_scene", True)),
+        shuffle=bool(it_opts.get("shuffle", True)),
+        seed=int(config.habitat.get("seed", 0)),
+    )
+
+    return BatchedEnv(
+        pack,
+        table,
+        order,
+        _sensor_instances(config),
+        _measure_instances(config),
+        _action_instances(config),
+        max_episode_steps=int(config.habitat.environment.get("max_episode_steps", 500)),
+        reward_spec=reward_spec,
+        slide_substeps=int(config.habitat.simulator.get_path("tpu.slide_substeps", 4)),
+    )
+
+
+def policy_from_config(config: Config, env: BatchedEnv):
+    hb = config.habitat_baselines
+    pol_cfg = hb.rl.policy.main_agent
+    name = pol_cfg.get("name", "PointNavResNetPolicy")
+    builder = registry.get_policy(name)
+    has_visual = any(
+        k in env.observation_space.spaces for k in ("rgb", "depth", "semantic")
+    ) and not hb.get("force_blind_policy", False)
+    goal_uuid = config.habitat.task.get("goal_sensor_uuid", "pointgoal_with_gps_compass")
+    goal_keys = [goal_uuid] if goal_uuid in env.observation_space.spaces else []
+    return builder(
+        env.action_space.n,
+        backbone=hb.rl.ddppo.get("backbone", "resnet18"),
+        hidden_size=int(hb.rl.ppo.get("hidden_size", 512)),
+        rnn_type=hb.rl.ddppo.get("rnn_type", "LSTM"),
+        num_recurrent_layers=int(hb.rl.ddppo.get("num_recurrent_layers", 1)),
+        normalize_visual_inputs=bool(
+            pol_cfg.get("normalize_visual_inputs", False)
+        ),
+        has_visual=has_visual,
+        goal_keys=tuple(goal_keys),
+    )
+
+
+def trainer_from_config(config: Config):
+    from habitat_tpu.baselines.ppo import PPOConfig
+    from habitat_tpu.baselines.trainer import TrainerConfig
+
+    hb = config.habitat_baselines
+    env = env_from_config(config)
+    policy = policy_from_config(config, env)
+    p = hb.rl.ppo
+    ppo_cfg = PPOConfig(
+        clip_param=float(p.clip_param),
+        ppo_epoch=int(p.ppo_epoch),
+        num_mini_batch=int(p.num_mini_batch),
+        value_loss_coef=float(p.value_loss_coef),
+        entropy_coef=float(p.entropy_coef),
+        lr=float(p.lr),
+        eps=float(p.eps),
+        max_grad_norm=float(p.max_grad_norm),
+        num_steps=int(p.num_steps),
+        gamma=float(p.gamma),
+        tau=float(p.tau),
+        use_clipped_value_loss=bool(p.get("use_clipped_value_loss", True)),
+        use_normalized_advantage=bool(p.get("use_normalized_advantage", False)),
+        reward_window_size=int(p.get("reward_window_size", 50)),
+    )
+    run_cfg = TrainerConfig(
+        total_num_steps=float(hb.get("total_num_steps", 1e6)),
+        checkpoint_folder=hb.get("checkpoint_folder", "data/checkpoints"),
+        tensorboard_dir=hb.get("tensorboard_dir", ""),
+        num_checkpoints=int(hb.get("num_checkpoints", 10)),
+        checkpoint_interval=int(hb.get("checkpoint_interval", -1)),
+        log_interval=int(hb.get("log_interval", 10)),
+        reward_window_size=int(p.get("reward_window_size", 50)),
+        use_mesh=hb.get("trainer_name", "ppo") == "ddppo",
+        verbose=bool(hb.get("verbose", True)),
+    )
+    trainer_cls = registry.get_trainer(hb.get("trainer_name", "ppo"))
+    return trainer_cls(env, policy, ppo_cfg, run_cfg)

@@ -1,0 +1,201 @@
+"""Scene asset loading (host, one-time): mesh files → SceneData.
+
+Counterpart of habitat-sim's scene/asset managers (SURVEY §2.9: glb/URDF/json
+scene dataset configs). Supports:
+- .obj (wavefront, triangulated on load)
+- .glb / .gltf (minimal embedded-buffer glTF triangle extraction)
+- .npz (this framework's packed scene format: vertices (T,3,3), colors (T,3),
+  semantic_ids (T,))
+
+Real HM3D/MP3D archives are not present in this image; loaders are exercised
+by tests on generated files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+from habitat_tpu.sims.scene import SceneData, rasterize_occupancy
+
+
+def save_scene_npz(scene: SceneData, path: str) -> None:
+    np.savez_compressed(
+        path,
+        vertices=scene.vertices,
+        colors=scene.colors,
+        semantic_ids=scene.semantic_ids,
+        scene_id=np.array(scene.scene_id),
+    )
+
+
+def _load_npz(path: str) -> SceneData:
+    data = np.load(path, allow_pickle=False)
+    return SceneData(
+        scene_id=str(data["scene_id"]) if "scene_id" in data else os.path.basename(path),
+        vertices=np.asarray(data["vertices"], np.float32),
+        colors=np.asarray(data["colors"], np.float32),
+        semantic_ids=np.asarray(data["semantic_ids"], np.int32),
+    )
+
+
+def _load_obj(path: str) -> SceneData:
+    verts = []
+    faces = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(t.split("/")[0]) - 1 for t in line.split()[1:]]
+                for i in range(1, len(idx) - 1):  # fan triangulation
+                    faces.append([idx[0], idx[i], idx[i + 1]])
+    v = np.asarray(verts, np.float32)
+    f = np.asarray(faces, np.int64)
+    tris = v[f]  # (T,3,3)
+    colors = np.full((len(tris), 3), 0.6, np.float32)
+    sems = np.zeros((len(tris),), np.int32)
+    return SceneData(
+        scene_id=os.path.basename(path), vertices=tris, colors=colors, semantic_ids=sems
+    )
+
+
+_GLTF_COMPONENT = {5120: np.int8, 5121: np.uint8, 5122: np.int16, 5123: np.uint16, 5125: np.uint32, 5126: np.float32}
+_GLTF_NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4}
+
+
+def _load_glb(path: str) -> SceneData:
+    """Minimal GLB parser: positions + indices of all mesh primitives.
+
+    Handles the common case (embedded BIN chunk, triangles mode). Node
+    transforms are applied for the default scene graph.
+    """
+    with open(path, "rb") as f:
+        magic, version, _length = struct.unpack("<III", f.read(12))
+        assert magic == 0x46546C67, "not a GLB file"
+        chunks = {}
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                break
+            clen, ctype = struct.unpack("<II", header)
+            chunks[ctype] = f.read(clen)
+    gltf = json.loads(chunks[0x4E4F534A].decode("utf-8"))
+    bin_buf = chunks.get(0x004E4942, b"")
+
+    def read_accessor(acc_idx: int) -> np.ndarray:
+        acc = gltf["accessors"][acc_idx]
+        bv = gltf["bufferViews"][acc["bufferView"]]
+        dtype = _GLTF_COMPONENT[acc["componentType"]]
+        n = _GLTF_NCOMP[acc["type"]]
+        offset = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        count = acc["count"]
+        stride = bv.get("byteStride")
+        itemsize = np.dtype(dtype).itemsize * n
+        if stride and stride != itemsize:
+            raw = np.frombuffer(
+                bin_buf, np.uint8, count * stride, offset
+            ).reshape(count, stride)[:, : itemsize]
+            return np.ascontiguousarray(raw).view(dtype).reshape(count, n)
+        return np.frombuffer(bin_buf, dtype, count * n, offset).reshape(count, n)
+
+    def node_transform(node) -> np.ndarray:
+        if "matrix" in node:
+            return np.asarray(node["matrix"], np.float64).reshape(4, 4).T
+        m = np.eye(4)
+        if "scale" in node:
+            m[:3, :3] *= np.asarray(node["scale"])
+        if "rotation" in node:
+            x, y, z, w = node["rotation"]
+            R = np.array(
+                [
+                    [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                    [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                    [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+                ]
+            )
+            m[:3, :3] = R @ m[:3, :3]
+        if "translation" in node:
+            m[:3, 3] = node["translation"]
+        return m
+
+    all_tris = []
+    all_colors = []
+    all_sems = []
+
+    def emit_mesh(mesh_idx: int, xform: np.ndarray, sem: int):
+        mesh = gltf["meshes"][mesh_idx]
+        for prim in mesh["primitives"]:
+            if prim.get("mode", 4) != 4:  # triangles only
+                continue
+            pos = read_accessor(prim["attributes"]["POSITION"]).astype(np.float64)
+            pos = pos @ xform[:3, :3].T + xform[:3, 3]
+            if "indices" in prim:
+                idx = read_accessor(prim["indices"]).reshape(-1).astype(np.int64)
+            else:
+                idx = np.arange(len(pos))
+            tris = pos[idx].reshape(-1, 3, 3).astype(np.float32)
+            color = np.full((len(tris), 3), 0.6, np.float32)
+            mat_idx = prim.get("material")
+            if mat_idx is not None:
+                mat = gltf["materials"][mat_idx]
+                base = (
+                    mat.get("pbrMetallicRoughness", {}).get("baseColorFactor")
+                )
+                if base:
+                    color[:] = base[:3]
+            all_tris.append(tris)
+            all_colors.append(color)
+            all_sems.append(np.full((len(tris),), sem, np.int32))
+
+    def walk(node_idx: int, parent: np.ndarray, sem: int):
+        node = gltf["nodes"][node_idx]
+        xf = parent @ node_transform(node)
+        if "mesh" in node:
+            emit_mesh(node["mesh"], xf, sem)
+        for child in node.get("children", []):
+            walk(child, xf, sem)
+
+    scene_def = gltf["scenes"][gltf.get("scene", 0)]
+    for i, root in enumerate(scene_def.get("nodes", [])):
+        walk(root, np.eye(4), i + 1)
+
+    if not all_tris:
+        raise ValueError(f"no triangles found in {path}")
+    return SceneData(
+        scene_id=os.path.basename(path),
+        vertices=np.concatenate(all_tris),
+        colors=np.concatenate(all_colors),
+        semantic_ids=np.concatenate(all_sems),
+    )
+
+
+def load_scene(
+    scene_path: str,
+    scenes_dir: str = "",
+    nav_res: float = 0.1,
+    agent_radius: float = 0.1,
+    agent_height: float = 1.5,
+) -> SceneData:
+    path = scene_path
+    if not os.path.exists(path) and scenes_dir:
+        path = os.path.join(scenes_dir, scene_path)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"scene not found: {scene_path}")
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npz":
+        scene = _load_npz(path)
+    elif ext == ".obj":
+        scene = _load_obj(path)
+    elif ext in (".glb", ".gltf"):
+        scene = _load_glb(path)
+    else:
+        raise ValueError(f"unsupported scene format: {ext}")
+    rasterize_occupancy(
+        scene, res=nav_res, agent_radius=agent_radius, agent_height=agent_height
+    )
+    return scene
