@@ -4,44 +4,60 @@ TPU-native replacement for habitat-sim's Magnum GL renderer (SURVEY §2.9;
 reference call sites sims/habitat_simulator/habitat_simulator.py:373-435,
 461-485). All N envs render in one array program: rays are generated from the
 batched agent poses, intersected against the HBM-resident ``ScenePack``
-triangles (Möller–Trumbore), and shaded flat+lambert. No GL, no host round
-trips, frames are native device arrays (the reference's gpu2gpu path is moot).
+triangles, and shaded flat+lambert. No GL, no host round trips, frames are
+native device arrays (the reference's gpu2gpu path is moot).
 
-Two implementations:
-- ``raycast_scene``: pure XLA — ``lax.scan`` over triangle chunks, fully
-  vectorized over rays. Works on CPU (tests) and TPU.
-- a Pallas VMEM-tiled kernel (``raycast_pallas``) for the TPU hot path
-  (see ops/raycast_pallas.py).
+The intersection core is the MXU formulation: Möller–Trumbore's four
+determinants are bilinear in per-ray features F = [d, o, o×d, 1] and
+per-triangle coefficients, so ray×tri testing is ONE matmul
+G = F @ M, with M:(10, 4, T) giving segments (detA | t_num | u_num | v_num):
+
+    detA  = -d·n                       (n = e1×e2)
+    t_num =  o·n - v0·n
+    u_num =  (o×d)·e2 + d·(v0×e2)
+    v_num = -(o×d)·e1 + d·(e1×v0)
+
+Backends:
+- ``raycast_mxu_batch``: pure XLA (tests/CPU + fallback)
+- ``ops.raycast_pallas.raycast_pallas_batch``: fused Pallas kernel — the
+  determinant block lives in VMEM, only (t, idx) leave the core (the XLA
+  path round-trips G through HBM, which dominates its runtime).
+- ``raycast_rays``: scalar Möller–Trumbore oracle for tests.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from habitat_tpu.sims.scene import ScenePack
-from habitat_tpu.utils.geometry import camera_rays
+from habitat_tpu.utils.geometry import camera_rays, yaw_to_forward
 
 _EPS = 1e-7
 _TMIN = 1e-3
 _TMAX = 1e6
 
 
+# ---------------------------------------------------------------------------
+# reference (oracle) implementation
+# ---------------------------------------------------------------------------
+
+
 def _mt_chunk(o, d, v0, e1, e2, valid):
-    """Möller–Trumbore: rays (R,3) × triangle chunk (C,3) -> (t, hit) (R,C)."""
-    # broadcast rays against triangles
-    d_ = d[:, None, :]  # (R,1,3)
+    """Classic Möller–Trumbore: rays (R,3) × tri chunk (C,3) -> t (R,C)."""
+    d_ = d[:, None, :]
     o_ = o[:, None, :]
-    v0_ = v0[None, :, :]  # (1,C,3)
+    v0_ = v0[None, :, :]
     e1_ = e1[None, :, :]
     e2_ = e2[None, :, :]
-
-    h = jnp.cross(d_, e2_)  # (R,C,3)
-    a = jnp.sum(e1_ * h, axis=-1)  # (R,C)
+    h = jnp.cross(d_, e2_)
+    a = jnp.sum(e1_ * h, axis=-1)
     f = jnp.where(jnp.abs(a) > _EPS, 1.0 / jnp.where(jnp.abs(a) > _EPS, a, 1.0), 0.0)
     s = o_ - v0_
     u = f * jnp.sum(s * h, axis=-1)
@@ -56,116 +72,165 @@ def _mt_chunk(o, d, v0, e1, e2, valid):
         & (t > _TMIN)
         & valid[None, :]
     )
-    t = jnp.where(hit, t, _TMAX)
-    return t
+    return jnp.where(hit, t, _TMAX)
 
 
 def raycast_rays(
-    tri_v0: jnp.ndarray,  # (T,3) one scene's triangles
-    tri_e1: jnp.ndarray,
-    tri_e2: jnp.ndarray,
-    tri_valid: jnp.ndarray,  # (T,)
-    origins: jnp.ndarray,  # (R,3)
-    dirs: jnp.ndarray,  # (R,3)
-    chunk: int = 128,
+    tri_v0, tri_e1, tri_e2, tri_valid, origins, dirs, chunk: int = 128
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Closest-hit raycast. Returns (t (R,), tri_index (R,), -1 on miss)."""
+    """Closest-hit oracle. Returns (t (R,), tri_index (R,), -1 on miss)."""
     T = tri_v0.shape[0]
-    assert T % chunk == 0, f"triangle count {T} must be padded to chunk {chunk}"
+    assert T % chunk == 0, (T, chunk)
     n_chunks = T // chunk
-
-    v0c = tri_v0.reshape(n_chunks, chunk, 3)
-    e1c = tri_e1.reshape(n_chunks, chunk, 3)
-    e2c = tri_e2.reshape(n_chunks, chunk, 3)
-    vc = tri_valid.reshape(n_chunks, chunk)
-
     R = origins.shape[0]
 
     def body(carry, xs):
         best_t, best_i = carry
         v0, e1, e2, valid, base = xs
-        t = _mt_chunk(origins, dirs, v0, e1, e2, valid)  # (R,C)
+        t = _mt_chunk(origins, dirs, v0, e1, e2, valid)
         tmin = jnp.min(t, axis=1)
         imin = jnp.argmin(t, axis=1).astype(jnp.int32) + base
         better = tmin < best_t
-        best_t = jnp.where(better, tmin, best_t)
-        best_i = jnp.where(better, imin, best_i)
-        return (best_t, best_i), None
+        return (jnp.where(better, tmin, best_t), jnp.where(better, imin, best_i)), None
 
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (best_t, best_i), _ = lax.scan(
         body,
         (jnp.full((R,), _TMAX, jnp.float32), jnp.full((R,), -1, jnp.int32)),
-        (v0c, e1c, e2c, vc, bases),
+        (
+            tri_v0.reshape(n_chunks, chunk, 3),
+            tri_e1.reshape(n_chunks, chunk, 3),
+            tri_e2.reshape(n_chunks, chunk, 3),
+            tri_valid.reshape(n_chunks, chunk),
+            bases,
+        ),
     )
-    best_i = jnp.where(best_t >= _TMAX, -1, best_i)
-    return best_t, best_i
+    return jnp.where(best_t >= _TMAX, _TMAX, best_t), jnp.where(
+        best_t >= _TMAX, -1, best_i
+    )
 
 
-def render_env(
-    pack: ScenePack,
-    sid: jnp.ndarray,  # scalar int32 scene id
-    cam_pos: jnp.ndarray,  # (3,)
-    yaw: jnp.ndarray,
-    pitch: jnp.ndarray,
-    *,
-    height: int,
-    width: int,
-    hfov_deg: float = 90.0,
-    max_depth: float = 10.0,
-    min_depth: float = 0.0,
-    normalize_depth: bool = True,
+# ---------------------------------------------------------------------------
+# MXU formulation
+# ---------------------------------------------------------------------------
+
+
+def build_tri_matrix(tri_v0, tri_e1, tri_e2, tri_valid) -> np.ndarray:
+    """(T,3) host arrays -> (10, 4, T) f32 coefficient matrix (see module doc).
+    Segment-major layout so each determinant occupies a contiguous lane range
+    after the matmul. Padding (invalid) triangles get all-zero columns."""
+    n = np.cross(tri_e1, tri_e2)
+    v0xe2 = np.cross(tri_v0, tri_e2)
+    e1xv0 = np.cross(tri_e1, tri_v0)
+    T = tri_v0.shape[0]
+    M = np.zeros((10, 4, T), np.float32)
+    M[0:3, 0] = -n.T
+    M[3:6, 1] = n.T
+    M[9, 1] = -np.sum(tri_v0 * n, axis=-1)
+    M[0:3, 2] = v0xe2.T
+    M[6:9, 2] = tri_e2.T
+    M[0:3, 3] = e1xv0.T
+    M[6:9, 3] = -tri_e1.T
+    M *= np.asarray(tri_valid)[None, None, :]
+    return M
+
+
+def ray_features(origins: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """(...,3),(...,3) -> (...,10): [d, o, o×d, 1]."""
+    oxd = jnp.cross(origins, dirs)
+    ones = jnp.ones(origins.shape[:-1] + (1,), jnp.float32)
+    return jnp.concatenate([dirs, origins, oxd, ones], axis=-1).astype(jnp.float32)
+
+
+def mt_epilogue(G: jnp.ndarray, C: int):
+    """Determinant segments (..., 4C) -> (t (...,C)). Shared by XLA+Pallas."""
+    detA = G[..., 0 * C : 1 * C]
+    tnum = G[..., 1 * C : 2 * C]
+    unum = G[..., 2 * C : 3 * C]
+    vnum = G[..., 3 * C : 4 * C]
+    s = jnp.sign(detA)
+    a = jnp.abs(detA)
+    us = unum * s
+    vs = vnum * s
+    ts = tnum * s
+    hit = (a > _EPS) & (us >= 0.0) & (vs >= 0.0) & (us + vs <= a) & (ts > _TMIN * a)
+    return jnp.where(hit, tnum / jnp.where(a > _EPS, detA, 1.0), _TMAX)
+
+
+def raycast_mxu_batch(
+    tri_mats: jnp.ndarray,  # (N, 10, 4, T) per-env triangle matrices
+    origins: jnp.ndarray,  # (N, R, 3)
+    dirs: jnp.ndarray,  # (N, R, 3)
     tri_chunk: int = 128,
-) -> Dict[str, jnp.ndarray]:
-    """Render one env's sensors. vmap over envs for the batch.
+    ray_tile: int = 0,  # 0 = auto (bounds the live intermediate to ~128MB)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA path: batched GEMM, ray tiles (outer map) × tri chunks (inner scan)."""
+    N, R, _ = origins.shape
+    T = tri_mats.shape[3]
+    tri_chunk = min(tri_chunk, T)
+    assert T % tri_chunk == 0, (T, tri_chunk)
+    n_chunks = T // tri_chunk
+    if ray_tile <= 0:
+        budget = 128 * 1024 * 1024 // 4
+        ray_tile = max(256, budget // max(1, N * tri_chunk * 4))
+        ray_tile = 1 << (ray_tile.bit_length() - 1)
+    ray_tile = min(ray_tile, R)
+    assert R % ray_tile == 0, (R, ray_tile)
+    n_tiles = R // ray_tile
 
-    Depth semantics match reference HabitatSimDepthSensor
-    (habitat_simulator.py:139-199): planar z-depth clipped to
-    [min_depth, max_depth], normalized to [0,1] if normalize_depth.
-    """
-    dirs = camera_rays(yaw, pitch, jnp.deg2rad(hfov_deg), height, width)  # (H,W,3)
-    dirs = dirs.reshape(-1, 3)
-    R = dirs.shape[0]
-    origins = jnp.broadcast_to(cam_pos, (R, 3))
+    F = ray_features(origins, dirs)  # (N,R,10)
+    F = F.reshape(N, n_tiles, ray_tile, 10).transpose(1, 0, 2, 3)
+    # chunks: (n_chunks, N, 10, 4, C)
+    Mc = tri_mats.reshape(N, 10, 4, n_chunks, tri_chunk).transpose(3, 0, 1, 2, 4)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * tri_chunk
 
-    v0 = pack.tri_v0[sid]
-    e1 = pack.tri_e1[sid]
-    e2 = pack.tri_e2[sid]
-    valid = pack.tri_valid[sid]
+    def per_tile(Ft):  # (N, ray_tile, 10)
+        def body(carry, xs):
+            best_t, best_i = carry
+            M, base = xs  # (N, 10, 4, C)
+            G = jax.lax.dot_general(
+                Ft,
+                M.reshape(N, 10, -1),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (N, ray_tile, 4C)
+            t = mt_epilogue(G, tri_chunk)
+            tmin = jnp.min(t, axis=-1)
+            imin = jnp.argmin(t, axis=-1).astype(jnp.int32) + base
+            better = tmin < best_t
+            return (
+                jnp.where(better, tmin, best_t),
+                jnp.where(better, imin, best_i),
+            ), None
 
-    t, idx = raycast_rays(v0, e1, e2, valid, origins, dirs, chunk=tri_chunk)
-    hit = idx >= 0
-    safe_idx = jnp.maximum(idx, 0)
+        init = (
+            jnp.full((N, ray_tile), _TMAX, jnp.float32),
+            jnp.full((N, ray_tile), -1, jnp.int32),
+        )
+        (bt, bi), _ = lax.scan(body, init, (Mc, bases))
+        return bt, bi
 
-    # planar depth = t * cos(angle to camera forward)
-    from habitat_tpu.utils.geometry import yaw_to_forward
+    bt, bi = lax.map(per_tile, F)  # (n_tiles, N, ray_tile)
+    t = bt.transpose(1, 0, 2).reshape(N, R)
+    i = bi.transpose(1, 0, 2).reshape(N, R)
+    return t, jnp.where(t >= _TMAX, -1, i)
 
-    cp = jnp.cos(pitch)
-    fwd_flat = yaw_to_forward(yaw)
-    fwd = jnp.stack(
-        [fwd_flat[..., 0] * cp, jnp.sin(pitch), fwd_flat[..., 2] * cp], axis=-1
-    )
-    z = t * jnp.sum(dirs * fwd, axis=-1)
-    z = jnp.where(hit, z, max_depth)
-    z = jnp.clip(z, min_depth, max_depth)
-    if normalize_depth:
-        z = (z - min_depth) / (max_depth - min_depth)
-    depth = z.reshape(height, width, 1).astype(jnp.float32)
 
-    # flat shading with headlight lambert
-    n = jnp.cross(e1[safe_idx], e2[safe_idx])
-    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
-    lambert = jnp.abs(jnp.sum(n * dirs, axis=-1))
-    shade = 0.35 + 0.65 * lambert
-    base = pack.tri_color[sid][safe_idx]
-    sky = jnp.array([0.65, 0.75, 0.9], jnp.float32)
-    rgb = jnp.where(hit[:, None], base * shade[:, None], sky[None, :])
-    rgb_u8 = jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8).reshape(height, width, 3)
+def _pick_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    try:
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            return "pallas" if dev.platform == "tpu" else "xla"
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
 
-    sem = jnp.where(hit, pack.tri_sem[sid][safe_idx], 0)
-    sem = sem.reshape(height, width, 1).astype(jnp.int32)
 
-    return {"rgb": rgb_u8, "depth": depth, "semantic": sem}
+# ---------------------------------------------------------------------------
+# full sensor rendering
+# ---------------------------------------------------------------------------
 
 
 def render_batch(
@@ -174,12 +239,95 @@ def render_batch(
     cam_pos: jnp.ndarray,  # (N,3)
     yaw: jnp.ndarray,  # (N,)
     pitch: jnp.ndarray,  # (N,)
+    *,
+    height: int,
+    width: int,
+    hfov_deg: float = 90.0,
+    max_depth: float = 10.0,
+    min_depth: float = 0.0,
+    normalize_depth: bool = True,
+    tri_chunk: int = 128,
+    ray_tile: int = 0,
+    backend: str = "auto",
+) -> Dict[str, jnp.ndarray]:
+    """Render all envs: (N,H,W,C) frames, one fused raycast.
+
+    The reference needs N worker processes + a cross-process batch renderer
+    (core/batch_rendering/) for the same job; here it is one array program.
+    Depth semantics match HabitatSimDepthSensor (habitat_simulator.py:139-199):
+    planar z-depth clipped to [min_depth, max_depth], normalized if requested.
+    """
+    N = sids.shape[0]
+    dirs = jax.vmap(
+        lambda y, p: camera_rays(y, p, jnp.deg2rad(hfov_deg), height, width)
+    )(yaw, pitch).reshape(N, -1, 3)
+    R = dirs.shape[1]
+    origins = jnp.broadcast_to(cam_pos[:, None, :], (N, R, 3))
+
+    be = _pick_backend(backend)
+    if be == "pallas":
+        from habitat_tpu.ops.raycast_pallas import raycast_pallas_batch
+
+        t, attrs = raycast_pallas_batch(
+            pack.tri_mat, pack.tri_attr, sids, origins, dirs
+        )
+        hit = attrs[..., 7] > 0.5
+        n = attrs[..., 0:3]
+        base = attrs[..., 3:6]
+        sem_val = attrs[..., 6]
+    else:
+        t, idx = raycast_mxu_batch(
+            pack.tri_mat[sids], origins, dirs, tri_chunk=tri_chunk, ray_tile=ray_tile
+        )
+        hit = idx >= 0
+        safe_idx = jnp.maximum(idx, 0)  # (N,R)
+        sid_r = sids[:, None]
+        attr = pack.tri_attr[sid_r, safe_idx]  # (N,R,8)
+        n = attr[..., 0:3]
+        base = attr[..., 3:6]
+        sem_val = attr[..., 6]
+
+    # planar depth = t * cos(angle to camera forward)
+    cp = jnp.cos(pitch)
+    fwd_flat = yaw_to_forward(yaw)
+    fwd = jnp.stack(
+        [fwd_flat[..., 0] * cp, jnp.sin(pitch), fwd_flat[..., 2] * cp], axis=-1
+    )
+    z = t * jnp.sum(dirs * fwd[:, None, :], axis=-1)
+    z = jnp.where(hit, z, max_depth)
+    z = jnp.clip(z, min_depth, max_depth)
+    if normalize_depth:
+        z = (z - min_depth) / (max_depth - min_depth)
+    depth = z.reshape(N, height, width, 1).astype(jnp.float32)
+
+    lambert = jnp.abs(jnp.sum(n * dirs, axis=-1))
+    shade = 0.35 + 0.65 * lambert
+    sky = jnp.array([0.65, 0.75, 0.9], jnp.float32)
+    rgb = jnp.where(hit[..., None], base * shade[..., None], sky)
+    rgb_u8 = (
+        jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8).reshape(N, height, width, 3)
+    )
+
+    sem = jnp.where(hit, jnp.round(sem_val).astype(jnp.int32), 0)
+    sem = sem.reshape(N, height, width, 1)
+    return {"rgb": rgb_u8, "depth": depth, "semantic": sem}
+
+
+def render_env(
+    pack: ScenePack,
+    sid: jnp.ndarray,
+    cam_pos: jnp.ndarray,
+    yaw: jnp.ndarray,
+    pitch: jnp.ndarray,
     **kw,
 ) -> Dict[str, jnp.ndarray]:
-    """Render all envs: (N,H,W,C) frames. The reference needs N processes +
-    a cross-process batch renderer (core/batch_rendering/) for this; here it
-    is a single vmap."""
-    f = functools.partial(render_env, **kw)
-    return jax.vmap(lambda s, p, y, pi: f(pack, s, p, y, pi))(
-        sids, cam_pos, yaw, pitch
+    """Single-env convenience wrapper (N=1 render_batch, squeezed)."""
+    out = render_batch(
+        pack,
+        jnp.asarray(sid)[None],
+        jnp.asarray(cam_pos)[None],
+        jnp.asarray(yaw)[None],
+        jnp.asarray(pitch)[None],
+        **kw,
     )
+    return {k: v[0] for k, v in out.items()}

@@ -249,6 +249,8 @@ class ScenePack:
     tri_color: jnp.ndarray  # (S, T, 3) f32
     tri_sem: jnp.ndarray  # (S, T) i32
     tri_valid: jnp.ndarray  # (S, T) bool
+    tri_mat: jnp.ndarray  # (S, 10, 4, T) f32 — MXU raycast coefficient matrix
+    tri_attr: jnp.ndarray  # (S, T, 8) f32 — [unit normal(3), color(3), sem, valid]
     nav_occ: jnp.ndarray  # (S, NX, NZ) bool
     obst_dist: jnp.ndarray  # (S, NX, NZ) f32 meters to nearest obstacle
     nav_lo: jnp.ndarray  # (S, 2) f32
@@ -284,6 +286,8 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = 256) -> ScenePack:
     col = np.zeros((S, t_max, 3), np.float32)
     sem = np.zeros((S, t_max), np.int32)
     valid = np.zeros((S, t_max), bool)
+    tmat = np.zeros((S, 10, 4, t_max), np.float32)
+    tattr = np.zeros((S, t_max, 8), np.float32)
     occ = np.zeros((S, nx, nz), bool)
     odist = np.zeros((S, nx, nz), np.float32)
     lo = np.zeros((S, 2), np.float32)
@@ -298,6 +302,15 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = 256) -> ScenePack:
         col[i, :n] = s.colors
         sem[i, :n] = s.semantic_ids
         valid[i, :n] = True
+        from habitat_tpu.ops.raycast import build_tri_matrix
+
+        tmat[i] = build_tri_matrix(v0[i], e1[i], e2[i], valid[i])
+        nrm = np.cross(e1[i], e2[i])
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-9
+        tattr[i, :, 0:3] = nrm
+        tattr[i, :, 3:6] = col[i]
+        tattr[i, :, 6] = sem[i]
+        tattr[i, :, 7] = valid[i]
         g = s.nav_occ
         occ[i, : g.shape[0], : g.shape[1]] = g
         odist[i, : g.shape[0], : g.shape[1]] = s.obst_dist
@@ -311,6 +324,8 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = 256) -> ScenePack:
         tri_color=jnp.asarray(col),
         tri_sem=jnp.asarray(sem),
         tri_valid=jnp.asarray(valid),
+        tri_mat=jnp.asarray(tmat),
+        tri_attr=jnp.asarray(tattr),
         nav_occ=jnp.asarray(occ),
         obst_dist=jnp.asarray(odist),
         nav_lo=jnp.asarray(lo),
@@ -331,6 +346,8 @@ def _scenepack_flatten(sp: ScenePack):
         sp.tri_color,
         sp.tri_sem,
         sp.tri_valid,
+        sp.tri_mat,
+        sp.tri_attr,
         sp.nav_occ,
         sp.obst_dist,
         sp.nav_lo,
