@@ -1,0 +1,81 @@
+"""Headline benchmark: batched PointNav env-steps/sec/chip.
+
+Measures the FULL training pipeline on one chip — 128x128 RGB-D rendering
+(fused Pallas raycast), batched env step (actions/collisions/measures/reward/
+auto-reset), and the PPO update (ResNet18+LSTM-512, GAE, clipped surrogate) —
+as one jitted train step, N=256 envs x T=32 steps per update.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": steps/sec, "unit": "env-steps/s/chip", "vs_baseline": value/50000}
+
+Baseline: BASELINE.json north star = 50,000 env-steps/s/chip (render+step+PPO).
+"""
+
+import json
+import time
+
+import jax
+
+
+def main() -> None:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/habitat_tpu_jax_cache")
+
+    import numpy as np
+    from habitat_tpu.baselines.ppo import PPOConfig, PPOLearner
+    from habitat_tpu.core.env_factory import make_nav_env
+    from habitat_tpu.datasets.pointnav import make_procedural_pointnav
+    from habitat_tpu.models.policy import make_pointnav_resnet_policy
+
+    num_envs = 256
+    num_steps = 32
+
+    scenes, episodes, fields = make_procedural_pointnav(
+        num_scenes=4, episodes_per_scene=16, seed=0
+    )
+    env = make_nav_env(
+        scenes,
+        episodes,
+        num_envs=num_envs,
+        precomputed_fields=fields,
+        max_episode_steps=500,
+        sensor_specs=(
+            ("HabitatSimDepthSensor", {"height": 128, "width": 128}),
+            ("HabitatSimRGBSensor", {"height": 128, "width": 128}),
+            ("PointGoalWithGPSCompassSensor", None),
+        ),
+    )
+    policy = make_pointnav_resnet_policy(
+        len(env.actions), backbone="resnet18", hidden_size=512
+    )
+    learner = PPOLearner(
+        env, policy, PPOConfig(num_steps=num_steps, num_mini_batch=2, ppo_epoch=2)
+    )
+
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0))
+    jax.block_until_ready(ts.params)
+    step = jax.jit(learner.train_step, donate_argnums=(0,))
+    ts, m = step(ts)  # compile + warmup
+    jax.block_until_ready(m["losses/learner_loss"])
+
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        ts, m = step(ts)
+    jax.block_until_ready(m["losses/learner_loss"])
+    dt = (time.time() - t0) / iters
+    sps = num_envs * num_steps / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "PointNav 128x128 RGBD env-steps/sec/chip (render+step+PPO, resnet18+LSTM512)",
+                "value": round(sps, 1),
+                "unit": "env-steps/s/chip",
+                "vs_baseline": round(sps / 50000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
