@@ -94,6 +94,7 @@ class BatchedEnv:
         max_episode_steps: int = 500,
         reward_spec: RewardSpec = RewardSpec(),
         slide_substeps: int = 4,
+        auto_reset_done: bool = True,
     ):
         self.pack = pack
         self.table = table
@@ -106,6 +107,7 @@ class BatchedEnv:
         self.max_episode_steps = int(max_episode_steps)
         self.reward_spec = reward_spec
         self.slide_substeps = slide_substeps
+        self.auto_reset_done = auto_reset_done
 
         # fused per-action parameter tables (stop/move/turn/tilt)
         self._move_amt = jnp.asarray([a.move_amount() for a in self.actions], jnp.float32)
@@ -224,6 +226,30 @@ class BatchedEnv:
         state = dataclasses.replace(state, measure_state=mstate)
         return state, self._observations(state)
 
+    def reset_to_fn(self, key: jax.Array, ep_idx: jnp.ndarray):
+        """Reset all envs to explicit episode ids (host Env / evaluator use)."""
+        state, _ = self.reset_fn(key)
+        state = dataclasses.replace(state, ep_idx=jnp.asarray(ep_idx, jnp.int32))
+        pos, yaw = self._episode_pose(state.ep_idx)
+        state = dataclasses.replace(state, pos=pos, yaw=yaw, prev_pos=pos)
+        ctx = self._make_ctx(state)
+        mstate = {}
+        for m in self.measures:
+            ms, _ = m.reset(ctx)
+            mstate[m.uuid] = ms
+        state = dataclasses.replace(state, measure_state=mstate)
+        return state, self._observations(state)
+
+    def measure_values(self, state: EnvState):
+        """Current measure values without stepping (Env.get_metrics parity)."""
+        ctx = self._make_ctx(state)
+        values = {}
+        mstate = dict(state.measure_state)
+        for m in self.measures:
+            ms, v = m.update(mstate[m.uuid], ctx, values)
+            values[m.uuid] = v
+        return values
+
     def step_fn(
         self, state: EnvState, actions: jnp.ndarray
     ) -> Tuple[EnvState, Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
@@ -282,6 +308,13 @@ class BatchedEnv:
 
         info = dict(values)
         info["is_collision"] = collided.astype(jnp.float32)
+
+        if not self.auto_reset_done:
+            state = dataclasses.replace(
+                state, episode_over=episode_over, measure_state=new_mstate
+            )
+            obs = self._observations(state)
+            return state, obs, reward, done, info
 
         # ---- auto-reset done envs (VectorEnv auto_reset_done semantics) ----
         n = self.num_envs

@@ -152,9 +152,9 @@ def sample_navigable_point(
 
 
 def greedy_follower_step(
+    pack: ScenePack,
+    sid: jnp.ndarray,
     field: jnp.ndarray,  # (NX,NZ) distance-to-goal field
-    nav_lo: jnp.ndarray,
-    nav_res: float,
     pos: jnp.ndarray,  # (3,)
     yaw: jnp.ndarray,
     *,
@@ -165,32 +165,37 @@ def greedy_follower_step(
     """Greedy geodesic follower: pick {stop=0, fwd=1, left=2, right=3}.
 
     Replaces habitat-sim GreedyGeodesicFollower (used by
-    tasks/nav/shortest_path_follower.py:55-86): steers toward the downhill
-    direction of the geodesic distance field (sampled over a ring of
-    candidate headings one step ahead), turning when the best heading
-    deviates from the current one. Unlike naive 3-candidate lookahead this
-    cannot wedge into walls: the best-direction ring sees around corners.
+    tasks/nav/shortest_path_follower.py:55-86): evaluates a ring of candidate
+    headings one COLLISION-RESOLVED step ahead (sliding via try_step, exactly
+    what executing the action would do) and steers toward the ring direction
+    with the lowest field value. A small forward bias breaks left/right
+    chatter at walls/doorways.
     """
+    nav_lo = pack.nav_lo[sid]
+    nav_res = pack.nav_res
     d_here = distance_at(field, nav_lo, nav_res, pos)
 
-    # ring of candidate headings (static unroll, 16 directions)
     n_dirs = 16
     offsets = jnp.arange(n_dirs) * (2 * jnp.pi / n_dirs)
     cand_yaw = yaw + offsets
+    f2 = jnp.stack(
+        [-jnp.sin(cand_yaw), jnp.zeros_like(cand_yaw), -jnp.cos(cand_yaw)], axis=-1
+    )
+    targets = pos[None, :] + f2 * forward_step
 
-    def d_at_heading(y2):
-        f2 = jnp.stack([-jnp.sin(y2), jnp.zeros_like(y2), -jnp.cos(y2)], axis=-1)
-        p2 = pos[None, :] + f2 * forward_step
-        return jax.vmap(lambda p: distance_at(field, nav_lo, nav_res, p))(p2)
+    def resolved_d(tgt):
+        p2, _ = try_step(pack, sid, pos, tgt)
+        return distance_at(field, nav_lo, nav_res, p2)
 
-    d_cands = d_at_heading(cand_yaw)  # (n_dirs,)
-    best = jnp.argmin(d_cands)
-    # signed heading error to the best direction, wrapped to [-pi, pi]
+    d_cands = jax.vmap(resolved_d)(targets)  # (n_dirs,)
+    # forward bias: prefer slot 0 when it is within half a cell of the best
+    bias = jnp.zeros((n_dirs,)).at[0].set(-0.5 * nav_res)
+    best = jnp.argmin(d_cands + bias)
     err = offsets[best]
     err = jnp.arctan2(jnp.sin(err), jnp.cos(err))
 
     act = jnp.where(
-        jnp.abs(err) <= 0.75 * turn_angle,
+        jnp.abs(err) <= jnp.maximum(0.99 * turn_angle, jnp.pi / n_dirs),
         jnp.int32(1),  # forward
         jnp.where(err > 0, jnp.int32(2), jnp.int32(3)),  # left / right
     )

@@ -97,15 +97,14 @@ def _follower_actions(env, state):
         def fn(ep_idx, pos, yaw):
             fields = env.table.dist_field[ep_idx].astype(jnp.float32)
             sid = env.table.scene_idx[ep_idx]
-            lo = env.pack.nav_lo[sid]
             f = functools.partial(
                 greedy_follower_step,
                 goal_radius=0.2,
                 forward_step=0.25,
                 turn_angle=np.deg2rad(10.0),
             )
-            return jax.vmap(lambda fl, l, p, y: f(fl, l, env.pack.nav_res, p, y))(
-                fields, lo, pos, yaw
+            return jax.vmap(lambda s_, fl, p, y: f(env.pack, s_, fl, p, y))(
+                sid, fields, pos, yaw
             )
 
         env._follower_jit = jax.jit(fn)

@@ -1,0 +1,162 @@
+"""Host-facing API parity: Env/RLEnv lifecycle, VectorEnv facade, Benchmark,
+ShortestPathFollower, gym registration (mirrors reference
+test/test_habitat_env.py + test/test_habitat_example.py)."""
+
+import numpy as np
+import pytest
+
+from habitat_tpu.config.default import get_config
+
+CFG = "benchmark/nav/pointnav/pointnav_procgen.yaml"
+SMALL_OVERRIDES = [
+    "habitat.dataset.procedural.num_scenes=2",
+    "habitat.dataset.procedural.episodes_per_scene=3",
+    "habitat.simulator.agents.main_agent.sim_sensors.depth_sensor.width=32",
+    "habitat.simulator.agents.main_agent.sim_sensors.depth_sensor.height=32",
+    "habitat.environment.max_episode_steps=20",
+]
+
+
+@pytest.fixture(scope="module")
+def config():
+    return get_config(CFG, SMALL_OVERRIDES)
+
+
+def test_env_lifecycle(config):
+    from habitat_tpu.core.env import Env
+
+    with Env(config) as env:
+        assert env.number_of_episodes == 6
+        obs = env.reset()
+        assert "depth" in obs and obs["depth"].shape == (32, 32, 1)
+        assert not env.episode_over
+        ep1 = env.current_episode.episode_id
+        steps = 0
+        while not env.episode_over:
+            obs = env.step("move_forward")
+            steps += 1
+            assert steps <= 20
+        m = env.get_metrics()
+        assert "distance_to_goal" in m and "spl" in m
+        # next reset advances the iterator
+        env.reset()
+        assert env.elapsed_steps == 0
+
+
+def test_env_stop_action(config):
+    from habitat_tpu.core.env import Env
+
+    env = Env(config)
+    env.reset()
+    env.step(0)  # stop
+    assert env.episode_over
+    with pytest.raises(AssertionError):
+        env.step(1)
+
+
+def test_rl_env(config):
+    from habitat_tpu.core.environments import RLTaskEnv
+
+    env = RLTaskEnv(config)
+    obs = env.reset()
+    obs, reward, done, info = env.step("stop")
+    assert done is True
+    assert isinstance(reward, float)
+    np.testing.assert_allclose(reward, -0.01, atol=1e-5)  # slack only
+    assert "success" in info
+
+
+def test_vector_env_facade(config):
+    from habitat_tpu.core.environments import RLTaskEnv
+    from habitat_tpu.core.vector_env import VectorEnv
+
+    envs = VectorEnv(
+        make_env_fn=lambda c: RLTaskEnv(c),
+        env_fn_args=[(config,), (config,)],
+    )
+    assert envs.num_envs == 2
+    obs = envs.reset()
+    assert len(obs) == 2
+    results = envs.step([1, 2])
+    assert len(results) == 2
+    obs, reward, done, info = results[0]
+    # async/wait and one-outstanding-message discipline
+    envs.async_step_at(0, 1)
+    with pytest.raises(AssertionError):
+        envs.async_step_at(0, 1)
+    envs.wait_step_at(0)
+    with pytest.raises(AssertionError):
+        envs.wait_step_at(0)
+    # pause / resume / call
+    envs.pause_at(0)
+    assert envs.num_envs == 1
+    envs.resume_all()
+    assert envs.num_envs == 2
+    eps = envs.count_episodes()
+    assert eps == [6, 6]
+    envs.close()
+
+
+def test_benchmark_with_goal_follower():
+    from habitat_tpu.core.benchmark import Benchmark
+    from habitat_tpu.baselines.agents.simple_agents import GoalFollower
+
+    class _B(Benchmark):
+        def __init__(self):
+            from habitat_tpu.core.env import Env
+
+            cfg = get_config(CFG, SMALL_OVERRIDES)
+            self._eval_remote = False
+            self._env = Env(cfg)
+
+    bench = _B()
+    metrics = bench.evaluate(GoalFollower(), num_episodes=2)
+    assert "spl" in metrics and "success" in metrics
+
+
+def test_shortest_path_follower_reaches_goal():
+    from habitat_tpu.sims.tpu_sim import TpuSim
+    from habitat_tpu.tasks.shortest_path_follower import ShortestPathFollower
+
+    sim = TpuSim(None)
+    sim.seed(3)
+    sim.reset()
+    goal = np.asarray(sim.sample_navigable_point())
+    follower = ShortestPathFollower(sim, goal_radius=0.3, return_one_hot=False)
+    reached = False
+    for _ in range(300):
+        a = follower.get_next_action(goal)
+        if a == 0:
+            reached = True
+            break
+        sim.step(a)
+    assert reached
+    assert np.linalg.norm((sim.get_agent_state().position - goal)[[0, 2]]) < 0.6
+
+
+def test_sim_geodesic_vs_euclid():
+    from habitat_tpu.sims.tpu_sim import TpuSim
+
+    sim = TpuSim(None)
+    a = np.asarray(sim.sample_navigable_point())
+    b = np.asarray(sim.sample_navigable_point())
+    geo = sim.geodesic_distance(a, b)
+    euc = float(np.linalg.norm((a - b)[[0, 2]]))
+    assert geo >= euc - 0.15  # geodesic >= euclid (minus grid tolerance)
+    assert geo < 100
+
+
+def test_gym_make():
+    import gymnasium as gym
+    import habitat_tpu.gym.gym_definitions  # noqa: F401
+
+    env = gym.make(
+        "Habitat-v0",
+        cfg_file_path=CFG,
+        override_options=SMALL_OVERRIDES,
+    )
+    obs, _ = env.reset()
+    assert "depth" in obs
+    obs, reward, terminated, truncated, info = env.step(1)
+    assert "spl" in info
+    env.close()
