@@ -241,3 +241,18 @@ class PPOTrainer:
             writer.close()
         self._final_ts = ts
         return last_metrics
+
+
+@registry.register_trainer(name="ver")
+class VERTrainer(PPOTrainer):
+    """VER trainer name parity (reference rl/ver/ver_trainer.py:66-581).
+
+    The reference's VER exists to overlap env stepping, inference, and
+    learning across process pools with shared-memory staging (environment/
+    inference/report/preemption-decider workers, SURVEY §3.3) because its
+    simulator is host-bound. On TPU the entire pipeline is ONE fused jitted
+    step (rollout scan + update) with no host in the loop, so "variable
+    experience rollout" collapses into the synchronous trainer: there are no
+    stragglers to rebalance (SPMD is lock-step) and no transfer buffers
+    (rollouts never leave HBM). The name is kept so ver configs run.
+    """

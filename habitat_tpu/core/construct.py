@@ -48,6 +48,30 @@ def load_dataset(ds_cfg: Config):
     proc = ds_cfg.get("procedural", Config())
 
     data_path = (ds_cfg.get("data_path") or "").format(split=ds_cfg.get("split", "train"))
+
+    if ds_type.startswith("ObjectNav"):
+        from habitat_tpu.datasets.object_nav import (
+            ObjectNavDatasetV1,
+            make_procedural_objectnav,
+        )
+
+        if data_path and os.path.exists(data_path):
+            dataset = ObjectNavDatasetV1(ds_cfg)
+            from habitat_tpu.sims.loaders import load_scene
+
+            scenes = [
+                load_scene(sid, scenes_dir=ds_cfg.get("scenes_dir", ""))
+                for sid in dataset.scene_ids
+            ]
+            return scenes, dataset.episodes, None
+        return make_procedural_objectnav(
+            num_scenes=int(proc.get("num_scenes", 4)),
+            episodes_per_scene=int(proc.get("episodes_per_scene", 32)),
+            seed=int(proc.get("seed", 0)),
+            extent=float(proc.get("extent", 10.0)),
+            nav_res=float(proc.get("nav_res", 0.1)),
+        )
+
     if ds_type == "PointNav-v1" and data_path and os.path.exists(data_path):
         dataset = PointNavDatasetV1(ds_cfg)
         from habitat_tpu.sims.loaders import load_scene
@@ -139,8 +163,16 @@ def env_from_config(config: Config, num_envs: Optional[int] = None) -> BatchedEn
     scene_index = {s.scene_id: i for i, s in enumerate(scenes)}
     scene_map = {s.scene_id: s for s in scenes}
     pack = pack_scenes(list(scenes))
+    lab_sensors = config.habitat.task.get("lab_sensors", Config())
+    goal_image_size = None
+    if "imagegoal" in lab_sensors:
+        goal_image_size = int(lab_sensors["imagegoal"].get("width", 128))
     table = build_episode_table(
-        list(episodes), scene_map, scene_index, precomputed_fields=fields
+        list(episodes),
+        scene_map,
+        scene_index,
+        precomputed_fields=fields,
+        goal_image_size=goal_image_size,
     )
     it_opts = config.habitat.environment.get("iterator_options", Config())
     order = build_env_episode_order(

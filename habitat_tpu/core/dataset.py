@@ -285,6 +285,7 @@ class EpisodeTable:
     geodesic_start: jnp.ndarray  # (E,) f32 — start-to-goal geodesic (SPL denom)
     dist_field: jnp.ndarray  # (E,NX,NZ) f16 — geodesic distance-to-goal
     object_category: jnp.ndarray  # (E,) int32 — objectnav goal category (-1: n/a)
+    goal_image: jnp.ndarray  # (E,Hg,Wg,3) u8 — imagegoal renders ((E,1,1,3) if unused)
 
     @property
     def num_episodes(self) -> int:
@@ -301,6 +302,7 @@ def _table_flatten(t: EpisodeTable):
         t.geodesic_start,
         t.dist_field,
         t.object_category,
+        t.goal_image,
     ), None
 
 
@@ -319,6 +321,7 @@ def build_episode_table(
     max_goals: int = MAX_GOALS_DEFAULT,
     field_dtype=jnp.float16,
     precomputed_fields: Optional[Dict[str, np.ndarray]] = None,
+    goal_image_size: Optional[int] = None,
 ) -> EpisodeTable:
     """Pack episodes + precompute per-episode geodesic fields (host).
 
@@ -342,6 +345,7 @@ def build_episode_table(
     geo_start = np.zeros((E,), np.float32)
     fields = np.zeros((E, nx, nz), np.float32)
     obj_cat = np.full((E,), -1, np.int32)
+    goal_cells: List[np.ndarray] = []
 
     for i, ep in enumerate(episodes):
         scene = scenes[ep.scene_id]
@@ -370,6 +374,14 @@ def build_episode_table(
         cat = ep.info.get("object_category_id")
         if cat is not None:
             obj_cat[i] = cat
+        goal_cells.append(np.asarray(cells[0]) if cells else np.zeros(2, np.int64))
+
+    if goal_image_size:
+        goal_imgs = _render_goal_images(
+            episodes, scenes, scene_index, goal_image_size
+        )
+    else:
+        goal_imgs = np.zeros((E, 1, 1, 3), np.uint8)
 
     return EpisodeTable(
         scene_idx=jnp.asarray(scene_idx),
@@ -380,7 +392,48 @@ def build_episode_table(
         geodesic_start=jnp.asarray(geo_start),
         dist_field=jnp.asarray(fields, dtype=field_dtype),
         object_category=jnp.asarray(obj_cat),
+        goal_image=jnp.asarray(goal_imgs),
     )
+
+
+def _render_goal_images(episodes, scenes, scene_index, size: int) -> np.ndarray:
+    """One-time render of goal views for ImageGoalSensor (reference
+    tasks/nav/nav.py:210 ImageGoalSensor renders the goal from a
+    per-episode pseudo-random heading seeded by episode_id)."""
+    import jax
+    from habitat_tpu.ops.raycast import render_batch
+    from habitat_tpu.sims.scene import pack_scenes
+
+    scene_list = sorted(scene_index, key=lambda k: scene_index[k])
+    pack = pack_scenes([scenes[sid] for sid in scene_list])
+    E = len(episodes)
+    sids = np.asarray([scene_index[e.scene_id] for e in episodes], np.int32)
+    goal = np.asarray(
+        [np.asarray(e.goals[0].position, np.float32) for e in episodes]
+    )
+    cam = goal + np.array([0.0, 1.25, 0.0], np.float32)
+    # episode-seeded deterministic heading (reference uses
+    # RandomState(episode_id).uniform(0, 2pi))
+    yaws = np.asarray(
+        [
+            np.random.RandomState(abs(hash(e.episode_id)) % (2**31)).uniform(
+                0, 2 * np.pi
+            )
+            for e in episodes
+        ],
+        np.float32,
+    )
+    out = jax.jit(
+        lambda s, c, y, p: render_batch(
+            pack, s, c, y, p, height=size, width=size, backend="xla"
+        )
+    )(
+        jnp.asarray(sids),
+        jnp.asarray(cam),
+        jnp.asarray(yaws),
+        jnp.zeros((E,), jnp.float32),
+    )
+    return np.asarray(out["rgb"])
 
 
 def build_env_episode_order(

@@ -24,6 +24,14 @@ SEM_WALL = 2
 SEM_CEILING = 3
 SEM_OBJECT_BASE = 4
 
+# procedural object category vocabulary (objectnav goals); category id =
+# index into this list (reference maps category strings to task ids via
+# dataset.category_to_task_category_id)
+OBJECT_CATEGORIES = (
+    "chair", "table", "bed", "sofa", "plant", "tv_monitor",
+    "cabinet", "counter", "shelf", "fridge",
+)
+
 
 def _quad(p0, p1, p2, p3) -> np.ndarray:
     """Two triangles for quad p0-p1-p2-p3 (ccw)."""
@@ -143,15 +151,28 @@ def generate_apartment(
             for w in _wall_with_door(x0, z, x1, z, wall_height, t, door_w):
                 add(w, wall_col, SEM_WALL)
 
-    # clutter boxes (furniture): random sizes, snapped to floor
+    # clutter boxes (furniture): random sizes, snapped to floor; each box is
+    # an annotated object instance with a category (SemanticScene equivalent,
+    # SURVEY §2.9 semantic id tables)
+    objects = []
     for n in range(n_clutter):
         size = rng.uniform(0.4, 1.2, 2)
         c = rng.uniform(1.0, e - 1.0, 2)
         h = rng.uniform(0.4, 1.4)
+        cat = int(rng.integers(0, len(OBJECT_CATEGORIES)))
         add(
             _box(c, size, 0.0, h),
             rng.uniform(0.2, 0.9, 3),
             SEM_OBJECT_BASE + n,
+        )
+        objects.append(
+            dict(
+                semantic_id=SEM_OBJECT_BASE + n,
+                category_id=cat,
+                category=OBJECT_CATEGORIES[cat],
+                center=[float(c[0]), h / 2, float(c[1])],
+                size=[float(size[0]), h, float(size[1])],
+            )
         )
 
     scene = SceneData(
@@ -160,6 +181,7 @@ def generate_apartment(
         colors=np.concatenate(cols, axis=0),
         semantic_ids=np.concatenate(sems, axis=0),
     )
+    scene.objects = objects
     rasterize_occupancy(scene, res=nav_res, agent_radius=agent_radius)
     return scene
 

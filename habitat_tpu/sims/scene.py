@@ -60,6 +60,9 @@ class SceneData:
     nav_lo: Optional[np.ndarray] = None  # (2,) world xz of cell (0,0) CENTER
     nav_res: float = 0.1
     floor_y: float = 0.0
+    # semantic object annotations: list of dicts with semantic_id/category_id/
+    # category/center/size (SemanticScene equivalent)
+    objects: Optional[list] = None
 
     @property
     def num_triangles(self) -> int:

@@ -500,3 +500,32 @@ class LookDownAction(FunctionalAction):
 
     def tilt_amount(self):
         return -float(np.deg2rad(_cfg(self.config, "tilt_angle", 30.0)))
+
+
+@registry.register_sensor(name="ImageGoalSensor")
+class ImageGoalSensor(FunctionalSensor):
+    """Goal-view image (reference tasks/nav/nav.py:210 ImageGoalSensor): the
+    goal rendered from a per-episode deterministic heading. Views are
+    precomputed into the episode table (EpisodeTable.goal_image) at build time
+    — one gather per step instead of a second render pass."""
+
+    uuid = "imagegoal"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.height = _cfg(config, "height", 128)
+        self.width = _cfg(config, "width", 128)
+
+    def observation_space(self):
+        return spaces.Box(
+            low=0, high=255, shape=(self.height, self.width, 3), dtype=np.uint8
+        )
+
+    def compute(self, ctx: StepContext) -> jnp.ndarray:
+        img = ctx.table.goal_image
+        assert img.shape[1] == self.height and img.shape[2] == self.width, (
+            "EpisodeTable was built without goal images of the right size; "
+            "pass goal_image_size to build_episode_table "
+            f"(table {img.shape} vs sensor {(self.height, self.width)})"
+        )
+        return img[ctx.ep_idx]
