@@ -146,7 +146,10 @@ def _action_instances(config: Config) -> List:
     return actions
 
 
-def env_from_config(config: Config, num_envs: Optional[int] = None) -> BatchedEnv:
+def env_from_config(config: Config, num_envs: Optional[int] = None):
+    task_type = config.habitat.task.get("type", "Nav-v0")
+    if task_type.startswith("Rearrange"):
+        return rearrange_env_from_config(config, num_envs)
     scenes, episodes, fields = load_dataset(config.habitat.dataset)
     if num_envs is None:
         num_envs = int(config.get_path("habitat_baselines.num_environments", 16))
@@ -257,3 +260,33 @@ def trainer_from_config(config: Config):
     )
     trainer_cls = registry.get_trainer(hb.get("trainer_name", "ppo"))
     return trainer_cls(env, policy, ppo_cfg, run_cfg)
+
+
+def rearrange_env_from_config(config: Config, num_envs: Optional[int] = None):
+    """Rearrange task types (RearrangePickTask-v0 / RearrangePlaceTask-v0 /
+    RearrangeEmptyTask-v0, reference tasks/rearrange/rearrange_task.py:32 +
+    sub_tasks/) -> RearrangeBatchedEnv."""
+    from habitat_tpu.tasks.rearrange.generator import make_rearrange_env
+
+    if num_envs is None:
+        num_envs = int(config.get_path("habitat_baselines.num_environments", 16))
+    task_type = config.habitat.task.get("type", "RearrangePickTask-v0")
+    task = {
+        "RearrangePickTask-v0": "pick",
+        "RearrangePlaceTask-v0": "place",
+        "RearrangeEmptyTask-v0": "empty",
+        "RearrangeCompositeTask-v0": "rearrange",
+    }.get(task_type, "pick")
+    proc = config.habitat.dataset.get("procedural", Config())
+    return make_rearrange_env(
+        num_envs=num_envs,
+        task=task,
+        num_scenes=int(proc.get("num_scenes", 2)),
+        episodes_per_scene=int(proc.get("episodes_per_scene", 16)),
+        seed=int(config.habitat.get("seed", 0)),
+        with_visual=True,
+        render_size=(128, 128),
+        max_episode_steps=int(config.habitat.environment.get("max_episode_steps", 300)),
+        success_reward=float(config.habitat.task.get("success_reward", 10.0)),
+        slack_reward=float(config.habitat.task.get("slack_reward", -0.01)),
+    )

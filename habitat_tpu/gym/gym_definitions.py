@@ -60,3 +60,47 @@ for gym_template_handle, cfg_path in PRE_REGISTERED_GYM_TASKS.items():
         "habitat_tpu.gym.gym_definitions:_make_habitat_gym_env",
         kwargs={"cfg_file_path": cfg_path},
     )
+
+
+class _RearrangeGymEnv(gym.Env):
+    """Single-env gym adapter over RearrangeBatchedEnv (for the reference's
+    named rearrange gym ids, gym_definitions.py:105-138)."""
+
+    def __init__(self, task: str = "pick", **kwargs):
+        from habitat_tpu.tasks.rearrange.generator import make_rearrange_env
+
+        self._env = make_rearrange_env(num_envs=1, task=task, **kwargs)
+        self.action_space = self._env.action_space
+        self.observation_space = self._env.observation_space
+        self._state = None
+
+    def reset(self, *, seed=None, options=None):
+        self._state, obs = self._env.reset(seed=seed or 0)
+        import numpy as _np
+
+        return {k: _np.asarray(v[0]) for k, v in obs.items()}, {}
+
+    def step(self, action):
+        import numpy as _np
+
+        self._state, obs, r, d, info = self._env.step(self._state, [int(action)])
+        obs = {k: _np.asarray(v[0]) for k, v in obs.items()}
+        info = {k: float(_np.asarray(v[0])) for k, v in info.items()}
+        return obs, float(_np.asarray(r[0])), bool(_np.asarray(d[0])), False, info
+
+
+def _make_rearrange_gym_env(task: str = "pick", **kwargs) -> gym.Env:
+    return _RearrangeGymEnv(task=task, **kwargs)
+
+
+for _name, _task in (
+    ("HabitatPick-v0", "pick"),
+    ("HabitatPlace-v0", "place"),
+    ("HabitatRearrangeEmpty-v0", "empty"),
+    ("HabitatRearrange-v0", "rearrange"),
+):
+    _try_register(
+        _name,
+        "habitat_tpu.gym.gym_definitions:_make_rearrange_gym_env",
+        kwargs={"task": _task},
+    )

@@ -127,7 +127,14 @@ class PointNavResNetNet(nn.Module):
 
         parts = []
         if self.has_visual:
-            visual_obs = {k: flat(obs[k]) for k in ("rgb", "depth", "semantic") if k in obs}
+            visual_obs = {}
+            for k in ("rgb", "depth", "semantic"):
+                if k in obs:
+                    visual_obs[k] = flat(obs[k])
+            # rearrange head cameras (reference robot_head_* uuids)
+            for k in ("robot_head_rgb", "robot_head_depth"):
+                if k in obs:
+                    visual_obs[k.split("_")[-1]] = flat(obs[k])
             enc = ResNetEncoder(
                 backbone=self.backbone,
                 base_planes=self.base_planes,
@@ -148,7 +155,19 @@ class PointNavResNetNet(nn.Module):
                     [g[..., 0], jnp.cos(-g[..., 1]), jnp.sin(-g[..., 1])], axis=-1
                 )
             parts.append(nn.Dense(32, name=f"goal_fc_{k}")(g))
-        for k in ("gps", "compass", "heading", "proximity"):
+        for k in (
+            "gps",
+            "compass",
+            "heading",
+            "proximity",
+            # rearrange state sensors (reference rearrange_sensors.py:51-468)
+            "obj_start_sensor",
+            "obj_goal_sensor",
+            "joint",
+            "is_holding",
+            "ee_pos",
+            "relative_resting_position",
+        ):
             if k in obs:
                 parts.append(
                     nn.Dense(32, name=f"state_fc_{k}")(flat(obs[k]).astype(jnp.float32))

@@ -135,6 +135,27 @@ def build_tri_matrix(tri_v0, tri_e1, tri_e2, tri_valid) -> np.ndarray:
     return M
 
 
+def build_tri_matrix_jnp(tri_v0, tri_e1, tri_e2, valid) -> jnp.ndarray:
+    """Device-side build_tri_matrix for DYNAMIC triangles (movable objects
+    whose transforms change every step — reference keeps these in Bullet;
+    here they are rebuilt in-jit, (..., T, 3) -> (..., 10, 4, T))."""
+    n = jnp.cross(tri_e1, tri_e2)
+    v0xe2 = jnp.cross(tri_v0, tri_e2)
+    e1xv0 = jnp.cross(tri_e1, tri_v0)
+    T = tri_v0.shape[-2]
+    batch = tri_v0.shape[:-2]
+    M = jnp.zeros(batch + (10, 4, T), jnp.float32)
+    sw = lambda x: jnp.swapaxes(x, -1, -2)  # (...,T,3)->(...,3,T)
+    M = M.at[..., 0:3, 0, :].set(-sw(n))
+    M = M.at[..., 3:6, 1, :].set(sw(n))
+    M = M.at[..., 9, 1, :].set(-jnp.sum(tri_v0 * n, axis=-1))
+    M = M.at[..., 0:3, 2, :].set(sw(v0xe2))
+    M = M.at[..., 6:9, 2, :].set(sw(tri_e2))
+    M = M.at[..., 0:3, 3, :].set(sw(e1xv0))
+    M = M.at[..., 6:9, 3, :].set(-sw(tri_e1))
+    return M * valid[..., None, None, :]
+
+
 def ray_features(origins: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """(...,3),(...,3) -> (...,10): [d, o, o×d, 1]."""
     oxd = jnp.cross(origins, dirs)
@@ -249,6 +270,7 @@ def render_batch(
     tri_chunk: int = 128,
     ray_tile: int = 0,
     backend: str = "auto",
+    dynamic: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render all envs: (N,H,W,C) frames, one fused raycast.
 
@@ -256,6 +278,11 @@ def render_batch(
     (core/batch_rendering/) for the same job; here it is one array program.
     Depth semantics match HabitatSimDepthSensor (habitat_simulator.py:139-199):
     planar z-depth clipped to [min_depth, max_depth], normalized if requested.
+
+    dynamic: optional per-env movable geometry (rearrangement objects —
+    reference renders these via Bullet-transformed nodes). Dict with
+    v0/e1/e2 (N,Td,3), valid (N,Td), color (N,Td,3), sem (N,Td); tested in a
+    second (small, XLA) pass merged by closest hit.
     """
     N = sids.shape[0]
     dirs = jax.vmap(
@@ -286,6 +313,27 @@ def render_batch(
         n = attr[..., 0:3]
         base = attr[..., 3:6]
         sem_val = attr[..., 6]
+
+    if dynamic is not None:
+        td = dynamic["v0"].shape[1]
+        dmat = build_tri_matrix_jnp(
+            dynamic["v0"], dynamic["e1"], dynamic["e2"], dynamic["valid"]
+        )  # (N,10,4,Td)
+        t2, idx2 = raycast_mxu_batch(dmat, origins, dirs, tri_chunk=td)
+        closer = (idx2 >= 0) & (t2 < t)
+        si2 = jnp.maximum(idx2, 0)
+        nrm2 = jnp.cross(
+            jnp.take_along_axis(dynamic["e1"], si2[..., None], axis=1),
+            jnp.take_along_axis(dynamic["e2"], si2[..., None], axis=1),
+        )
+        nrm2 = nrm2 / (jnp.linalg.norm(nrm2, axis=-1, keepdims=True) + 1e-9)
+        col2 = jnp.take_along_axis(dynamic["color"], si2[..., None], axis=1)
+        sem2 = jnp.take_along_axis(dynamic["sem"], si2, axis=1).astype(jnp.float32)
+        t = jnp.where(closer, t2, t)
+        hit = hit | closer
+        n = jnp.where(closer[..., None], nrm2, n)
+        base = jnp.where(closer[..., None], col2, base)
+        sem_val = jnp.where(closer, sem2, sem_val)
 
     # planar depth = t * cos(angle to camera forward)
     cp = jnp.cos(pitch)

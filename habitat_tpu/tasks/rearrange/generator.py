@@ -1,0 +1,267 @@
+"""Rearrangement episode generation + packing.
+
+Counterpart of the reference RearrangeEpisodeGenerator (datasets/rearrange/
+rearrange_generator.py:53: scene/object/target samplers, stability settling
+:938 — settling is moot in kinematic mode) and RearrangeDataset episode schema
+(datasets/rearrange/rearrange_dataset.py: rigid_objs + targets as transforms).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import json
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from habitat_tpu.core.dataset import (
+    Dataset,
+    Episode,
+    NavigationGoal,
+    NavigationEpisode,
+    build_env_episode_order,
+    build_episode_table,
+)
+from habitat_tpu.core.registry import registry
+from habitat_tpu.sims.scene import SceneData, geodesic_field
+
+
+@dataclasses.dataclass
+class RearrangeEpisode(Episode):
+    """reference RearrangeEpisode (datasets/rearrange/rearrange_dataset.py):
+    rigid object inits + target transforms. Positions stand in for the 4x4
+    transforms (kinematic mode ignores rotation)."""
+
+    rigid_objs: list = dataclasses.field(default_factory=list)  # [(name, pos)]
+    targets: dict = dataclasses.field(default_factory=dict)  # name -> goal pos
+    markers: list = dataclasses.field(default_factory=list)
+    ao_states: dict = dataclasses.field(default_factory=dict)
+    target_receptacles: list = dataclasses.field(default_factory=list)
+    goal_receptacles: list = dataclasses.field(default_factory=list)
+
+
+@registry.register_dataset(name="RearrangeDataset-v0")
+class RearrangeDatasetV0(Dataset):
+    def __init__(self, config=None) -> None:
+        super().__init__()
+        if config is None:
+            return
+        data_path = config.data_path.format(split=config.split)
+        opener = gzip.open if data_path.endswith(".gz") else open
+        with opener(data_path, "rt") as f:
+            self.from_json(f.read())
+
+    def from_json(self, json_str: str, scenes_dir=None) -> None:
+        data = json.loads(json_str)
+        for ep in data.get("episodes", []):
+            rigid = []
+            for name, T in ep.get("rigid_objs", []):
+                T = np.asarray(T)
+                pos = T[:3, 3] if T.ndim == 2 else T[:3]
+                rigid.append((name, [float(x) for x in pos]))
+            targets = {}
+            for name, T in ep.get("targets", {}).items():
+                T = np.asarray(T)
+                pos = T[:3, 3] if T.ndim == 2 else T[:3]
+                targets[name] = [float(x) for x in pos]
+            self.episodes.append(
+                RearrangeEpisode(
+                    episode_id=str(ep["episode_id"]),
+                    scene_id=ep["scene_id"],
+                    start_position=list(ep.get("start_position", [0, 0, 0])),
+                    start_rotation=list(ep.get("start_rotation", [0, 0, 0, 1])),
+                    info=ep.get("info", {}),
+                    rigid_objs=rigid,
+                    targets=targets,
+                    markers=ep.get("markers", []),
+                    ao_states=ep.get("ao_states", {}),
+                )
+            )
+
+
+def generate_rearrange_episode(
+    scene: SceneData,
+    episode_id: str,
+    rng: np.random.Generator,
+    *,
+    num_objects: int = 3,
+    num_targets: int = 1,
+    min_start_dist: float = 1.0,
+) -> Optional[RearrangeEpisode]:
+    occ = scene.nav_occ
+    nav_cells = np.argwhere(occ)
+    if len(nav_cells) < num_objects + 2:
+        return None
+
+    def sample_point():
+        c = nav_cells[rng.integers(len(nav_cells))]
+        xz = scene.cell_to_world(c)
+        return [float(xz[0]), scene.floor_y, float(xz[1])]
+
+    objs = [(f"obj_{i}", sample_point()) for i in range(num_objects)]
+    target_ids = rng.choice(num_objects, size=num_targets, replace=False)
+    targets = {f"obj_{i}": sample_point() for i in target_ids}
+    start = sample_point()
+    tries = 0
+    while (
+        min(
+            np.linalg.norm(np.asarray(start) - np.asarray(p))
+            for _, p in objs
+        )
+        < min_start_dist
+        and tries < 10
+    ):
+        start = sample_point()
+        tries += 1
+    yaw = float(rng.uniform(-np.pi, np.pi))
+    from habitat_tpu.datasets.pointnav import _yaw_to_quat_coeffs
+
+    return RearrangeEpisode(
+        episode_id=episode_id,
+        scene_id=scene.scene_id,
+        start_position=start,
+        start_rotation=_yaw_to_quat_coeffs(yaw),
+        rigid_objs=objs,
+        targets=targets,
+    )
+
+
+def make_procedural_rearrange(
+    num_scenes: int = 2,
+    episodes_per_scene: int = 8,
+    seed: int = 0,
+    extent: float = 8.0,
+    num_objects: int = 3,
+    n_rooms_per_axis: int = 2,
+    n_clutter: int = 3,
+    **kw,
+) -> Tuple[List[SceneData], List[RearrangeEpisode]]:
+    from habitat_tpu.sims.procedural import generate_apartment
+
+    rng = np.random.default_rng(seed)
+    scenes, episodes = [], []
+    for s in range(num_scenes):
+        scene = generate_apartment(
+            seed=seed * 500 + s,
+            extent=extent,
+            n_clutter=n_clutter,
+            n_rooms_per_axis=n_rooms_per_axis,
+        )
+        scenes.append(scene)
+        for e in range(episodes_per_scene):
+            ep = generate_rearrange_episode(
+                scene, f"re_{s}_{e}", rng, num_objects=num_objects, **kw
+            )
+            if ep is not None:
+                episodes.append(ep)
+    return scenes, episodes
+
+
+def build_rearrange_table(
+    episodes: List[RearrangeEpisode],
+    scenes: Dict[str, SceneData],
+    scene_index: Dict[str, int],
+    max_objects: Optional[int] = None,
+):
+    """Pack rearrange episodes into device arrays (+ nav table whose goal is
+    the pick-target object's initial position — drives nav-reward fields)."""
+    from habitat_tpu.tasks.rearrange.rearrange_env import RearrangeTable
+
+    E = len(episodes)
+    if max_objects is None:
+        max_objects = max(len(e.rigid_objs) for e in episodes)
+    O = max_objects
+
+    obj_init = np.zeros((E, O, 3), np.float32)
+    obj_valid = np.zeros((E, O), bool)
+    target_pos = np.zeros((E, O, 3), np.float32)
+    target_mask = np.zeros((E, O), bool)
+    pick_target = np.zeros((E,), np.int32)
+    nav_episodes = []
+
+    for i, ep in enumerate(episodes):
+        names = []
+        for j, (name, pos) in enumerate(ep.rigid_objs[:O]):
+            obj_init[i, j] = pos
+            obj_valid[i, j] = True
+            names.append(name)
+        first_target = None
+        for name, goal in ep.targets.items():
+            if name in names:
+                j = names.index(name)
+                target_pos[i, j] = goal
+                target_mask[i, j] = True
+                if first_target is None:
+                    first_target = j
+        # objects without targets keep their init as "goal" (distance 0)
+        for j in range(O):
+            if not target_mask[i, j]:
+                target_pos[i, j] = obj_init[i, j]
+        pick_target[i] = first_target if first_target is not None else 0
+        # nav goal = pick-target object start (NavToObj semantics)
+        nav_episodes.append(
+            NavigationEpisode(
+                episode_id=ep.episode_id,
+                scene_id=ep.scene_id,
+                start_position=list(ep.start_position),
+                start_rotation=list(ep.start_rotation),
+                info=dict(ep.info),
+                goals=[
+                    NavigationGoal(
+                        position=[float(x) for x in obj_init[i, pick_target[i]]],
+                        radius=0.3,
+                    )
+                ],
+            )
+        )
+
+    nav_table = build_episode_table(nav_episodes, scenes, scene_index)
+    return RearrangeTable(
+        nav=nav_table,
+        obj_init=jnp.asarray(obj_init),
+        obj_valid=jnp.asarray(obj_valid),
+        target_pos=jnp.asarray(target_pos),
+        target_mask=jnp.asarray(target_mask),
+        pick_target=jnp.asarray(pick_target),
+    )
+
+
+def make_rearrange_env(
+    num_envs: int = 4,
+    task: str = "pick",
+    num_scenes: int = 2,
+    episodes_per_scene: int = 8,
+    seed: int = 0,
+    with_visual: bool = True,
+    render_size=(128, 128),
+    n_rooms_per_axis: int = 2,
+    n_clutter: int = 3,
+    **env_kw,
+):
+    from habitat_tpu.sims.scene import pack_scenes
+    from habitat_tpu.tasks.rearrange.rearrange_env import RearrangeBatchedEnv
+
+    scenes, episodes = make_procedural_rearrange(
+        num_scenes=num_scenes,
+        episodes_per_scene=episodes_per_scene,
+        seed=seed,
+        n_rooms_per_axis=n_rooms_per_axis,
+        n_clutter=n_clutter,
+    )
+    scene_index = {s.scene_id: i for i, s in enumerate(scenes)}
+    scene_map = {s.scene_id: s for s in scenes}
+    pack = pack_scenes(scenes)
+    table = build_rearrange_table(episodes, scene_map, scene_index)
+    order = build_env_episode_order(episodes, num_envs, seed=seed)
+    return RearrangeBatchedEnv(
+        pack,
+        table,
+        order,
+        task=task,
+        with_visual=with_visual,
+        render_size=render_size,
+        **env_kw,
+    )

@@ -1,0 +1,458 @@
+"""Batched kinematic rearrangement — the Habitat-2.0 stack, TPU-native.
+
+Re-architecture of the reference rearrangement runtime (SURVEY §2.3):
+- RearrangeSim (tasks/rearrange/rearrange_sim.py:65: multi-object scenes,
+  reconfigure diffing :287, substepped physics :890) — here object state is a
+  batched (N, O, 3) array in the env pytree; "reconfigure" is a gather.
+- RearrangeGraspManager's magic-snap grasp (rearrange_grasp_manager.py:27-60:
+  rigid-constraint attach) — here grasping kinematically parents the object
+  to the agent (exactly the reference's kinematic_mode=True recipe, which its
+  own social-nav training uses, habitat-baselines/README.md:140).
+- Pick/Place sub-tasks + their reward/success measures
+  (sub_tasks/pick_task.py:21, place_task.py:13, rearrange_sensors.py).
+
+Dynamics are kinematic (objects static unless held); the dynamic rigid-body
+stepper is the planned round-2 extension. Movable objects render through the
+dynamic pass of ops/raycast.render_batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from gymnasium import spaces
+
+from habitat_tpu.core.dataset import EpisodeTable
+from habitat_tpu.core.registry import registry
+from habitat_tpu.ops import navgrid as ng
+from habitat_tpu.ops.raycast import render_batch
+from habitat_tpu.sims.scene import ScenePack
+from habitat_tpu.utils.geometry import rotate_world_to_agent, yaw_to_forward
+
+# fixed kinematic EE offset in the agent frame (forward, lifted — stands in
+# for the articulated arm's resting EE; reference Fetch params
+# articulated_agents/robots/fetch_robot.py)
+EE_OFFSET = jnp.array([0.0, 0.9, -0.45])
+HELD_OFFSET = jnp.array([0.0, 0.9, -0.45])
+OBJ_HALF = 0.12  # rearrange objects are ~24cm boxes (YCB-ish scale)
+OBJ_SEM_BASE = 100
+
+
+@jtu.register_dataclass
+@dataclasses.dataclass
+class RearrangeTable:
+    """Per-episode rearrange data (extends the nav EpisodeTable)."""
+
+    nav: EpisodeTable
+    obj_init: jnp.ndarray  # (E, O, 3)
+    obj_valid: jnp.ndarray  # (E, O) bool
+    target_pos: jnp.ndarray  # (E, O, 3) goal position per object
+    target_mask: jnp.ndarray  # (E, O) bool — objects that must move
+    pick_target: jnp.ndarray  # (E,) int32 — focus object for pick/place
+
+
+@jtu.register_dataclass
+@dataclasses.dataclass
+class RearrangeState:
+    """Batched rearrange env state."""
+
+    ep_ptr: jnp.ndarray
+    ep_idx: jnp.ndarray
+    step: jnp.ndarray
+    pos: jnp.ndarray
+    yaw: jnp.ndarray
+    prev_pos: jnp.ndarray
+    obj_pos: jnp.ndarray  # (N, O, 3)
+    held: jnp.ndarray  # (N,) int32, -1 = none
+    ever_held: jnp.ndarray  # (N,) bool — picked the right object at least once
+    stop_called: jnp.ndarray
+    collided: jnp.ndarray
+    collision_count: jnp.ndarray
+    last_action: jnp.ndarray
+    episode_over: jnp.ndarray
+    episode_count: jnp.ndarray
+    key: jax.Array
+
+
+# discrete kinematic action set (abstract-grasp mode)
+A_STOP, A_FWD, A_LEFT, A_RIGHT, A_GRAB = 0, 1, 2, 3, 4
+REARRANGE_ACTION_NAMES = ("stop", "move_forward", "turn_left", "turn_right", "grab_release")
+
+
+class RearrangeBatchedEnv:
+    """N batched kinematic rearrange envs.
+
+    task: "pick" (success = holding the target object), "place" (success =
+    target object at its goal and released), "rearrange" (all targets at
+    goals), "empty" (no objective — RearrangeEmptyTask-v0 parity).
+    """
+
+    def __init__(
+        self,
+        pack: ScenePack,
+        table: RearrangeTable,
+        episode_order: np.ndarray,
+        *,
+        task: str = "pick",
+        max_episode_steps: int = 300,
+        grasp_distance: float = 1.0,
+        at_goal_thresh: float = 0.15,
+        success_reward: float = 10.0,
+        slack_reward: float = -0.01,
+        dist_reward_scale: float = 1.0,
+        forward_step: float = 0.25,
+        turn_angle_deg: float = 10.0,
+        render_size: Optional[Tuple[int, int]] = (128, 128),
+        with_visual: bool = True,
+    ):
+        self.pack = pack
+        self.table = table
+        self.order = jnp.asarray(episode_order, jnp.int32)
+        self.num_envs = int(episode_order.shape[0])
+        self._order_len = int(episode_order.shape[1])
+        self.task = task
+        self.max_episode_steps = max_episode_steps
+        self.grasp_distance = grasp_distance
+        self.at_goal_thresh = at_goal_thresh
+        self.success_reward = success_reward
+        self.slack_reward = slack_reward
+        self.dist_reward_scale = dist_reward_scale
+        self.fwd = forward_step
+        self.turn = float(np.deg2rad(turn_angle_deg))
+        self.with_visual = with_visual and render_size is not None
+        self.render_size = render_size
+        self.num_objects = int(table.obj_init.shape[1])
+
+        self.action_space = spaces.Discrete(len(REARRANGE_ACTION_NAMES))
+        self.action_names = REARRANGE_ACTION_NAMES
+        obs_spaces: Dict[str, spaces.Space] = {
+            "obj_start_sensor": spaces.Box(-np.inf, np.inf, (3,), np.float32),
+            "obj_goal_sensor": spaces.Box(-np.inf, np.inf, (3,), np.float32),
+            "joint": spaces.Box(-np.inf, np.inf, (7,), np.float32),
+            "is_holding": spaces.Box(0, 1, (1,), np.float32),
+            "ee_pos": spaces.Box(-np.inf, np.inf, (3,), np.float32),
+            "relative_resting_position": spaces.Box(-np.inf, np.inf, (3,), np.float32),
+        }
+        if self.with_visual:
+            h, w = render_size
+            obs_spaces["robot_head_depth"] = spaces.Box(0, 1, (h, w, 1), np.float32)
+            obs_spaces["robot_head_rgb"] = spaces.Box(0, 255, (h, w, 3), np.uint8)
+        self.observation_space = spaces.Dict(obs_spaces)
+
+        self._jit_reset = jax.jit(self.reset_fn)
+        self._jit_step = jax.jit(self.step_fn, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def _sid(self, state) -> jnp.ndarray:
+        return self.table.nav.scene_idx[state.ep_idx]
+
+    def _ee_pos(self, state) -> jnp.ndarray:
+        from habitat_tpu.utils.geometry import rotate_agent_to_world
+
+        off = rotate_agent_to_world(
+            jnp.broadcast_to(EE_OFFSET, state.pos.shape), state.yaw
+        )
+        return state.pos + off
+
+    def _held_obj_pos(self, state) -> jnp.ndarray:
+        return self._ee_pos(state)
+
+    def _target_obj(self, state) -> jnp.ndarray:
+        return self.table.pick_target[state.ep_idx]
+
+    def _obj_world(self, state) -> jnp.ndarray:
+        """(N,O,3) object positions with the held one following the agent."""
+        held = state.held  # (N,)
+        carry_pos = self._held_obj_pos(state)  # (N,3)
+        o_idx = jnp.arange(self.num_objects)[None, :]
+        is_held = o_idx == held[:, None]
+        return jnp.where(is_held[..., None], carry_pos[:, None, :], state.obj_pos)
+
+    # -- observations ---------------------------------------------------
+    def _observations(self, state: RearrangeState) -> Dict[str, jnp.ndarray]:
+        tgt = self._target_obj(state)  # (N,)
+        objs = self._obj_world(state)
+        n_idx = jnp.arange(self.num_envs)
+        tgt_pos = objs[n_idx, tgt]  # (N,3)
+        goal_pos = self.table.target_pos[state.ep_idx, tgt]
+        ee = self._ee_pos(state)
+
+        # sensors in agent frame (reference rearrange_sensors.py:51-468 —
+        # TargetStartSensor/GoalSensor give transformed positions)
+        rel = lambda p: rotate_world_to_agent(p - state.pos, state.yaw)
+        obs = {
+            "obj_start_sensor": rel(tgt_pos).astype(jnp.float32),
+            "obj_goal_sensor": rel(goal_pos).astype(jnp.float32),
+            "joint": jnp.zeros((self.num_envs, 7), jnp.float32),
+            "is_holding": (state.held >= 0).astype(jnp.float32)[:, None],
+            "ee_pos": rel(ee).astype(jnp.float32),
+            "relative_resting_position": (rel(ee) - EE_OFFSET).astype(jnp.float32),
+        }
+        if self.with_visual:
+            h, w = self.render_size
+            dyn = self._dynamic_geometry(state)
+            frames = render_batch(
+                self.pack,
+                self._sid(state),
+                state.pos + jnp.array([0.0, 1.25, 0.0]),
+                state.yaw,
+                jnp.full((self.num_envs,), -0.45),  # head camera tilts down
+                height=h,
+                width=w,
+                dynamic=dyn,
+            )
+            obs["robot_head_depth"] = frames["depth"]
+            obs["robot_head_rgb"] = frames["rgb"]
+        return obs
+
+    def _dynamic_geometry(self, state) -> Dict[str, jnp.ndarray]:
+        """Movable objects as boxes: (N, O*12, 3) triangles rebuilt per step."""
+        objs = self._obj_world(state)  # (N,O,3)
+        # unit cube triangles (12) centered at origin
+        c = OBJ_HALF
+        corners = jnp.array(
+            [
+                [-c, -c, -c], [c, -c, -c], [c, c, -c], [-c, c, -c],
+                [-c, -c, c], [c, -c, c], [c, c, c], [-c, c, c],
+            ]
+        )
+        faces = jnp.array(
+            [
+                [0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6],
+                [0, 4, 5], [0, 5, 1], [1, 5, 6], [1, 6, 2],
+                [2, 6, 7], [2, 7, 3], [3, 7, 4], [3, 4, 0],
+            ]
+        )
+        tri = corners[faces]  # (12,3,3)
+        center = objs + jnp.array([0.0, OBJ_HALF, 0.0])  # sit on floor
+        v = center[:, :, None, None, :] + tri[None, None, :, :, :]  # (N,O,12,3,3)
+        N = self.num_envs
+        v = v.reshape(N, -1, 3, 3)
+        valid = jnp.repeat(self.table.obj_valid[state.ep_idx], 12, axis=1)
+        o_ids = jnp.arange(self.num_objects)
+        sem = jnp.repeat(
+            jnp.broadcast_to(o_ids[None], (N, self.num_objects)) + OBJ_SEM_BASE,
+            12,
+            axis=1,
+        )
+        palette = jnp.asarray(
+            np.random.default_rng(7).uniform(0.3, 1.0, (self.num_objects, 3)),
+            jnp.float32,
+        )
+        color = jnp.repeat(
+            jnp.broadcast_to(palette[None], (N, self.num_objects, 3)), 12, axis=1
+        )
+        return dict(
+            v0=v[:, :, 0],
+            e1=v[:, :, 1] - v[:, :, 0],
+            e2=v[:, :, 2] - v[:, :, 0],
+            valid=valid,
+            color=color,
+            sem=sem,
+        )
+
+    # -- measures ----------------------------------------------------------
+    def _measures(self, state: RearrangeState) -> Dict[str, jnp.ndarray]:
+        n_idx = jnp.arange(self.num_envs)
+        tgt = self._target_obj(state)
+        objs = self._obj_world(state)
+        tgt_pos = objs[n_idx, tgt]
+        goal = self.table.target_pos[state.ep_idx, tgt]
+        ee = self._ee_pos(state)
+        holding_target = state.held == tgt
+        obj_to_goal = jnp.linalg.norm((tgt_pos - goal), axis=-1)
+        ee_to_obj = jnp.linalg.norm((tgt_pos - ee), axis=-1)
+        # all-targets accounting for full rearrange
+        all_d = jnp.linalg.norm(
+            self._obj_world(state) - self.table.target_pos[state.ep_idx], axis=-1
+        )
+        tmask = self.table.target_mask[state.ep_idx]
+        at_goal = (all_d < self.at_goal_thresh) & tmask
+        frac_at_goal = jnp.sum(at_goal, axis=1) / jnp.maximum(
+            jnp.sum(tmask, axis=1), 1
+        )
+        measures = {
+            "object_to_goal_distance": obj_to_goal,
+            "ee_to_object_distance": ee_to_obj,
+            "did_pick_object": state.ever_held.astype(jnp.float32),
+            "is_holding": (state.held >= 0).astype(jnp.float32),
+            "obj_at_goal": at_goal[n_idx, tgt].astype(jnp.float32),
+            "objects_at_goal_fraction": frac_at_goal,
+            # kinematic mode: no contact forces (reference RobotForce /
+            # ForceTerminate, rearrange_sensors.py:814,918 — zero by design)
+            "robot_force": jnp.zeros((self.num_envs,), jnp.float32),
+            "force_terminate": jnp.zeros((self.num_envs,), jnp.float32),
+            "robot_collisions": state.collision_count.astype(jnp.float32),
+            "num_steps": state.step.astype(jnp.float32),
+        }
+        if self.task == "pick":
+            measures["pick_success"] = holding_target.astype(jnp.float32)
+            measures["success"] = measures["pick_success"]
+        elif self.task == "place":
+            measures["place_success"] = (
+                at_goal[n_idx, tgt] & (state.held < 0) & state.ever_held
+            ).astype(jnp.float32)
+            measures["success"] = measures["place_success"]
+        elif self.task == "rearrange":
+            measures["success"] = (
+                (frac_at_goal >= 1.0) & (state.held < 0)
+            ).astype(jnp.float32)
+        else:  # empty
+            measures["success"] = jnp.zeros((self.num_envs,), jnp.float32)
+        return measures
+
+    def _reward(self, state, prev_m, m) -> jnp.ndarray:
+        """Distance-delta shaping + success bonus (reference
+        RearrangePickReward/PlaceReward structure, sub_tasks/*_sensors.py)."""
+        r = jnp.full((self.num_envs,), self.slack_reward)
+        if self.task == "pick":
+            r = r + self.dist_reward_scale * (
+                prev_m["ee_to_object_distance"] - m["ee_to_object_distance"]
+            )
+            r = r + 1.0 * (m["did_pick_object"] - prev_m["did_pick_object"])
+        elif self.task in ("place", "rearrange"):
+            r = r + self.dist_reward_scale * (
+                prev_m["object_to_goal_distance"] - m["object_to_goal_distance"]
+            )
+        r = r + self.success_reward * jnp.maximum(
+            m["success"] - prev_m["success"], 0.0
+        )
+        return r
+
+    # -- lifecycle -----------------------------------------------------------
+    def _fresh(self, ep_idx, key):
+        n = self.num_envs
+        pos = self.table.nav.start_pos[ep_idx]
+        yaw = self.table.nav.start_yaw[ep_idx]
+        return RearrangeState(
+            ep_ptr=jnp.zeros((n,), jnp.int32),
+            ep_idx=ep_idx,
+            step=jnp.zeros((n,), jnp.int32),
+            pos=pos,
+            yaw=yaw,
+            prev_pos=pos,
+            obj_pos=self.table.obj_init[ep_idx],
+            held=jnp.full((n,), -1, jnp.int32),
+            ever_held=jnp.zeros((n,), bool),
+            stop_called=jnp.zeros((n,), bool),
+            collided=jnp.zeros((n,), bool),
+            collision_count=jnp.zeros((n,), jnp.int32),
+            last_action=jnp.full((n,), -1, jnp.int32),
+            episode_over=jnp.zeros((n,), bool),
+            episode_count=jnp.zeros((n,), jnp.int32),
+            key=key,
+        )
+
+    def reset_fn(self, key):
+        n = self.num_envs
+        ep_idx = self.order[jnp.arange(n), 0]
+        state = self._fresh(ep_idx, key)
+        return state, self._observations(state)
+
+    def step_fn(self, state: RearrangeState, actions: jnp.ndarray):
+        a = actions.astype(jnp.int32)
+        n = self.num_envs
+        n_idx = jnp.arange(n)
+        prev_m = self._measures(state)
+        sid = self._sid(state)
+
+        stop = state.stop_called | (a == A_STOP)
+        yaw = state.yaw + jnp.where(a == A_LEFT, self.turn, 0.0) - jnp.where(
+            a == A_RIGHT, self.turn, 0.0
+        )
+        move = jnp.where(a == A_FWD, self.fwd, 0.0)
+        target = state.pos + yaw_to_forward(yaw) * move[:, None]
+        new_pos, collided = jax.vmap(functools.partial(ng.try_step, self.pack))(
+            sid, state.pos, target
+        )
+        moved = move > 0
+        collided = collided & moved
+        new_pos = jnp.where(moved[:, None], new_pos, state.pos)
+
+        state = dataclasses.replace(
+            state,
+            pos=new_pos,
+            yaw=yaw,
+            prev_pos=state.pos,
+            stop_called=stop,
+            collided=collided,
+            collision_count=state.collision_count + collided.astype(jnp.int32),
+            last_action=a,
+            step=state.step + 1,
+        )
+
+        # -- magic grasp / release (reference grip_actions.py:38-177) ----
+        grab = a == A_GRAB
+        ee = self._ee_pos(state)
+        objs = self._obj_world(state)
+        d = jnp.linalg.norm(objs - ee[:, None, :], axis=-1)  # (N,O)
+        d = jnp.where(self.table.obj_valid[state.ep_idx], d, 1e6)
+        nearest = jnp.argmin(d, axis=1).astype(jnp.int32)
+        nearest_d = d[n_idx, nearest]
+        can_grab = grab & (state.held < 0) & (nearest_d <= self.grasp_distance)
+        do_release = grab & (state.held >= 0)
+
+        # release: object drops at EE position snapped to the floor
+        drop = jax.vmap(functools.partial(ng.snap_to_navigable, self.pack))(sid, ee)
+        held_idx = jnp.maximum(state.held, 0)
+        obj_pos = state.obj_pos
+        obj_pos = jnp.where(
+            (do_release[:, None] & (jnp.arange(self.num_objects)[None] == held_idx[:, None]))[..., None],
+            drop[:, None, :],
+            obj_pos,
+        )
+        held = jnp.where(do_release, -1, state.held)
+        held = jnp.where(can_grab, nearest, held)
+        tgt = self._target_obj(state)
+        ever_held = state.ever_held | (held == tgt)
+        state = dataclasses.replace(state, obj_pos=obj_pos, held=held, ever_held=ever_held)
+
+        m = self._measures(state)
+        episode_over = stop | (state.step >= self.max_episode_steps)
+        # pick/place end on success (reference end_on_success for skills)
+        done = episode_over | (m["success"] > 0)
+        reward = self._reward(state, prev_m, m)
+
+        info = dict(m)
+
+        # -- auto-reset --------------------------------------------------
+        ep_ptr = jnp.where(done, state.ep_ptr + 1, state.ep_ptr)
+        ep_idx = self.order[n_idx, ep_ptr % self._order_len]
+        fresh = self._fresh(ep_idx, state.key)
+        sel = lambda new, old: jnp.where(
+            done.reshape((n,) + (1,) * (old.ndim - 1)), new, old
+        )
+        state = RearrangeState(
+            ep_ptr=ep_ptr,
+            ep_idx=jnp.where(done, ep_idx, state.ep_idx),
+            step=sel(fresh.step, state.step),
+            pos=sel(fresh.pos, state.pos),
+            yaw=sel(fresh.yaw, state.yaw),
+            prev_pos=sel(fresh.prev_pos, state.prev_pos),
+            obj_pos=sel(fresh.obj_pos, state.obj_pos),
+            held=sel(fresh.held, state.held),
+            ever_held=sel(fresh.ever_held, state.ever_held),
+            stop_called=sel(fresh.stop_called, state.stop_called),
+            collided=sel(fresh.collided, state.collided),
+            collision_count=sel(fresh.collision_count, state.collision_count),
+            last_action=sel(fresh.last_action, state.last_action),
+            episode_over=episode_over,
+            episode_count=state.episode_count + done.astype(jnp.int32),
+            key=state.key,
+        )
+        obs = self._observations(state)
+        return state, obs, reward, done, info
+
+    # -- host conveniences -------------------------------------------------
+    def reset(self, seed: int = 0):
+        return self._jit_reset(jax.random.PRNGKey(seed))
+
+    def step(self, state, actions):
+        return self._jit_step(state, jnp.asarray(actions))

@@ -1,0 +1,237 @@
+"""Rearrangement stack tests (mirrors reference test/test_rearrange_task.py:
+task smoke, grasp semantics, pick/place success logic)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from habitat_tpu.tasks.rearrange.generator import make_rearrange_env
+from habitat_tpu.tasks.rearrange.rearrange_env import (
+    A_FWD,
+    A_GRAB,
+    A_LEFT,
+    A_RIGHT,
+    A_STOP,
+)
+
+N = 4
+
+
+@pytest.fixture(scope="module")
+def pick_env():
+    return make_rearrange_env(
+        num_envs=N,
+        task="pick",
+        with_visual=False,
+        max_episode_steps=150,
+        n_rooms_per_axis=1,
+        n_clutter=0,
+    )
+
+
+def test_reset_and_sensors(pick_env):
+    env = pick_env
+    state, obs = env.reset(seed=0)
+    assert obs["obj_start_sensor"].shape == (N, 3)
+    assert obs["obj_goal_sensor"].shape == (N, 3)
+    assert obs["is_holding"].shape == (N, 1)
+    assert np.all(np.asarray(obs["is_holding"]) == 0)
+    assert obs["joint"].shape == (N, 7)
+
+
+def test_grab_out_of_range_no_pick(pick_env):
+    env = pick_env
+    state, obs = env.reset(seed=0)
+    # episodes start >= 1m from objects; EE reach is <= grasp_distance from
+    # the agent, so immediate grab may or may not connect; drive away first
+    for _ in range(3):
+        state, obs, r, d, info = env.step(state, jnp.full((N,), A_LEFT))
+    assert np.all(np.asarray(state.held) >= -1)
+
+
+def _drive_to_target(env, state, max_steps=150, stop_dist=0.7):
+    """Greedy drive toward the pick target using the relative sensor."""
+    for t in range(max_steps):
+        obs = env._observations(state)
+        rel = np.asarray(obs["obj_start_sensor"])  # agent frame
+        dist = np.linalg.norm(rel[:, [0, 2]], axis=-1)
+        # angle to object: forward is -z in agent frame, left positive
+        ang = np.arctan2(-rel[:, 0], -rel[:, 2])
+        act = np.where(
+            dist < stop_dist,
+            A_GRAB,
+            np.where(
+                np.abs(ang) < np.deg2rad(12),
+                A_FWD,
+                np.where(ang > 0, A_LEFT, A_RIGHT),
+            ),
+        )
+        state, obs2, r, d, info = env.step(state, jnp.asarray(act))
+        if np.any(np.asarray(info["did_pick_object"]) > 0):
+            return state, info, True
+    return state, info, False
+
+
+def test_pick_success_via_greedy_drive(pick_env):
+    env = pick_env
+    state, obs = env.reset(seed=0)
+    state, info, picked = _drive_to_target(env, state)
+    assert picked, "no env managed to grab its target object"
+
+
+def test_place_task_success():
+    env = make_rearrange_env(
+        num_envs=N,
+        task="place",
+        with_visual=False,
+        max_episode_steps=250,
+        seed=1,
+        n_rooms_per_axis=1,
+        n_clutter=0,
+    )
+    state, obs = env.reset(seed=0)
+    succeeded = False
+    for t in range(200):
+        obs = env._observations(state)
+        holding = np.asarray(obs["is_holding"])[:, 0] > 0
+        rel_obj = np.asarray(obs["obj_start_sensor"])
+        rel_goal = np.asarray(obs["obj_goal_sensor"])
+        rel = np.where(holding[:, None], rel_goal, rel_obj)
+        dist = np.linalg.norm(rel[:, [0, 2]], axis=-1)
+        ang = np.arctan2(-rel[:, 0], -rel[:, 2])
+        # when near the objective: grab (if not holding) or release (if close
+        # to goal while holding)
+        near = dist < np.where(holding, 0.45, 0.7)
+        act = np.where(
+            near,
+            A_GRAB,
+            np.where(
+                np.abs(ang) < np.deg2rad(12),
+                A_FWD,
+                np.where(ang > 0, A_LEFT, A_RIGHT),
+            ),
+        )
+        state, obs2, r, d, info = env.step(state, jnp.asarray(act))
+        if np.any(np.asarray(info["place_success"]) > 0):
+            succeeded = True
+            break
+    assert succeeded, "no env placed its object at the goal"
+    # success implies positive reward for those envs
+    winners = np.asarray(info["place_success"]) > 0
+    assert np.all(np.asarray(r)[winners] > 1.0)
+
+
+def test_held_object_follows_agent(pick_env):
+    env = pick_env
+    state, obs = env.reset(seed=0)
+    state, info, picked = _drive_to_target(env, state)
+    held = np.asarray(state.held)
+    moving = held >= 0
+    if not moving.any():
+        pytest.skip("no grab achieved")
+    objs_before = np.asarray(env._obj_world(state))
+    for _ in range(4):
+        state, obs, r, d, info = env.step(state, jnp.full((N,), A_FWD))
+    objs_after = np.asarray(env._obj_world(state))
+    i = int(np.nonzero(moving)[0][0])
+    if bool(np.asarray(state.held)[i] >= 0) and not bool(np.asarray(state.episode_over)[i]):
+        o = int(held[i])
+        moved = np.linalg.norm(objs_after[i, o] - objs_before[i, o])
+        collided_all = np.asarray(state.collision_count)[i] >= 4
+        assert moved > 0.01 or collided_all
+
+
+def test_rearrange_render_includes_objects():
+    env = make_rearrange_env(
+        num_envs=2, task="pick", with_visual=True, render_size=(48, 48), seed=2
+    )
+    state, obs = env.reset(seed=0)
+    assert obs["robot_head_rgb"].shape == (2, 48, 48, 3)
+    assert obs["robot_head_depth"].shape == (2, 48, 48, 1)
+    # dynamic pass ran: some pixels carry object semantic ids in a render
+    # pointing at an object (hard to guarantee; at least frames are valid)
+    assert np.asarray(obs["robot_head_depth"]).min() >= 0.0
+
+
+def test_step_jit_scan():
+    env = make_rearrange_env(num_envs=2, task="pick", with_visual=False)
+    state, obs = env.reset(seed=0)
+
+    def unroll(s, _):
+        s, o, r, d, i = env.step_fn(s, jnp.full((2,), A_FWD))
+        return s, r
+
+    s2, rs = jax.jit(lambda s: jax.lax.scan(unroll, s, None, length=4))(state)
+    assert rs.shape == (4, 2)
+
+
+def test_rearrange_from_config():
+    from habitat_tpu.config.default import get_config
+    from habitat_tpu.core.construct import env_from_config
+
+    cfg = get_config(
+        "benchmark/rearrange/pick_procgen.yaml",
+        [
+            "habitat.dataset.procedural.num_scenes=1",
+            "habitat.dataset.procedural.episodes_per_scene=4",
+        ],
+    )
+    assert cfg.habitat.task.type == "RearrangePickTask-v0"
+    env = env_from_config(cfg, num_envs=2)
+    assert env.task == "pick"
+    state, obs = env.reset(seed=0)
+    assert "robot_head_depth" in obs
+
+
+def test_rearrange_gym_id():
+    import gymnasium as gym
+    import habitat_tpu.gym.gym_definitions  # noqa: F401
+
+    env = gym.make(
+        "HabitatPick-v0",
+        with_visual=False,
+        num_scenes=1,
+        episodes_per_scene=2,
+        n_rooms_per_axis=1,
+        n_clutter=0,
+    )
+    obs, _ = env.reset(seed=0)
+    assert "obj_start_sensor" in obs
+    obs, reward, term, trunc, info = env.step(1)
+    assert "pick_success" in info
+    env.close()
+
+
+@pytest.mark.slow
+def test_rearrange_pick_learns():
+    """PPO on kinematic pick: success must emerge within 80 updates."""
+    from habitat_tpu.baselines.ppo import PPOConfig, PPOLearner
+    from habitat_tpu.models.policy import make_pointnav_resnet_policy
+
+    env = make_rearrange_env(
+        num_envs=8,
+        task="pick",
+        with_visual=False,
+        n_rooms_per_axis=1,
+        n_clutter=0,
+        max_episode_steps=64,
+    )
+    policy = make_pointnav_resnet_policy(
+        env.action_space.n, has_visual=False, hidden_size=64, goal_keys=()
+    )
+    learner = PPOLearner(
+        env,
+        policy,
+        PPOConfig(num_steps=32, num_mini_batch=2, ppo_epoch=2, lr=1e-3),
+        measure_keys=("success",),
+    )
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0))
+    step = jax.jit(learner.train_step, donate_argnums=(0,))
+    late_succ = []
+    for i in range(80):
+        ts, m = step(ts)
+        dc = float(m["done_count"])
+        if i >= 40 and dc > 0:
+            late_succ.append(float(m.get("m_success", 0.0)) / dc)
+    assert np.mean(late_succ) > 0.05, np.mean(late_succ)
