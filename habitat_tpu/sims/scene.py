@@ -164,10 +164,23 @@ def rasterize_occupancy(
             inside2 &= d >= -tol
         mask[np.ix_(ii, kk)] |= inside | inside2
 
-    for t in np.nonzero(is_floor)[0]:
-        _raster_tri(floor, v[t][:, [0, 2]])
-    for t in np.nonzero(is_obst)[0]:
-        _raster_tri(obst, v[t][:, [0, 2]])
+    from habitat_tpu import native as _native
+
+    if _native.available():
+        tol = 0.75 * res
+        nf = _native.rasterize_triangles_native(
+            v[is_floor][:, :, [0, 2]], nav_lo, res, (nx, nz), tol
+        )
+        no = _native.rasterize_triangles_native(
+            v[is_obst][:, :, [0, 2]], nav_lo, res, (nx, nz), tol
+        )
+        floor |= nf
+        obst |= no
+    else:
+        for t in np.nonzero(is_floor)[0]:
+            _raster_tri(floor, v[t][:, [0, 2]])
+        for t in np.nonzero(is_obst)[0]:
+            _raster_tri(obst, v[t][:, [0, 2]])
 
     # erode navigable area by agent radius: dilate obstacles with a disk
     r_cells = int(np.ceil(agent_radius / res))
@@ -204,7 +217,27 @@ def geodesic_field(
 
     sources: (M, 2) int cell indices. Returns (NX, NZ) f32, INF_DIST where
     unreachable or non-navigable.
+
+    Uses the native C++ Dijkstra (habitat_tpu/native) when built — exact and
+    ~50x faster on large grids; the numpy sweep below is the fallback.
     """
+    from habitat_tpu import native as _native
+
+    out = _native.geodesic_field_native(nav_occ, np.asarray(sources), res)
+    if out is not None:
+        # pin sources to zero exactly like the fallback (snapped goals may sit
+        # on blocked cells)
+        src = np.asarray(sources).reshape(-1, 2)
+        ok = (
+            (src[:, 0] >= 0)
+            & (src[:, 0] < out.shape[0])
+            & (src[:, 1] >= 0)
+            & (src[:, 1] < out.shape[1])
+        )
+        src = src[ok]
+        out[src[:, 0], src[:, 1]] = 0.0
+        return out
+
     nx, nz = nav_occ.shape
     d = np.full((nx, nz), INF_DIST, dtype=np.float32)
     src = np.asarray(sources).reshape(-1, 2)
