@@ -286,6 +286,9 @@ class EpisodeTable:
     dist_field: jnp.ndarray  # (E,NX,NZ) f16 — geodesic distance-to-goal
     object_category: jnp.ndarray  # (E,) int32 — objectnav goal category (-1: n/a)
     goal_image: jnp.ndarray  # (E,Hg,Wg,3) u8 — imagegoal renders ((E,1,1,3) if unused)
+    extras: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
+    # task-specific per-episode arrays (EQA question tokens/answers, VLN
+    # instruction tokens, ...) — sensors index extras[key][ep_idx]
 
     @property
     def num_episodes(self) -> int:
@@ -303,6 +306,7 @@ def _table_flatten(t: EpisodeTable):
         t.dist_field,
         t.object_category,
         t.goal_image,
+        t.extras,
     ), None
 
 

@@ -1,0 +1,116 @@
+"""EQA / VLN task tests (mirrors reference test/test_mp3d_eqa.py structure on
+procedural data)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from habitat_tpu.tasks.eqa import make_eqa_env
+from habitat_tpu.tasks.vln import make_vln_env
+
+
+def test_eqa_answer_accuracy():
+    env = make_eqa_env(num_envs=4, num_scenes=1, episodes_per_scene=4)
+    state, obs = env.reset(seed=0)
+    assert obs["question"].shape == (4, 16)
+    assert np.asarray(obs["question"]).max() > 0  # tokens present
+    gt = np.asarray(env.table.extras["answer"])[np.asarray(state.ep_idx)]
+    # answer correctly in env 0, incorrectly in others
+    acts = np.full(4, env.answer_base + (gt[1] + 1) % 10)
+    acts[0] = env.answer_base + gt[0]
+    state, obs, r, done, info = env.step(state, jnp.asarray(acts))
+    assert np.all(np.asarray(done))  # answering ends the episode
+    acc = np.asarray(info["answer_accuracy"])
+    assert acc[0] == 1.0
+    assert acc[1] == 0.0
+    # correct answer is rewarded (success_reward=10)
+    assert float(np.asarray(r)[0]) > 5.0
+    assert float(np.asarray(r)[1]) < 1.0
+    # correct_answer measure reports gt
+    np.testing.assert_array_equal(np.asarray(info["correct_answer"]), gt)
+
+
+def test_eqa_nav_then_answer():
+    env = make_eqa_env(num_envs=2, num_scenes=1, episodes_per_scene=4)
+    state, obs = env.reset(seed=0)
+    for _ in range(5):
+        state, obs, r, d, info = env.step(state, jnp.zeros(2, jnp.int32))  # fwd
+        assert not np.any(np.asarray(d))
+    # episode still running, question unchanged
+    assert np.asarray(obs["question"]).shape == (2, 16)
+
+
+def test_vln_env():
+    env = make_vln_env(num_envs=2, num_scenes=1, episodes_per_scene=4)
+    state, obs = env.reset(seed=0)
+    assert obs["instruction"].shape == (2, 64)
+    assert np.asarray(obs["instruction"]).max() > 0
+    i0 = np.asarray(obs["instruction"]).copy()
+    state, obs, r, d, info = env.step(state, jnp.asarray([1, 2]))
+    np.testing.assert_array_equal(np.asarray(obs["instruction"]), i0)
+    assert "spl" in info
+
+
+def test_vln_r2r_loader_schema():
+    import json
+    from habitat_tpu.tasks.vln import VLNDatasetV1
+
+    ds = VLNDatasetV1()
+    ds.from_json(
+        json.dumps(
+            {
+                "instruction_vocab": {"walk": 1},
+                "episodes": [
+                    {
+                        "episode_id": 1,
+                        "scene_id": "sc",
+                        "start_position": [0, 0, 0],
+                        "start_rotation": [0, 0, 0, 1],
+                        "goals": [{"position": [1, 0, 1], "radius": 3.0}],
+                        "path": [[0, 0, 0], [1, 0, 1]],
+                        "trajectory_id": 7,
+                        "instruction": {
+                            "instruction_text": "walk",
+                            "instruction_tokens": [1],
+                        },
+                    }
+                ],
+            }
+        )
+    )
+    assert len(ds.episodes) == 1
+    ep = ds.episodes[0]
+    assert ep.instruction.instruction_tokens == [1]
+    assert ep.goals[0].radius == 3.0
+
+
+def test_eqa_mp3d_loader_schema():
+    import json
+    from habitat_tpu.tasks.eqa import Mp3dEQADatasetV1
+
+    ds = Mp3dEQADatasetV1()
+    ds.from_json(
+        json.dumps(
+            {
+                "question_vocab": {"word2idx_dict": {"what": 1}},
+                "answer_vocab": {"word2idx_dict": {"red": 0}},
+                "episodes": [
+                    {
+                        "episode_id": 0,
+                        "scene_id": "sc",
+                        "start_position": [0, 0, 0],
+                        "start_rotation": [0, 0, 0, 1],
+                        "goals": [{"position": [1, 0, 1]}],
+                        "question": {
+                            "question_text": "what colour is the sofa ?",
+                            "answer_text": "red",
+                            "question_tokens": [1, 2, 3, 4, 5, 6],
+                            "answer_token": 0,
+                        },
+                    }
+                ],
+            }
+        )
+    )
+    assert len(ds.episodes) == 1
+    assert ds.episodes[0].question.answer_token == 0
