@@ -94,7 +94,7 @@ def colorize_topdown_map(
         fog_of_war_desat_values = np.array([[fog_of_war_desat_amount], [1.0]])
         desat_mask = top_down_map != MAP_INVALID_POINT
         _map[desat_mask] = (
-            _map * fog_of_war_desat_values[fog_of_war_mask[..., None]]
+            _map * fog_of_war_desat_values[fog_of_war_mask.astype(np.int64)]
         ).astype(np.uint8)[desat_mask]
     return _map
 

@@ -73,12 +73,17 @@ def images_to_video(
     import imageio
 
     os.makedirs(output_dir, exist_ok=True)
-    video_name = video_name.replace(" ", "_").replace("\n", "_") + ".mp4"
-    path = os.path.join(output_dir, video_name)
-    writer = imageio.get_writer(path, fps=fps, quality=quality)
-    for im in images:
-        writer.append_data(im)
-    writer.close()
+    video_name = video_name.replace(" ", "_").replace("\n", "_")
+    path = os.path.join(output_dir, video_name + ".mp4")
+    try:
+        writer = imageio.get_writer(path, fps=fps, quality=quality)
+        for im in images:
+            writer.append_data(im)
+        writer.close()
+    except Exception:
+        # no ffmpeg plugin in this image: fall back to GIF (PIL plugin)
+        path = os.path.join(output_dir, video_name + ".gif")
+        imageio.mimsave(path, images, duration=1.0 / fps)
     if verbose:
         from habitat_tpu.core.logging import logger
 
