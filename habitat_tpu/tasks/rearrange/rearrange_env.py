@@ -399,8 +399,14 @@ class RearrangeBatchedEnv:
         can_grab = grab & (state.held < 0) & (nearest_d <= self.grasp_distance)
         do_release = grab & (state.held >= 0)
 
-        # release: object drops at EE position snapped to the floor
-        drop = jax.vmap(functools.partial(ng.snap_to_navigable, self.pack))(sid, ee)
+        # release: object drops under the EE (exact spot when navigable,
+        # else snapped to the nearest navigable cell)
+        ee_floor = jnp.stack(
+            [ee[:, 0], self.pack.floor_y[sid], ee[:, 2]], axis=-1
+        )
+        navigable = jax.vmap(functools.partial(ng.is_navigable, self.pack))(sid, ee_floor)
+        snapped = jax.vmap(functools.partial(ng.snap_to_navigable, self.pack))(sid, ee)
+        drop = jnp.where(navigable[:, None], ee_floor, snapped)
         held_idx = jnp.maximum(state.held, 0)
         obj_pos = state.obj_pos
         obj_pos = jnp.where(
