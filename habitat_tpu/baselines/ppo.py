@@ -117,10 +117,19 @@ def compute_gae(rewards, values, dones, last_value, gamma, tau):
     return advs, returns
 
 
-def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: PPOConfig, total_updates: Optional[int] = None
+) -> optax.GradientTransformation:
+    """Adam + grad clip; linear LR decay over the run when enabled
+    (reference use_linear_lr_decay, ppo_trainer lr_scheduler)."""
+    if cfg.use_linear_lr_decay and total_updates:
+        steps = total_updates * cfg.ppo_epoch * cfg.num_mini_batch
+        lr = optax.linear_schedule(cfg.lr, 0.0, steps)
+    else:
+        lr = cfg.lr
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adam(cfg.lr, eps=cfg.eps),
+        optax.adam(lr, eps=cfg.eps),
     )
 
 
@@ -139,11 +148,12 @@ class PPOLearner:
         cfg: PPOConfig = PPOConfig(),
         *,
         measure_keys: Tuple[str, ...] = ("success", "spl", "distance_to_goal"),
+        total_updates: Optional[int] = None,
     ):
         self.env = env
         self.policy = policy
         self.cfg = cfg
-        self.optimizer = make_optimizer(cfg)
+        self.optimizer = make_optimizer(cfg, total_updates)
         self.measure_keys = measure_keys
         n = env.num_envs
         assert n % cfg.num_mini_batch == 0, (n, cfg.num_mini_batch)

@@ -110,6 +110,31 @@ class TpuSim(Simulator):
         return self._observations()
 
     def step(self, action, *args, **kwargs):
+        if isinstance(action, dict):
+            name = action.get("action")
+            args_ = action.get("action_args", {}) or {}
+            if name in ("teleport", "TELEPORT"):
+                self._pos = np.asarray(args_["position"], np.float32)
+                if "rotation" in args_:
+                    x, y, z, w = args_["rotation"]
+                    self._yaw = float(2.0 * np.arctan2(y, w))
+                return self._observations()
+            if name in ("velocity_control", "VELOCITY_CONTROL"):
+                lin = float(args_.get("lin_vel", args_.get("linear_velocity", 0.0)))
+                ang = float(np.deg2rad(args_.get("ang_vel", args_.get("angular_velocity", 0.0))))
+                dt = float(args_.get("time_step", 1.0))
+                # integrate: rotate then translate (reference VelocityControl)
+                self._yaw += ang * dt
+                fwd = np.array([-np.sin(self._yaw), 0.0, -np.cos(self._yaw)], np.float32)
+                target = self._pos + fwd * lin * dt
+                import jax.numpy as _jnp
+                new_pos, collided = ng.try_step(
+                    self.pack, _jnp.int32(0), _jnp.asarray(self._pos), _jnp.asarray(target)
+                )
+                self._pos = np.asarray(new_pos)
+                self._collided = bool(collided)
+                return self._observations()
+            action = name
         if isinstance(action, str):
             action = HabitatSimActions.get(action)
         if action == HabitatSimActions.get("move_forward"):

@@ -529,3 +529,30 @@ class ImageGoalSensor(FunctionalSensor):
             f"(table {img.shape} vs sensor {(self.height, self.width)})"
         )
         return img[ctx.ep_idx]
+
+
+@registry.register_task_action(name="TeleportAction")
+class TeleportAction(FunctionalAction):
+    """Teleport to a given pose (reference nav.py:1121). Parameterized
+    actions run through the host sim path (TpuSim.step with action_args);
+    in the batched discrete env it contributes no pose delta."""
+
+    name = "teleport"
+
+
+@registry.register_task_action(name="VelocityAction")
+class VelocityAction(FunctionalAction):
+    """Velocity control (reference nav.py:1170: habitat-sim VelocityControl
+    integration with auto-stop thresholds). Continuous (lin, ang) commands
+    integrate over time_step on the host sim path; the batched continuous
+    action interface is the planned round-2 extension."""
+
+    name = "velocity_control"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.lin_vel_range = _cfg(config, "lin_vel_range", [0.0, 0.25])
+        self.ang_vel_range = _cfg(config, "ang_vel_range", [-10.0, 10.0])
+        self.min_abs_lin_speed = _cfg(config, "min_abs_lin_speed", 0.025)
+        self.min_abs_ang_speed = _cfg(config, "min_abs_ang_speed", 1.0)
+        self.time_step = _cfg(config, "time_step", 1.0)
