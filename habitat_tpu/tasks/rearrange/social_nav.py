@@ -1,0 +1,353 @@
+"""Social navigation — robot finds/follows a moving humanoid.
+
+Counterpart of the reference social-nav stack (SURVEY §2.3):
+- PddlSocialNavTask-v0 (tasks/rearrange/social_nav/social_nav_task.py:21)
+- SocialNavReward (social_nav_sensors.py:37), SocialNavStats (:185),
+  SocialNavSeekSuccess (:468), HumanoidDetectorSensor (:552)
+- multi-agent sensors: DidAgentsCollide (multi_agent_sensors.py:18),
+  OtherAgentGps (:87)
+
+The humanoid is the kinematic waypoint-walking agent (the reference trains
+the robot against a scripted/learned humanoid in kinematic mode,
+habitat-baselines/README.md:81-160); its pose advances inside the same jitted
+step — a 2-agent scene with zero extra processes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from gymnasium import spaces
+
+from habitat_tpu.ops import navgrid as ng
+from habitat_tpu.sims.scene import ScenePack
+from habitat_tpu.utils.geometry import rotate_world_to_agent, yaw_to_forward
+
+A_STOP, A_FWD, A_LEFT, A_RIGHT = 0, 1, 2, 3
+SOCIAL_ACTIONS = ("stop", "move_forward", "turn_left", "turn_right")
+
+
+@jtu.register_dataclass
+@dataclasses.dataclass
+class SocialNavTable:
+    scene_idx: jnp.ndarray  # (E,)
+    start_pos: jnp.ndarray  # (E,3)
+    start_yaw: jnp.ndarray  # (E,)
+    human_start: jnp.ndarray  # (E,3)
+    waypoints: jnp.ndarray  # (E,W,3) humanoid patrol loop
+
+
+@jtu.register_dataclass
+@dataclasses.dataclass
+class SocialNavState:
+    ep_ptr: jnp.ndarray
+    ep_idx: jnp.ndarray
+    step: jnp.ndarray
+    pos: jnp.ndarray
+    yaw: jnp.ndarray
+    human_pos: jnp.ndarray  # (N,3)
+    human_yaw: jnp.ndarray
+    human_wp: jnp.ndarray  # (N,) waypoint index
+    follow_steps: jnp.ndarray  # (N,) consecutive steps in the follow band
+    found_steps: jnp.ndarray  # (N,) total steps with humanoid detected
+    min_human_dist: jnp.ndarray  # (N,)
+    stop_called: jnp.ndarray
+    collided: jnp.ndarray
+    agents_collide: jnp.ndarray  # (N,) robot-humanoid collision happened
+    episode_over: jnp.ndarray
+    episode_count: jnp.ndarray
+    key: jax.Array
+
+
+class SocialNavBatchedEnv:
+    """Find-and-follow-the-humanoid (reference social nav task semantics:
+    seek success = facing + within the follow band for ``need_to_face`` steps)."""
+
+    def __init__(
+        self,
+        pack: ScenePack,
+        table: SocialNavTable,
+        episode_order: np.ndarray,
+        *,
+        max_episode_steps: int = 300,
+        human_speed: float = 0.1,  # m/step
+        robot_step: float = 0.25,
+        turn_angle_deg: float = 10.0,
+        follow_band: Tuple[float, float] = (1.0, 2.0),
+        detect_dist: float = 4.0,
+        detect_fov_deg: float = 90.0,
+        need_to_face_steps: int = 5,
+        collide_dist: float = 0.5,
+    ):
+        self.pack = pack
+        self.table = table
+        self.order = jnp.asarray(episode_order, jnp.int32)
+        self.num_envs = int(episode_order.shape[0])
+        self._order_len = int(episode_order.shape[1])
+        self.max_episode_steps = max_episode_steps
+        self.human_speed = human_speed
+        self.fwd = robot_step
+        self.turn = float(np.deg2rad(turn_angle_deg))
+        self.follow_band = follow_band
+        self.detect_dist = detect_dist
+        self.detect_cos = float(np.cos(np.deg2rad(detect_fov_deg) / 2))
+        self.need_to_face = need_to_face_steps
+        self.collide_dist = collide_dist
+        self.num_waypoints = int(table.waypoints.shape[1])
+
+        self.action_space = spaces.Discrete(len(SOCIAL_ACTIONS))
+        self.action_names = SOCIAL_ACTIONS
+        self.observation_space = spaces.Dict(
+            {
+                "humanoid_detector_sensor": spaces.Box(-np.inf, np.inf, (4,), np.float32),
+                "other_agent_gps": spaces.Box(-np.inf, np.inf, (2,), np.float32),
+                "gps": spaces.Box(-np.inf, np.inf, (2,), np.float32),
+                "compass": spaces.Box(-np.pi, np.pi, (1,), np.float32),
+            }
+        )
+        self._jit_reset = jax.jit(self.reset_fn)
+        self._jit_step = jax.jit(self.step_fn, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def _sid(self, state):
+        return self.table.scene_idx[state.ep_idx]
+
+    def _detected(self, state) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(visible (N,), rel (N,3)) — HumanoidDetectorSensor semantics
+        (within fov cone and range)."""
+        rel = rotate_world_to_agent(state.human_pos - state.pos, state.yaw)
+        dist = jnp.linalg.norm(rel[:, jnp.array([0, 2])], axis=-1)
+        fwd_cos = -rel[:, 2] / jnp.maximum(dist, 1e-6)
+        visible = (dist < self.detect_dist) & (fwd_cos > self.detect_cos)
+        return visible, rel
+
+    def _observations(self, state) -> Dict[str, jnp.ndarray]:
+        visible, rel = self._detected(state)
+        det = jnp.concatenate(
+            [visible[:, None].astype(jnp.float32), rel.astype(jnp.float32)], axis=-1
+        )
+        start = self.table.start_pos[state.ep_idx]
+        syaw = self.table.start_yaw[state.ep_idx]
+        gps_rel = rotate_world_to_agent(state.pos - start, syaw)
+        other = rotate_world_to_agent(state.human_pos - start, syaw)
+        comp = state.yaw - syaw
+        return {
+            "humanoid_detector_sensor": det,
+            "other_agent_gps": jnp.stack([-other[:, 2], other[:, 0]], axis=-1).astype(jnp.float32),
+            "gps": jnp.stack([-gps_rel[:, 2], gps_rel[:, 0]], axis=-1).astype(jnp.float32),
+            "compass": jnp.arctan2(jnp.sin(comp), jnp.cos(comp))[:, None].astype(jnp.float32),
+        }
+
+    def _measures(self, state) -> Dict[str, jnp.ndarray]:
+        visible, rel = self._detected(state)
+        dist = jnp.linalg.norm(
+            (state.human_pos - state.pos)[:, jnp.array([0, 2])], axis=-1
+        )
+        in_band = (dist >= self.follow_band[0]) & (dist <= self.follow_band[1])
+        seek_success = (state.follow_steps >= self.need_to_face).astype(jnp.float32)
+        return {
+            # reference SocialNavSeekSuccess: found + facing for K steps
+            "nav_seek_success": seek_success,
+            "success": seek_success,
+            "did_agents_collide": state.agents_collide.astype(jnp.float32),
+            "human_dist": dist,
+            "min_human_dist": state.min_human_dist,
+            "found_human_rate": state.found_steps.astype(jnp.float32)
+            / jnp.maximum(state.step.astype(jnp.float32), 1.0),
+            "num_steps": state.step.astype(jnp.float32),
+        }
+
+    # -- humanoid script ----------------------------------------------------
+    def _advance_human(self, state):
+        sid = self._sid(state)
+        wp = self.table.waypoints[state.ep_idx, state.human_wp % self.num_waypoints]
+        d = wp - state.human_pos
+        dist = jnp.linalg.norm(d[:, jnp.array([0, 2])], axis=-1)
+        reach = dist < 0.3
+        new_wp = jnp.where(reach, state.human_wp + 1, state.human_wp)
+        dirn = d / jnp.maximum(dist, 1e-6)[:, None]
+        target = state.human_pos + dirn * self.human_speed
+        new_pos, _ = jax.vmap(functools.partial(ng.try_step, self.pack))(
+            sid, state.human_pos, target
+        )
+        yaw = jnp.arctan2(-dirn[:, 0], -dirn[:, 2])
+        return new_pos, yaw, new_wp
+
+    # -- lifecycle ------------------------------------------------------------
+    def _fresh(self, ep_idx, key):
+        n = self.num_envs
+        return SocialNavState(
+            ep_ptr=jnp.zeros((n,), jnp.int32),
+            ep_idx=ep_idx,
+            step=jnp.zeros((n,), jnp.int32),
+            pos=self.table.start_pos[ep_idx],
+            yaw=self.table.start_yaw[ep_idx],
+            human_pos=self.table.human_start[ep_idx],
+            human_yaw=jnp.zeros((n,)),
+            human_wp=jnp.zeros((n,), jnp.int32),
+            follow_steps=jnp.zeros((n,), jnp.int32),
+            found_steps=jnp.zeros((n,), jnp.int32),
+            min_human_dist=jnp.full((n,), 1e6, jnp.float32),
+            stop_called=jnp.zeros((n,), bool),
+            collided=jnp.zeros((n,), bool),
+            agents_collide=jnp.zeros((n,), bool),
+            episode_over=jnp.zeros((n,), bool),
+            episode_count=jnp.zeros((n,), jnp.int32),
+            key=key,
+        )
+
+    def reset_fn(self, key):
+        ep_idx = self.order[jnp.arange(self.num_envs), 0]
+        state = self._fresh(ep_idx, key)
+        return state, self._observations(state)
+
+    def step_fn(self, state, actions):
+        a = actions.astype(jnp.int32)
+        n = self.num_envs
+        sid = self._sid(state)
+        prev_dist = jnp.linalg.norm(
+            (state.human_pos - state.pos)[:, jnp.array([0, 2])], axis=-1
+        )
+
+        stop = state.stop_called | (a == A_STOP)
+        yaw = state.yaw + jnp.where(a == A_LEFT, self.turn, 0.0) - jnp.where(
+            a == A_RIGHT, self.turn, 0.0
+        )
+        move = jnp.where(a == A_FWD, self.fwd, 0.0)
+        target = state.pos + yaw_to_forward(yaw) * move[:, None]
+        new_pos, collided = jax.vmap(functools.partial(ng.try_step, self.pack))(
+            sid, state.pos, target
+        )
+        h_pos, h_yaw, h_wp = self._advance_human(state)
+
+        dist = jnp.linalg.norm((h_pos - new_pos)[:, jnp.array([0, 2])], axis=-1)
+        agents_collide = state.agents_collide | (dist < self.collide_dist)
+
+        state = dataclasses.replace(
+            state,
+            pos=new_pos,
+            yaw=yaw,
+            human_pos=h_pos,
+            human_yaw=h_yaw,
+            human_wp=h_wp,
+            stop_called=stop,
+            collided=collided,
+            agents_collide=agents_collide,
+            step=state.step + 1,
+            min_human_dist=jnp.minimum(state.min_human_dist, dist),
+        )
+        visible, _ = self._detected(state)
+        in_band = (dist >= self.follow_band[0]) & (dist <= self.follow_band[1])
+        facing = visible & in_band
+        state = dataclasses.replace(
+            state,
+            follow_steps=jnp.where(facing, state.follow_steps + 1, 0),
+            found_steps=state.found_steps + visible.astype(jnp.int32),
+        )
+
+        m = self._measures(state)
+        episode_over = stop | (state.step >= self.max_episode_steps)
+        done = episode_over | (m["success"] > 0)
+        # SocialNavReward shaping (reference social_nav_sensors.py:37):
+        # approach the humanoid into the band, penalty for collisions
+        r = (
+            -0.01
+            + 0.5 * (prev_dist - dist) * (~in_band).astype(jnp.float32)
+            + 0.02 * facing.astype(jnp.float32)
+            - 1.0 * (dist < self.collide_dist).astype(jnp.float32)
+            + 5.0 * m["success"] * (state.follow_steps == self.need_to_face)
+        )
+        info = dict(m)
+
+        # auto-reset
+        ep_ptr = jnp.where(done, state.ep_ptr + 1, state.ep_ptr)
+        ep_idx = self.order[jnp.arange(n), ep_ptr % self._order_len]
+        fresh = self._fresh(ep_idx, state.key)
+        sel = lambda new, old: jnp.where(
+            done.reshape((n,) + (1,) * (old.ndim - 1)), new, old
+        )
+        state = SocialNavState(
+            ep_ptr=ep_ptr,
+            ep_idx=jnp.where(done, ep_idx, state.ep_idx),
+            step=sel(fresh.step, state.step),
+            pos=sel(fresh.pos, state.pos),
+            yaw=sel(fresh.yaw, state.yaw),
+            human_pos=sel(fresh.human_pos, state.human_pos),
+            human_yaw=sel(fresh.human_yaw, state.human_yaw),
+            human_wp=sel(fresh.human_wp, state.human_wp),
+            follow_steps=sel(fresh.follow_steps, state.follow_steps),
+            found_steps=sel(fresh.found_steps, state.found_steps),
+            min_human_dist=sel(fresh.min_human_dist, state.min_human_dist),
+            stop_called=sel(fresh.stop_called, state.stop_called),
+            collided=sel(fresh.collided, state.collided),
+            agents_collide=sel(fresh.agents_collide, state.agents_collide),
+            episode_over=episode_over,
+            episode_count=state.episode_count + done.astype(jnp.int32),
+            key=state.key,
+        )
+        return state, self._observations(state), r, done, info
+
+    def reset(self, seed: int = 0):
+        return self._jit_reset(jax.random.PRNGKey(seed))
+
+    def step(self, state, actions):
+        return self._jit_step(state, jnp.asarray(actions))
+
+
+def make_social_nav_env(
+    num_envs: int = 8,
+    num_scenes: int = 2,
+    episodes_per_scene: int = 8,
+    seed: int = 0,
+    n_rooms_per_axis: int = 1,
+    num_waypoints: int = 4,
+    **env_kw,
+) -> SocialNavBatchedEnv:
+    from habitat_tpu.core.dataset import build_env_episode_order, Episode
+    from habitat_tpu.sims.procedural import generate_apartment
+    from habitat_tpu.sims.scene import pack_scenes
+
+    rng = np.random.default_rng(seed)
+    scenes = [
+        generate_apartment(
+            seed=seed * 77 + s, extent=8.0, n_rooms_per_axis=n_rooms_per_axis, n_clutter=2
+        )
+        for s in range(num_scenes)
+    ]
+    episodes = []
+    rows = []
+    for si, scene in enumerate(scenes):
+        for e in range(episodes_per_scene):
+            start = scene.sample_navigable_point(rng)
+            hstart = scene.sample_navigable_point(rng)
+            wps = np.stack(
+                [scene.sample_navigable_point(rng) for _ in range(num_waypoints)]
+            )
+            yaw = float(rng.uniform(-np.pi, np.pi))
+            episodes.append(
+                Episode(
+                    episode_id=f"sn_{si}_{e}",
+                    scene_id=scene.scene_id,
+                    start_position=[float(x) for x in start],
+                )
+            )
+            rows.append((si, start, yaw, hstart, wps))
+
+    E = len(rows)
+    table = SocialNavTable(
+        scene_idx=jnp.asarray([r[0] for r in rows], jnp.int32),
+        start_pos=jnp.asarray(np.stack([r[1] for r in rows]), jnp.float32),
+        start_yaw=jnp.asarray([r[2] for r in rows], jnp.float32),
+        human_start=jnp.asarray(np.stack([r[3] for r in rows]), jnp.float32),
+        waypoints=jnp.asarray(np.stack([r[4] for r in rows]), jnp.float32),
+    )
+    pack = pack_scenes(scenes)
+    order = build_env_episode_order(episodes, num_envs, seed=seed)
+    return SocialNavBatchedEnv(pack, table, order, **env_kw)

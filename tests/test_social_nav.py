@@ -1,0 +1,94 @@
+"""Social-nav task tests (reference social_nav_sensors/multi_agent_sensors
+coverage)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from habitat_tpu.tasks.rearrange.social_nav import make_social_nav_env
+
+N = 4
+
+
+@pytest.fixture(scope="module")
+def env():
+    return make_social_nav_env(num_envs=N, num_scenes=1, episodes_per_scene=6, seed=2)
+
+
+def test_reset_and_humanoid_moves(env):
+    state, obs = env.reset(seed=0)
+    assert obs["humanoid_detector_sensor"].shape == (N, 4)
+    assert obs["other_agent_gps"].shape == (N, 2)
+    h0 = np.asarray(state.human_pos).copy()
+    for _ in range(10):
+        state, obs, r, d, info = env.step(state, jnp.full((N,), 2))  # robot turns
+    h1 = np.asarray(state.human_pos)
+    moved = np.linalg.norm(h1 - h0, axis=-1)
+    assert np.all(moved > 0.3)  # scripted humanoid walks its waypoints
+
+
+def test_detector_and_follow_success(env):
+    state, obs = env.reset(seed=0)
+    succ_seen = False
+    for t in range(250):
+        det = np.asarray(obs["humanoid_detector_sensor"])
+        visible = det[:, 0] > 0
+        rel = det[:, 1:4]
+        dist = np.linalg.norm(rel[:, [0, 2]], axis=-1)
+        gps_h = np.asarray(obs["other_agent_gps"])
+        gps_r = np.asarray(obs["gps"])
+        # steer toward the humanoid's episodic-frame position
+        d = gps_h - gps_r  # in (-z, x) start frame coords
+        comp = np.asarray(obs["compass"])[:, 0]
+        ang_world = np.arctan2(d[:, 1], d[:, 0])  # heading in start frame
+        ang = np.arctan2(np.sin(ang_world - comp), np.cos(ang_world - comp))
+        in_band = visible & (dist > 1.0) & (dist < 2.0)
+        act = np.where(
+            in_band,
+            2,  # hold position-ish (turn in place keeps facing roughly)
+            np.where(np.abs(ang) < np.deg2rad(15), 1, np.where(ang > 0, 2, 3)),
+        )
+        # if visible, steer by the detector's relative vector instead
+        ang_rel = np.arctan2(-rel[:, 0], -rel[:, 2])
+        act = np.where(
+            visible & ~in_band,
+            np.where(np.abs(ang_rel) < np.deg2rad(15), 1, np.where(ang_rel > 0, 2, 3)),
+            act,
+        )
+        # keep facing the humanoid while in band
+        act = np.where(
+            in_band & (np.abs(ang_rel) > np.deg2rad(15)),
+            np.where(ang_rel > 0, 2, 3),
+            act,
+        )
+        state, obs, r, done, info = env.step(state, jnp.asarray(act))
+        if np.any(np.asarray(info["nav_seek_success"]) > 0):
+            succ_seen = True
+            break
+    assert succ_seen, "no env achieved seek success"
+
+
+def test_collision_measure(env):
+    state, obs = env.reset(seed=0)
+    for _ in range(60):
+        # chase the humanoid aggressively to provoke proximity
+        det = np.asarray(obs["humanoid_detector_sensor"])
+        rel = det[:, 1:4]
+        ang = np.arctan2(-rel[:, 0], -rel[:, 2])
+        act = np.where(np.abs(ang) < np.deg2rad(20), 1, np.where(ang > 0, 2, 3))
+        state, obs, r, done, info = env.step(state, jnp.asarray(act))
+    assert "did_agents_collide" in info
+    assert "min_human_dist" in info
+    assert np.all(np.asarray(info["min_human_dist"]) < 1e6)
+
+
+def test_jit_scan(env):
+    state, obs = env.reset(seed=0)
+
+    def unroll(s, _):
+        s, o, r, d, i = env.step_fn(s, jnp.full((N,), 1))
+        return s, r
+
+    s2, rs = jax.jit(lambda s: jax.lax.scan(unroll, s, None, length=6))(state)
+    assert rs.shape == (6, N)
