@@ -1,0 +1,86 @@
+"""sim_utilities / object states / kinematic relationships / debug viz
+(reference §2.2 coverage)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from habitat_tpu.sims import sim_utilities as su
+from habitat_tpu.sims.procedural import generate_empty_room
+
+
+def test_spatial_predicates():
+    # box A on top of box B
+    b_c, b_s = [0, 0.25, 0], [1.0, 0.5, 1.0]
+    a_c, a_s = [0.1, 0.6, 0.1], [0.2, 0.2, 0.2]
+    assert su.above(a_c, a_s, b_c, b_s)
+    assert su.ontop(a_c, a_s, b_c, b_s)
+    assert not su.ontop(b_c, b_s, a_c, a_s)
+    assert su.within([0, 0.3, 0], b_c, b_s)
+    assert not su.within([2, 0.3, 0], b_c, b_s)
+    assert su.object_in_region([0.5, 0, 0.5], [0, -1, 0], [1, 1, 1])
+    # batched
+    pts = jnp.asarray([[0.0, 0.3, 0.0], [5.0, 0.0, 0.0]])
+    inside = su.batched_within(pts, jnp.asarray([-0.5, 0.0, -0.5]), jnp.asarray([0.5, 0.5, 0.5]))
+    assert bool(inside[0]) and not bool(inside[1])
+
+
+def test_snap_down_and_on_floor():
+    scene = generate_empty_room(extent=6.0)
+    c = su.snap_down(scene, [3.0, 1.0, 3.0], [0.2, 0.3, 0.2])
+    assert c is not None
+    assert abs(c[1] - (scene.floor_y + 0.15)) < 1e-6
+    assert su.on_floor(scene, c, [0.2, 0.3, 0.2])
+    # outside the room -> None
+    assert su.snap_down(scene, [-2.0, 1.0, 3.0], [0.2, 0.3, 0.2]) is None
+
+
+def test_object_state_machine():
+    from habitat_tpu.sims.object_state_machine import (
+        BooleanObjectState,
+        ObjectStateMachine,
+        init_state_channels,
+        set_state,
+    )
+
+    specs = [BooleanObjectState("is_clean", default_value=False)]
+    osm = ObjectStateMachine(specs)
+    osm.register_object("cup", semantic_class=0)
+    assert osm.get_state("cup", "is_clean") is False
+    osm.set_state("cup", "is_clean", True)
+    assert osm.get_snapshot_dict()["cup"]["is_clean"] is True
+
+    ch = init_state_channels(specs, num_envs=3, num_objects=2)
+    ch = set_state(ch, "is_clean", jnp.asarray([True, False, True]), jnp.asarray([0, 0, 1]), True)
+    arr = np.asarray(ch["is_clean"])
+    assert arr[0, 0] and not arr[1, 0] and arr[2, 1]
+
+
+def test_kinematic_relationships():
+    from habitat_tpu.sims.kinematic_relationship_manager import (
+        KinematicRelationshipManager,
+    )
+
+    centers = np.array([[0, 0.25, 0], [0, 0.6, 0], [3, 0.25, 3]])
+    sizes = np.array([[1, 0.5, 1], [0.2, 0.2, 0.2], [1, 0.5, 1]])
+    krm = KinematicRelationshipManager(3)
+    krm.initialize_from_obj_state(centers, sizes)
+    assert krm.relationship_graph.get_parent(1) == 0
+    assert krm.relationship_graph.get_children(0) == [1]
+    # parent 0 moves by (1,0,0): child 1 follows
+    pos = jnp.asarray(centers)[None]
+    delta = jnp.zeros((1, 3, 3)).at[0, 0].set(jnp.asarray([1.0, 0.0, 0.0]))
+    new = np.asarray(krm.apply_relations(pos, delta))[0]
+    np.testing.assert_allclose(new[1], centers[1] + [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(new[2], centers[2], atol=1e-6)
+
+
+def test_debug_visualizer(tmp_path):
+    from habitat_tpu.sims.debug_visualizer import DebugVisualizer
+    from habitat_tpu.sims.scene import pack_scenes
+
+    scene = generate_empty_room(extent=6.0)
+    dbv = DebugVisualizer(pack_scenes([scene]), resolution=(48, 48))
+    frame = dbv.peek([3.0, 2.0, 5.5], target=[3.0, 0.0, 3.0])
+    assert frame.shape == (48, 48, 3)
+    assert frame.std() > 1.0
+    dbv.make_debug_video(str(tmp_path))
