@@ -36,7 +36,9 @@ from habitat_tpu.core.registry import registry
 from habitat_tpu.models.policy import (
     ActorCritic,
     evaluate_actions_stats,
+    evaluate_gaussian_actions,
     sample_action,
+    sample_gaussian_action,
 )
 from habitat_tpu.models.rnn_state_encoder import initial_hidden_state
 
@@ -149,14 +151,36 @@ class PPOLearner:
         *,
         measure_keys: Tuple[str, ...] = ("success", "spl", "distance_to_goal"),
         total_updates: Optional[int] = None,
+        action_type: str = "categorical",  # "categorical" | "gaussian"
     ):
         self.env = env
         self.policy = policy
         self.cfg = cfg
         self.optimizer = make_optimizer(cfg, total_updates)
         self.measure_keys = measure_keys
+        self.action_type = action_type
         n = env.num_envs
         assert n % cfg.num_mini_batch == 0, (n, cfg.num_mini_batch)
+
+    def _zero_action(self, n):
+        if self.action_type == "gaussian":
+            import numpy as _np
+
+            dim = int(_np.prod(self.env.action_space.shape))
+            return jnp.zeros((n, dim), jnp.float32)
+        return jnp.zeros((n,), jnp.int32)
+
+    def _sample(self, dist_params, key):
+        if self.action_type == "gaussian":
+            mu, log_std = dist_params
+            return sample_gaussian_action(mu, log_std, key)
+        return sample_action(dist_params, key)
+
+    def _evaluate(self, dist_params, actions):
+        if self.action_type == "gaussian":
+            mu, log_std = dist_params
+            return evaluate_gaussian_actions(mu, log_std, actions)
+        return evaluate_actions_stats(dist_params, actions)
 
     # -- init ---------------------------------------------------------
     def init_fn(self, key: jax.Array) -> TrainState:
@@ -167,7 +191,7 @@ class PPOLearner:
         hidden = initial_hidden_state(
             n, net.hidden_size, net.num_recurrent_layers, net.rnn_type
         )
-        prev_action = jnp.zeros((n,), jnp.int32)
+        prev_action = self._zero_action(n)
         not_done = jnp.zeros((n,), jnp.float32)  # start of episode -> mask 0
         params = self.policy.init(k_param, obs, hidden, prev_action, not_done)
         opt_state = self.optimizer.init(params)
@@ -195,10 +219,10 @@ class PPOLearner:
         def step(carry, _):
             env_state, obs, hidden, prev_action, not_done, key, ep_ret, ep_len = carry
             key, k_act = jax.random.split(key)
-            logits, value, new_hidden = self.policy.apply(
+            dist_params, value, new_hidden = self.policy.apply(
                 ts.params, obs, hidden, prev_action, not_done
             )
-            action, logp = sample_action(logits, k_act)
+            action, logp = self._sample(dist_params, k_act)
             new_env_state, new_obs, reward, done, info = self.env.step_fn(
                 env_state, action
             )
@@ -263,7 +287,7 @@ class PPOLearner:
         )
         # bootstrap value (reference get_value at rollout end,
         # ppo_trainer.py:489-506)
-        logits, last_value, _ = self.policy.apply(
+        _, last_value, _ = self.policy.apply(
             ts.params, obs, hidden, prev_action, not_done
         )
         rollout_stats = jax.tree.map(lambda x: jnp.sum(x, axis=0), stats)
@@ -282,10 +306,10 @@ class PPOLearner:
     # -- update -------------------------------------------------------
     def _loss_fn(self, params, mb, h0_mb, clip_param):
         cfg = self.cfg
-        logits, values, _ = self.policy.apply(
+        dist_params, values, _ = self.policy.apply(
             params, mb["obs"], h0_mb, mb["prev_actions"], mb["masks"]
         )
-        logp, entropy = evaluate_actions_stats(logits, mb["actions"])
+        logp, entropy = self._evaluate(dist_params, mb["actions"])
         ratio = jnp.exp(logp - mb["log_probs"])
         adv = mb["advantages"]
         surr1 = ratio * adv

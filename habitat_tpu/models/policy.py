@@ -289,3 +289,99 @@ def make_pointnav_baseline_policy(num_actions: int, hidden_size: int = 512, **kw
     return make_pointnav_resnet_policy(
         num_actions, backbone="resnet9", hidden_size=hidden_size, **kw
     )
+
+
+class GaussianHead(nn.Module):
+    """Continuous action head (reference GaussianNet, rl/ppo/policy.py —
+    action_distribution_type 'gaussian' with state-independent log std,
+    config action_dist.use_log_std/std_init)."""
+
+    num_outputs: int
+    std_init: float = 0.0
+    min_log_std: float = -5.0
+    max_log_std: float = 2.0
+
+    @nn.compact
+    def __call__(self, x):
+        mu = nn.Dense(
+            self.num_outputs,
+            kernel_init=nn.initializers.orthogonal(0.01),
+            bias_init=nn.initializers.zeros,
+        )(x)
+        log_std = self.param(
+            "log_std",
+            lambda k, s: jnp.full(s, self.std_init, jnp.float32),
+            (self.num_outputs,),
+        )
+        log_std = jnp.clip(log_std, self.min_log_std, self.max_log_std)
+        return mu, jnp.broadcast_to(log_std, mu.shape)
+
+
+def sample_gaussian_action(mu, log_std, key, deterministic: bool = False):
+    """Sample + log prob for the diagonal-Gaussian policy."""
+    std = jnp.exp(log_std)
+    if deterministic:
+        act = mu
+    else:
+        act = mu + std * jax.random.normal(key, mu.shape)
+    logp = -0.5 * jnp.sum(
+        ((act - mu) / std) ** 2 + 2 * log_std + jnp.log(2 * jnp.pi), axis=-1
+    )
+    return act, logp
+
+
+def evaluate_gaussian_actions(mu, log_std, actions):
+    """(log_prob, entropy) for stored continuous actions."""
+    std = jnp.exp(log_std)
+    logp = -0.5 * jnp.sum(
+        ((actions - mu) / std) ** 2 + 2 * log_std + jnp.log(2 * jnp.pi), axis=-1
+    )
+    entropy = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1)
+    return logp, entropy
+
+
+class GaussianActorCritic(nn.Module):
+    """Continuous-control actor-critic (rearrange arm/base velocity control —
+    reference uses action_distribution_type='gaussian' for those tasks)."""
+
+    net: PointNavResNetNet
+    num_outputs: int = 10
+    std_init: float = 0.0
+
+    def setup(self):
+        self.action_head = GaussianHead(self.num_outputs, std_init=self.std_init)
+        self.critic = CriticHead()
+
+    def __call__(self, obs, hidden, prev_actions, masks):
+        feats, new_hidden = self.net(obs, hidden, prev_actions, masks)
+        mu, log_std = self.action_head(feats)
+        values = self.critic(feats)
+        return (mu, log_std), values, new_hidden
+
+
+@registry.register_policy(name="GaussianResNetPolicy")
+def make_gaussian_resnet_policy(
+    num_outputs: int,
+    *,
+    backbone: str = "resnet18",
+    hidden_size: int = 512,
+    rnn_type: str = "LSTM",
+    num_recurrent_layers: int = 1,
+    has_visual: bool = True,
+    goal_keys: Sequence[str] = (),
+    std_init: float = 0.0,
+) -> GaussianActorCritic:
+    return GaussianActorCritic(
+        net=PointNavResNetNet(
+            num_actions=1,  # prev-action embed unused for continuous
+            backbone=backbone,
+            hidden_size=hidden_size,
+            rnn_type=rnn_type,
+            num_recurrent_layers=num_recurrent_layers,
+            has_visual=has_visual,
+            goal_keys=tuple(goal_keys),
+            discrete_actions=False,
+        ),
+        num_outputs=num_outputs,
+        std_init=std_init,
+    )

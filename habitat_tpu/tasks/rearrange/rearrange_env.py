@@ -111,6 +111,7 @@ class RearrangeBatchedEnv:
         turn_angle_deg: float = 10.0,
         render_size: Optional[Tuple[int, int]] = (128, 128),
         with_visual: bool = True,
+        continuous: bool = False,
     ):
         self.pack = pack
         self.table = table
@@ -129,9 +130,17 @@ class RearrangeBatchedEnv:
         self.with_visual = with_visual and render_size is not None
         self.render_size = render_size
         self.num_objects = int(table.obj_init.shape[1])
+        self.continuous = continuous
 
-        self.action_space = spaces.Discrete(len(REARRANGE_ACTION_NAMES))
-        self.action_names = REARRANGE_ACTION_NAMES
+        if continuous:
+            # (lin_vel, ang_vel, grip) in [-1,1] — reference BaseVelAction +
+            # grip composite (tasks/rearrange/actions/actions.py:434 +
+            # grip_actions.py); HabGymWrapper's flattened Box equivalent
+            self.action_space = spaces.Box(-1.0, 1.0, (3,), np.float32)
+            self.action_names = ("base_velocity", "grip")
+        else:
+            self.action_space = spaces.Discrete(len(REARRANGE_ACTION_NAMES))
+            self.action_names = REARRANGE_ACTION_NAMES
         obs_spaces: Dict[str, spaces.Space] = {
             "obj_start_sensor": spaces.Box(-np.inf, np.inf, (3,), np.float32),
             "obj_goal_sensor": spaces.Box(-np.inf, np.inf, (3,), np.float32),
@@ -357,22 +366,32 @@ class RearrangeBatchedEnv:
         return state, self._observations(state)
 
     def step_fn(self, state: RearrangeState, actions: jnp.ndarray):
-        a = actions.astype(jnp.int32)
         n = self.num_envs
         n_idx = jnp.arange(n)
         prev_m = self._measures(state)
         sid = self._sid(state)
 
-        stop = state.stop_called | (a == A_STOP)
-        yaw = state.yaw + jnp.where(a == A_LEFT, self.turn, 0.0) - jnp.where(
-            a == A_RIGHT, self.turn, 0.0
-        )
-        move = jnp.where(a == A_FWD, self.fwd, 0.0)
+        if self.continuous:
+            acts = actions.astype(jnp.float32)
+            lin = jnp.clip(acts[:, 0], -1.0, 1.0)
+            ang = jnp.clip(acts[:, 1], -1.0, 1.0)
+            grip = acts[:, 2] > 0.0
+            a = jnp.where(grip, A_GRAB, A_FWD).astype(jnp.int32)  # for logs
+            stop = state.stop_called  # continuous control has no stop action
+            yaw = state.yaw + ang * self.turn
+            move = lin * self.fwd
+        else:
+            a = actions.astype(jnp.int32)
+            stop = state.stop_called | (a == A_STOP)
+            yaw = state.yaw + jnp.where(a == A_LEFT, self.turn, 0.0) - jnp.where(
+                a == A_RIGHT, self.turn, 0.0
+            )
+            move = jnp.where(a == A_FWD, self.fwd, 0.0)
         target = state.pos + yaw_to_forward(yaw) * move[:, None]
         new_pos, collided = jax.vmap(functools.partial(ng.try_step, self.pack))(
             sid, state.pos, target
         )
-        moved = move > 0
+        moved = jnp.abs(move) > 1e-6
         collided = collided & moved
         new_pos = jnp.where(moved[:, None], new_pos, state.pos)
 
@@ -389,7 +408,11 @@ class RearrangeBatchedEnv:
         )
 
         # -- magic grasp / release (reference grip_actions.py:38-177) ----
-        grab = a == A_GRAB
+        if self.continuous:
+            # grip toggles only on sign CHANGE semantics: act when grip>0
+            grab = grip & (state.last_action != A_GRAB)
+        else:
+            grab = a == A_GRAB
         ee = self._ee_pos(state)
         objs = self._obj_world(state)
         d = jnp.linalg.norm(objs - ee[:, None, :], axis=-1)  # (N,O)

@@ -124,3 +124,35 @@ def test_train_step_multi_device_sharded(small_learner):
     # params remain replicated and identical across devices
     leaf = jax.tree.leaves(ts.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_gaussian_ppo_on_continuous_rearrange():
+    """PPO with the Gaussian head on the continuous rearrange env (reference
+    action_distribution_type='gaussian' for arm/base control)."""
+    from habitat_tpu.tasks.rearrange.generator import make_rearrange_env
+    from habitat_tpu.models.policy import make_gaussian_resnet_policy
+
+    env = make_rearrange_env(
+        num_envs=4,
+        task="pick",
+        with_visual=False,
+        n_rooms_per_axis=1,
+        n_clutter=0,
+        max_episode_steps=32,
+        continuous=True,
+    )
+    assert env.action_space.shape == (3,)
+    policy = make_gaussian_resnet_policy(3, has_visual=False, hidden_size=32)
+    learner = PPOLearner(
+        env,
+        policy,
+        PPOConfig(num_steps=8, num_mini_batch=2, ppo_epoch=1),
+        measure_keys=("success",),
+        action_type="gaussian",
+    )
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0))
+    step = jax.jit(learner.train_step, donate_argnums=(0,))
+    ts, m = step(ts)
+    assert np.isfinite(float(m["losses/learner_loss"]))
+    ts, m = step(ts)
+    assert np.isfinite(float(m["losses/entropy"]))
