@@ -167,3 +167,128 @@ def raycast_pallas_batch(
         ),
     )(sids.astype(jnp.int32), F, tri_mat, tri_attr)
     return t.reshape(N, R), attrs.reshape(N, R, ATTR_CH)
+
+
+def _culled_kernel(
+    sids_ref,  # scalar-prefetch (N,)
+    chunks_ref,  # scalar-prefetch (N*n_tiles*K,) flattened chunk ids
+    f_ref,  # (1, 1, ray_tile, 10)
+    m_ref,  # (1, 10, 4, C) — this grid step's candidate chunk
+    a_ref,  # (1, C, 8)
+    t_out,  # (1, 1, 8, ray_tile//8) — revisited across the K axis
+    attr_out,  # (1, 1, ray_tile, 8)
+    *,
+    tri_chunk: int,
+):
+    k = pl.program_id(2)
+    F = f_ref[0, 0]
+    C = tri_chunk
+    Rt = F.shape[0]
+
+    @pl.when(k == 0)
+    def _():
+        t_out[0, 0] = jnp.full((t_out.shape[2], t_out.shape[3]), _TMAX, jnp.float32)
+        attr_out[0, 0] = jnp.zeros((Rt, ATTR_CH), jnp.float32)
+
+    M = m_ref[0]  # (10, 4, C)
+    G = jax.lax.dot_general(
+        F,
+        M.reshape(10, 4 * C),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    detA = G[:, 0 * C : 1 * C]
+    tnum = G[:, 1 * C : 2 * C]
+    unum = G[:, 2 * C : 3 * C]
+    vnum = G[:, 3 * C : 4 * C]
+    s = jnp.sign(detA)
+    a = jnp.abs(detA)
+    us = unum * s
+    vs = vnum * s
+    ts_ = tnum * s
+    hit = (a > _EPS) & (us >= 0.0) & (vs >= 0.0) & (us + vs <= a) & (ts_ > _TMIN * a)
+    t = jnp.where(hit, tnum / jnp.where(a > _EPS, detA, 1.0), _TMAX)
+    tmin = jnp.min(t, axis=1, keepdims=True)
+    win = jnp.argmin(t, axis=1).astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    oh = (lane == win[:, None]) & (tmin < _TMAX)
+    attrs = jax.lax.dot_general(
+        oh.astype(jnp.float32),
+        a_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    tmin = tmin[:, 0]
+
+    best_t = t_out[0, 0].reshape(Rt)
+    better = tmin < best_t
+    t_out[0, 0] = jnp.where(better, tmin, best_t).reshape(
+        t_out.shape[2], t_out.shape[3]
+    )
+    attr_out[0, 0] = jnp.where(better[:, None], attrs, attr_out[0, 0])
+
+
+def raycast_pallas_culled(
+    tri_mat: jnp.ndarray,  # (S, 10, 4, T)
+    tri_attr: jnp.ndarray,  # (S, T, 8)
+    chunk_ids: jnp.ndarray,  # (N, n_tiles, K) int32 from select_chunks
+    sids: jnp.ndarray,  # (N,)
+    origins: jnp.ndarray,  # (N, R, 3)
+    dirs: jnp.ndarray,  # (N, R, 3)
+    ray_tile: int = 1024,
+    tri_chunk: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Culled closest-hit: each ray tile tests only its K candidate chunks —
+    the kernel's grid is (N, n_tiles, K) with the output block revisited over
+    K (Mosaic keeps it in VMEM), so work scales with K·128 triangles, not the
+    scene size."""
+    from habitat_tpu.ops.raycast import ray_features
+
+    N, R, _ = origins.shape
+    S, _, _, T = tri_mat.shape
+    n_tiles = R // ray_tile
+    K = chunk_ids.shape[-1]
+    assert chunk_ids.shape == (N, n_tiles, K)
+
+    F = ray_features(origins, dirs).reshape(N, n_tiles, ray_tile, 10)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N, n_tiles, K),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, ray_tile, 10),
+                lambda i, j, k, sids, ch: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 10, 4, tri_chunk),
+                lambda i, j, k, sids, ch: (sids[i], 0, 0, ch[i, j, k]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tri_chunk, ATTR_CH),
+                lambda i, j, k, sids, ch: (sids[i], ch[i, j, k], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 8, ray_tile // 8), lambda i, j, k, sids, ch: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, ray_tile, ATTR_CH), lambda i, j, k, sids, ch: (i, j, 0, 0)),
+        ],
+    )
+
+    t, attrs = pl.pallas_call(
+        functools.partial(_culled_kernel, tri_chunk=tri_chunk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, n_tiles, 8, ray_tile // 8), jnp.float32),
+            jax.ShapeDtypeStruct((N, n_tiles, ray_tile, ATTR_CH), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * R * K * tri_chunk * (10 * 4 + ATTR_CH) // 1,
+            bytes_accessed=N * R * 48 + N * n_tiles * K * tri_chunk * 192,
+            transcendentals=0,
+        ),
+    )(sids.astype(jnp.int32), chunk_ids.astype(jnp.int32), F, tri_mat, tri_attr)
+    return t.reshape(N, R), attrs.reshape(N, R, ATTR_CH)

@@ -287,6 +287,8 @@ class ScenePack:
     tri_valid: jnp.ndarray  # (S, T) bool
     tri_mat: jnp.ndarray  # (S, 10, 4, T) f32 — MXU raycast coefficient matrix
     tri_attr: jnp.ndarray  # (S, T, 8) f32 — [unit normal(3), color(3), sem, valid]
+    chunk_bounds: jnp.ndarray  # (S, T//chunk, 4) f32 — bounding spheres (xyz, r)
+    # of 128-triangle chunks (spatially sorted), for per-ray-tile cone culling
     nav_occ: jnp.ndarray  # (S, NX, NZ) bool
     obst_dist: jnp.ndarray  # (S, NX, NZ) f32 meters to nearest obstacle
     nav_lo: jnp.ndarray  # (S, 2) f32
@@ -307,9 +309,32 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pack_scenes(scenes: List[SceneData], tri_pad: int = 256) -> ScenePack:
-    """Pack host scenes into one padded device pytree."""
+TRI_CHUNK = 128  # raycast kernel chunk size; chunks are the culling unit
+
+
+def _morton_sort(centroids: np.ndarray) -> np.ndarray:
+    """Spatially-coherent triangle order (morton code of quantized centroid)
+    so 128-tri chunks have tight bounding spheres."""
+    lo = centroids.min(axis=0)
+    span = centroids.max(axis=0) - lo + 1e-6
+    q = np.clip(((centroids - lo) / span * 1023).astype(np.uint32), 0, 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return np.argsort(code, kind="stable")
+
+
+def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
+    """Pack host scenes into one padded device pytree (triangles morton-
+    sorted; per-chunk bounding spheres for culling)."""
     assert len(scenes) > 0
+    tri_pad = max(tri_pad, TRI_CHUNK)
     t_max = _round_up(max(s.num_triangles for s in scenes), tri_pad)
     grids = [s.nav_occ.shape for s in scenes]
     nx = max(g[0] for g in grids)
@@ -329,15 +354,31 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = 256) -> ScenePack:
     lo = np.zeros((S, 2), np.float32)
     fy = np.zeros((S,), np.float32)
 
+    n_chunks = t_max // TRI_CHUNK
+    cb = np.zeros((S, n_chunks, 4), np.float32)
+
     for i, s in enumerate(scenes):
         n = s.num_triangles
         v = s.vertices
+        order = _morton_sort(v.mean(axis=1))
+        v = v[order]
         v0[i, :n] = v[:, 0]
         e1[i, :n] = v[:, 1] - v[:, 0]
         e2[i, :n] = v[:, 2] - v[:, 0]
-        col[i, :n] = s.colors
-        sem[i, :n] = s.semantic_ids
+        col[i, :n] = s.colors[order]
+        sem[i, :n] = s.semantic_ids[order]
         valid[i, :n] = True
+        # per-chunk bounding spheres (padding chunks: zero radius far away)
+        cb[i, :, 3] = -1.0
+        cb[i, :, 1] = -1e6
+        for c in range(n_chunks):
+            a, b = c * TRI_CHUNK, min((c + 1) * TRI_CHUNK, n)
+            if a >= n:
+                break
+            pts = v[a:b].reshape(-1, 3)
+            ctr = (pts.min(axis=0) + pts.max(axis=0)) / 2
+            cb[i, c, :3] = ctr
+            cb[i, c, 3] = float(np.linalg.norm(pts - ctr, axis=-1).max())
         from habitat_tpu.ops.raycast import build_tri_matrix
 
         tmat[i] = build_tri_matrix(v0[i], e1[i], e2[i], valid[i])
@@ -362,6 +403,7 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = 256) -> ScenePack:
         tri_valid=jnp.asarray(valid),
         tri_mat=jnp.asarray(tmat),
         tri_attr=jnp.asarray(tattr),
+        chunk_bounds=jnp.asarray(cb),
         nav_occ=jnp.asarray(occ),
         obst_dist=jnp.asarray(odist),
         nav_lo=jnp.asarray(lo),
@@ -384,6 +426,7 @@ def _scenepack_flatten(sp: ScenePack):
         sp.tri_valid,
         sp.tri_mat,
         sp.tri_attr,
+        sp.chunk_bounds,
         sp.nav_occ,
         sp.obst_dist,
         sp.nav_lo,

@@ -127,3 +127,43 @@ def test_render_batch_multi_scene():
     img0 = np.asarray(out["rgb"][0])
     img1 = np.asarray(out["rgb"][1])
     assert not np.array_equal(img0, img1)
+
+
+def test_chunk_selection_shapes_and_coverage():
+    """Culling prepass (ops/raycast.select_chunks*) — CPU-checkable parts."""
+    from habitat_tpu.ops.raycast import select_chunks, select_chunks_occluded
+    from habitat_tpu.utils.geometry import camera_rays
+
+    scenes = [generate_apartment(seed=9, extent=16.0, n_rooms_per_axis=3, n_clutter=120)]
+    pack = pack_scenes(scenes)
+    n_chunks = pack.tri_mat.shape[3] // 128
+    assert n_chunks >= 4
+    N, H, W = 2, 32, 32
+    yaw = jnp.asarray([0.0, 2.0])
+    dirs = jax.vmap(lambda y: camera_rays(y, jnp.float32(0), jnp.deg2rad(90.0), H, W))(
+        yaw
+    ).reshape(N, -1, 3)
+    orig = jnp.broadcast_to(jnp.array([8.0, 1.25, 8.0]), (N, H * W, 3))
+    ids = select_chunks(pack.chunk_bounds[jnp.zeros(N, jnp.int32)], orig, dirs, 256, 4)
+    assert ids.shape == (N, 4, 4)
+    assert int(ids.max()) < n_chunks
+    ids2 = select_chunks_occluded(
+        pack.tri_mat,
+        pack.chunk_bounds[jnp.zeros(N, jnp.int32)],
+        jnp.zeros(N, jnp.int32),
+        orig,
+        dirs,
+        256,
+        4,
+        lowres_stride=16,
+    )
+    assert ids2.shape == (N, 4, 4)
+    # bounding spheres cover their triangles
+    cb = np.asarray(pack.chunk_bounds[0])
+    v0 = np.asarray(pack.tri_v0[0]).reshape(n_chunks, 128, 3)
+    valid = np.asarray(pack.tri_valid[0]).reshape(n_chunks, 128)
+    for c in range(n_chunks):
+        if not valid[c].any():
+            continue
+        d = np.linalg.norm(v0[c][valid[c]] - cb[c, :3], axis=-1)
+        assert d.max() <= cb[c, 3] + 1e-3

@@ -61,6 +61,6 @@ def test_pack_scenes():
     scenes = [generate_apartment(seed=s, extent=8.0) for s in range(3)]
     pack = pack_scenes(scenes)
     assert pack.num_scenes == 3
-    assert pack.max_triangles % 256 == 0
+    assert pack.max_triangles % 128 == 0
     assert pack.tri_valid.shape == (3, pack.max_triangles)
     assert bool(pack.tri_valid[0].sum() == scenes[0].num_triangles)
