@@ -65,15 +65,21 @@ def _kernel(
         tnum = G[:, 1 * C : 2 * C]
         unum = G[:, 2 * C : 3 * C]
         vnum = G[:, 3 * C : 4 * C]
-        s = jnp.sign(detA)
-        a = jnp.abs(detA)
-        us = unum * s
-        vs = vnum * s
-        ts = tnum * s
+        # sign-free hit test: multiply the barycentric inequalities through by
+        # detA (u = unum/detA >= 0  <=>  unum*detA >= 0, etc.) — saves the
+        # sign/abs lanes and keeps the divide for winners only
+        p = unum * detA
+        q = vnum * detA
+        w = tnum * detA
+        aa = detA * detA
         hit = (
-            (a > _EPS) & (us >= 0.0) & (vs >= 0.0) & (us + vs <= a) & (ts > _TMIN * a)
+            (aa > _EPS * _EPS)
+            & (p >= 0.0)
+            & (q >= 0.0)
+            & (p + q <= aa)
+            & (w > _TMIN * aa)
         )
-        t = jnp.where(hit, tnum / jnp.where(a > _EPS, detA, 1.0), _TMAX)
+        t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
         tmin = jnp.min(t, axis=1, keepdims=True)  # (Rt, 1)
         # exact one-hot of the winner via argmin (ties -> lowest index)
         win = jnp.argmin(t, axis=1).astype(jnp.int32)  # (Rt,)
@@ -108,7 +114,7 @@ def raycast_pallas_batch(
     sids: jnp.ndarray,  # (N,) int32
     origins: jnp.ndarray,  # (N, R, 3)
     dirs: jnp.ndarray,  # (N, R, 3)
-    ray_tile: int = 1024,
+    ray_tile: int = 2048,
     tri_chunk: int = 128,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closest-hit + shading for all envs.
@@ -201,13 +207,18 @@ def _culled_kernel(
     tnum = G[:, 1 * C : 2 * C]
     unum = G[:, 2 * C : 3 * C]
     vnum = G[:, 3 * C : 4 * C]
-    s = jnp.sign(detA)
-    a = jnp.abs(detA)
-    us = unum * s
-    vs = vnum * s
-    ts_ = tnum * s
-    hit = (a > _EPS) & (us >= 0.0) & (vs >= 0.0) & (us + vs <= a) & (ts_ > _TMIN * a)
-    t = jnp.where(hit, tnum / jnp.where(a > _EPS, detA, 1.0), _TMAX)
+    p = unum * detA
+    q = vnum * detA
+    w = tnum * detA
+    aa = detA * detA
+    hit = (
+        (aa > _EPS * _EPS)
+        & (p >= 0.0)
+        & (q >= 0.0)
+        & (p + q <= aa)
+        & (w > _TMIN * aa)
+    )
+    t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
     tmin = jnp.min(t, axis=1, keepdims=True)
     win = jnp.argmin(t, axis=1).astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
