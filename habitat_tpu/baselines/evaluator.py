@@ -35,6 +35,11 @@ def evaluate_agent(
     seed: int = 0,
     max_steps: Optional[int] = None,
     measure_keys: Tuple[str, ...] = ("success", "spl", "soft_spl", "distance_to_goal", "num_steps"),
+    video_option: Tuple[str, ...] = (),
+    video_dir: Optional[str] = None,
+    video_env: int = 0,
+    tb_writer=None,
+    checkpoint_idx: int = 0,
 ) -> Dict[str, float]:
     """Run evaluation; returns aggregated metrics (reference aggregates the
     per-episode stats dict the same way, habitat_evaluator.py:39+)."""
@@ -66,10 +71,23 @@ def evaluate_agent(
     if max_steps is None:
         max_steps = env.max_episode_steps * (episodes_per_env + 1) * 2
 
+    frames: list = []
+    record = bool(video_option)
+
     for t in range(max_steps):
         key, k = jax.random.split(key)
         action, hidden = act_step(params, obs, hidden, prev_action, not_done, k)
         state, obs, reward, done, info = env.step(state, action)
+        if record and counted[video_env] < quota[video_env]:
+            from habitat_tpu.utils.visualizations.utils import observations_to_image
+
+            frame_obs = {
+                k: np.asarray(v[video_env])
+                for k, v in obs.items()
+                if k in ("rgb", "depth", "semantic")
+            }
+            if frame_obs:
+                frames.append(observations_to_image(frame_obs, {}))
         prev_action = action
         not_done = 1.0 - np.asarray(done).astype(np.float32)
         not_done = jnp.asarray(not_done)
@@ -93,6 +111,18 @@ def evaluate_agent(
         return {}
     out = {k: v / total_eps for k, v in sums.items()}
     out["num_episodes"] = float(total_eps)
+    if record and frames:
+        from habitat_tpu.utils.common import generate_video
+
+        generate_video(
+            list(video_option),
+            video_dir,
+            frames,
+            episode_id=f"env{video_env}",
+            checkpoint_idx=checkpoint_idx,
+            metrics={k: out.get(k, 0.0) for k in ("success", "spl")},
+            tb_writer=tb_writer,
+        )
     return out
 
 

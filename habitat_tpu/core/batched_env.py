@@ -122,12 +122,14 @@ class BatchedEnv:
             s for s in self.sensors if not isinstance(s, VisualSensorSpec)
         )
         if self.visual_sensors:
-            hw = {(s.height, s.width, s.hfov) for s in self.visual_sensors}
+            hw = {(s.height, s.width, s.hfov, s.projection) for s in self.visual_sensors}
             assert len(hw) == 1, (
-                "All visual sensors must share resolution/hfov in one render "
-                f"group for now, got {hw}"
+                "All visual sensors must share resolution/hfov/projection in "
+                f"one render group for now, got {hw}"
             )
-            self._render_h, self._render_w, self._render_hfov = next(iter(hw))
+            self._render_h, self._render_w, self._render_hfov, self._render_proj = next(
+                iter(hw)
+            )
             depth_cfgs = [s for s in self.visual_sensors if isinstance(s, DepthSensor)]
             d = depth_cfgs[0] if depth_cfgs else DepthSensor(None)
             self._depth_cfg = (d.min_depth, d.max_depth, d.normalize_depth)
@@ -190,6 +192,7 @@ class BatchedEnv:
                 min_depth=mn,
                 max_depth=mx,
                 normalize_depth=norm,
+                projection=self._render_proj,
             )
             for s in self.visual_sensors:
                 obs[s.uuid] = frames[s.uuid]

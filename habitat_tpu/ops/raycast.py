@@ -381,6 +381,7 @@ def render_batch(
     backend: str = "auto",
     dynamic: Optional[Dict[str, jnp.ndarray]] = None,
     cull_k: int = 48,
+    projection: str = "pinhole",  # pinhole | equirect | fisheye
 ) -> Dict[str, jnp.ndarray]:
     """Render all envs: (N,H,W,C) frames, one fused raycast.
 
@@ -394,10 +395,16 @@ def render_batch(
     v0/e1/e2 (N,Td,3), valid (N,Td), color (N,Td,3), sem (N,Td); tested in a
     second (small, XLA) pass merged by closest hit.
     """
+    from habitat_tpu.utils.geometry import equirect_rays, fisheye_rays
+
     N = sids.shape[0]
-    dirs = jax.vmap(
-        lambda y, p: camera_rays(y, p, jnp.deg2rad(hfov_deg), height, width)
-    )(yaw, pitch).reshape(N, -1, 3)
+    if projection == "equirect":
+        ray_fn = lambda y, p: equirect_rays(y, p, height, width)
+    elif projection == "fisheye":
+        ray_fn = lambda y, p: fisheye_rays(y, p, jnp.deg2rad(hfov_deg * 2), height, width)
+    else:
+        ray_fn = lambda y, p: camera_rays(y, p, jnp.deg2rad(hfov_deg), height, width)
+    dirs = jax.vmap(ray_fn)(yaw, pitch).reshape(N, -1, 3)
     R = dirs.shape[1]
     origins = jnp.broadcast_to(cam_pos[:, None, :], (N, R, 3))
 
@@ -463,13 +470,16 @@ def render_batch(
         base = jnp.where(closer[..., None], col2, base)
         sem_val = jnp.where(closer, sem2, sem_val)
 
-    # planar depth = t * cos(angle to camera forward)
-    cp = jnp.cos(pitch)
-    fwd_flat = yaw_to_forward(yaw)
-    fwd = jnp.stack(
-        [fwd_flat[..., 0] * cp, jnp.sin(pitch), fwd_flat[..., 2] * cp], axis=-1
-    )
-    z = t * jnp.sum(dirs * fwd[:, None, :], axis=-1)
+    if projection == "pinhole":
+        # planar depth = t * cos(angle to camera forward) (HabitatSim semantics)
+        cp = jnp.cos(pitch)
+        fwd_flat = yaw_to_forward(yaw)
+        fwd = jnp.stack(
+            [fwd_flat[..., 0] * cp, jnp.sin(pitch), fwd_flat[..., 2] * cp], axis=-1
+        )
+        z = t * jnp.sum(dirs * fwd[:, None, :], axis=-1)
+    else:
+        z = t  # euclidean range for panoramic projections
     z = jnp.where(hit, z, max_depth)
     z = jnp.clip(z, min_depth, max_depth)
     if normalize_depth:

@@ -248,6 +248,8 @@ class VisualSensorSpec(FunctionalSensor):
     env (one raycast serves rgb+depth+semantic, reference renders each sensor
     via habitat-sim specs habitat_simulator.py:373-407)."""
 
+    projection = "pinhole"
+
     def __init__(self, config=None):
         super().__init__(config)
         self.height = _cfg(config, "height", 128)
@@ -556,3 +558,62 @@ class VelocityAction(FunctionalAction):
         self.min_abs_lin_speed = _cfg(config, "min_abs_lin_speed", 0.025)
         self.min_abs_ang_speed = _cfg(config, "min_abs_ang_speed", 1.0)
         self.time_step = _cfg(config, "time_step", 1.0)
+
+
+# -- panoramic projections (reference equirect/fisheye sensors,
+# habitat_simulator.py:231-258) — same uuids, different ray generators
+
+
+@registry.register_sensor(name="HabitatSimEquirectangularRGBSensor")
+class EquirectRGBSensor(RGBSensor):
+    projection = "equirect"
+
+
+@registry.register_sensor(name="HabitatSimEquirectangularDepthSensor")
+class EquirectDepthSensor(DepthSensor):
+    projection = "equirect"
+
+
+@registry.register_sensor(name="HabitatSimEquirectangularSemanticSensor")
+class EquirectSemanticSensor(SemanticSensor):
+    projection = "equirect"
+
+
+@registry.register_sensor(name="HabitatSimFisheyeRGBSensor")
+class FisheyeRGBSensor(RGBSensor):
+    projection = "fisheye"
+
+
+@registry.register_sensor(name="HabitatSimFisheyeDepthSensor")
+class FisheyeDepthSensor(DepthSensor):
+    projection = "fisheye"
+
+
+@registry.register_sensor(name="HabitatSimFisheyeSemanticSensor")
+class FisheyeSemanticSensor(SemanticSensor):
+    projection = "fisheye"
+
+
+@registry.register_sensor(name="InstanceImageGoalSensor")
+class InstanceImageGoalSensor(ImageGoalSensor):
+    """Goal-instance view (reference tasks/nav/instance_image_nav_task.py:91 —
+    renders the goal object from stored camera params; here served from the
+    precomputed goal-image table like ImageGoalSensor)."""
+
+    uuid = "instance_imagegoal"
+
+
+@registry.register_sensor(name="InstanceImageGoalHFOVSensor")
+class InstanceImageGoalHFOVSensor(FunctionalSensor):
+    """HFOV of the goal view (reference instance_image_nav_task.py:217)."""
+
+    uuid = "instance_imagegoal_hfov"
+
+    def observation_space(self):
+        return spaces.Box(low=0.0, high=360.0, shape=(1,), dtype=np.float32)
+
+    def compute(self, ctx: StepContext) -> jnp.ndarray:
+        extras = ctx.table.extras
+        if "instance_hfov" in extras:
+            return extras["instance_hfov"][ctx.ep_idx][:, None].astype(jnp.float32)
+        return jnp.full((ctx.pos.shape[0], 1), 90.0, jnp.float32)

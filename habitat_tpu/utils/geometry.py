@@ -120,3 +120,47 @@ def angle_diff(a, b):
     """Smallest signed angle a-b wrapped to [-pi, pi]."""
     d = a - b
     return jnp.arctan2(jnp.sin(d), jnp.cos(d))
+
+
+def equirect_rays(yaw, pitch, height, width):
+    """Equirectangular camera rays (reference equirect sensors,
+    habitat_simulator.py:231-243): full 360x180 panorama directions rotated by
+    the agent yaw (pitch applied as a latitude shift)."""
+    lon = jnp.linspace(-jnp.pi, jnp.pi, width, endpoint=False)
+    lat = jnp.linspace(jnp.pi / 2, -jnp.pi / 2, height)
+    LO, LA = jnp.meshgrid(lon, lat)
+    LA = LA + pitch
+    x = -jnp.sin(LO + yaw) * jnp.cos(LA)
+    y = jnp.sin(LA)
+    z = -jnp.cos(LO + yaw) * jnp.cos(LA)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def fisheye_rays(yaw, pitch, fov_rad, height, width):
+    """Equidistant fisheye rays (reference fisheye sensors,
+    habitat_simulator.py:246-258): angle from axis proportional to radius.
+    Pixels outside the image circle look along the axis (masked by callers)."""
+    ys = jnp.linspace(1.0, -1.0, height)
+    xs = jnp.linspace(-1.0, 1.0, width)
+    xx, yy = jnp.meshgrid(xs, ys)
+    r = jnp.sqrt(xx**2 + yy**2)
+    theta = jnp.clip(r, 0.0, 1.0) * (fov_rad / 2.0)
+    phi = jnp.arctan2(yy, xx)
+    # camera frame: forward -z
+    d_cam = jnp.stack(
+        [
+            jnp.sin(theta) * jnp.cos(phi),
+            jnp.sin(theta) * jnp.sin(phi),
+            -jnp.cos(theta),
+        ],
+        axis=-1,
+    )
+
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    x, y, z = d_cam[..., 0], d_cam[..., 1], d_cam[..., 2]
+    y2 = cp * y - sp * z
+    z2 = sp * y + cp * z
+    cyw, syw = jnp.cos(yaw), jnp.sin(yaw)
+    x3 = cyw * x + syw * z2
+    z3 = -syw * x + cyw * z2
+    return jnp.stack([x3, y2, z3], axis=-1)

@@ -1,0 +1,56 @@
+"""Evaluator: exactly-once accounting + video (reference habitat_evaluator)."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from habitat_tpu.baselines.evaluator import evaluate_agent
+from habitat_tpu.core.env_factory import make_nav_env
+from habitat_tpu.datasets.pointnav import make_procedural_pointnav
+from habitat_tpu.models.policy import make_pointnav_resnet_policy
+
+
+def test_evaluate_agent_counts_and_video(tmp_path):
+    scenes, episodes, fields = make_procedural_pointnav(
+        num_scenes=2, episodes_per_scene=4, seed=4
+    )
+    env = make_nav_env(
+        scenes,
+        episodes,
+        num_envs=4,
+        sensor_specs=(
+            ("HabitatSimDepthSensor", {"height": 32, "width": 32}),
+            ("PointGoalWithGPSCompassSensor", None),
+        ),
+        precomputed_fields=fields,
+        max_episode_steps=16,
+    )
+    policy = make_pointnav_resnet_policy(
+        len(env.actions), backbone="resnet9", hidden_size=32
+    )
+    n = env.num_envs
+    from habitat_tpu.models.rnn_state_encoder import initial_hidden_state
+    import jax.numpy as jnp
+
+    params = policy.init(
+        jax.random.PRNGKey(0),
+        {k: v for k, v in env._observations(env.reset(seed=0)[0]).items()},
+        initial_hidden_state(n, 32, 1, "LSTM"),
+        jnp.zeros((n,), jnp.int32),
+        jnp.ones((n,)),
+    )
+    metrics = evaluate_agent(
+        env,
+        policy,
+        params,
+        episodes_per_env=2,
+        seed=1,
+        video_option=("disk",),
+        video_dir=str(tmp_path),
+    )
+    assert metrics["num_episodes"] == 8.0  # exactly-once: 4 envs x 2 episodes
+    assert "spl" in metrics and "reward" in metrics
+    vids = os.listdir(tmp_path)
+    assert len(vids) == 1 and vids[0].endswith((".mp4", ".gif"))

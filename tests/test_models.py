@@ -142,3 +142,25 @@ def test_policy_seq_forward_matches_act_path():
         np.asarray(seq_logits), np.asarray(stepwise), atol=2e-4, rtol=2e-3
     )
     np.testing.assert_allclose(np.asarray(h_seq), np.asarray(h), atol=2e-4, rtol=2e-3)
+
+
+def test_running_mean_and_var():
+    """reference running_mean_and_var.py behavior: converges to batch stats."""
+    from habitat_tpu.models.running_mean_and_var import (
+        init_running_stats,
+        normalize,
+        update_running_stats,
+    )
+
+    rng = np.random.default_rng(0)
+    stats = init_running_stats(3)
+    data = rng.normal(loc=[1.0, -2.0, 5.0], scale=[0.5, 2.0, 1.0], size=(50, 16, 3))
+    for batch in data:
+        stats = update_running_stats(stats, jnp.asarray(batch))
+    np.testing.assert_allclose(np.asarray(stats.mean), [1.0, -2.0, 5.0], atol=0.2)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sqrt(stats.var)), [0.5, 2.0, 1.0], atol=0.2
+    )
+    z = normalize(stats, jnp.asarray(data.reshape(-1, 3)))
+    assert abs(float(jnp.mean(z))) < 0.1
+    assert abs(float(jnp.std(z)) - 1.0) < 0.1

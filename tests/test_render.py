@@ -167,3 +167,28 @@ def test_chunk_selection_shapes_and_coverage():
             continue
         d = np.linalg.norm(v0[c][valid[c]] - cb[c, :3], axis=-1)
         assert d.max() <= cb[c, 3] + 1e-3
+
+
+def test_equirect_and_fisheye_projections(room_pack):
+    """Panoramic projections (reference equirect/fisheye sensors)."""
+    for proj in ("equirect", "fisheye"):
+        out = render_env(
+            room_pack,
+            jnp.int32(0),
+            jnp.array([3.0, 1.25, 3.0]),
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+            height=32,
+            width=64,
+            normalize_depth=False,
+            projection=proj,
+        )
+        d = np.asarray(out["depth"])[..., 0]
+        assert d.shape == (32, 64)
+        assert np.all(np.isfinite(d))
+        if proj == "equirect":
+            # in a 6m room from center: every horizontal direction hits a wall
+            mid = d[16]
+            assert mid.max() < 6.0 and mid.min() > 1.0
+            # left/right edges both look backward (+z): equal depth (wrap)
+            assert abs(mid[0] - mid[-1]) < 0.3
