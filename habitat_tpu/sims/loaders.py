@@ -199,3 +199,74 @@ def load_scene(
         scene, res=nav_res, agent_radius=agent_radius, agent_height=agent_height
     )
     return scene
+
+
+def save_scene_glb(scene: SceneData, path: str) -> None:
+    """Minimal GLB writer (positions + per-primitive baseColor): used for
+    loader round-trip tests and for exporting procedural scenes to standard
+    tooling. One mesh primitive per semantic id so colors survive."""
+    import numpy as _np
+
+    sems = _np.unique(scene.semantic_ids)
+    buffers = []
+    accessors = []
+    buffer_views = []
+    primitives = []
+    materials = []
+    offset = 0
+
+    for gi, sem in enumerate(sems):
+        mask = scene.semantic_ids == sem
+        tris = scene.vertices[mask].astype(_np.float32)  # (t,3,3)
+        pos = tris.reshape(-1, 3)
+        blob = pos.tobytes()
+        buffer_views.append(
+            {"buffer": 0, "byteOffset": offset, "byteLength": len(blob)}
+        )
+        offset += len(blob)
+        buffers.append(blob)
+        accessors.append(
+            {
+                "bufferView": gi,
+                "componentType": 5126,
+                "count": int(len(pos)),
+                "type": "VEC3",
+                "min": [float(x) for x in pos.min(axis=0)],
+                "max": [float(x) for x in pos.max(axis=0)],
+            }
+        )
+        color = scene.colors[mask][0] if mask.any() else [0.6, 0.6, 0.6]
+        materials.append(
+            {
+                "pbrMetallicRoughness": {
+                    "baseColorFactor": [float(c) for c in color] + [1.0]
+                }
+            }
+        )
+        primitives.append({"attributes": {"POSITION": gi}, "material": gi, "mode": 4})
+
+    bin_chunk = b"".join(buffers)
+    pad = (-len(bin_chunk)) % 4
+    bin_chunk += b"\x00" * pad
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "habitat_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": primitives}],
+        "materials": materials,
+        "accessors": accessors,
+        "bufferViews": buffer_views,
+        "buffers": [{"byteLength": len(bin_chunk)}],
+    }
+    js = json.dumps(gltf).encode("utf-8")
+    js += b" " * ((-len(js)) % 4)
+
+    with open(path, "wb") as f:
+        total = 12 + 8 + len(js) + 8 + len(bin_chunk)
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(js), 0x4E4F534A))
+        f.write(js)
+        f.write(struct.pack("<II", len(bin_chunk), 0x004E4942))
+        f.write(bin_chunk)
