@@ -276,6 +276,10 @@ def rearrange_env_from_config(config: Config, num_envs: Optional[int] = None):
         "RearrangePlaceTask-v0": "place",
         "RearrangeEmptyTask-v0": "empty",
         "RearrangeCompositeTask-v0": "rearrange",
+        "RearrangeOpenDrawerTask-v0": "open",
+        "RearrangeOpenFridgeTask-v0": "open",
+        "RearrangeCloseDrawerTask-v0": "close",
+        "RearrangeCloseFridgeTask-v0": "close",
     }.get(task_type, "pick")
     proc = config.habitat.dataset.get("procedural", Config())
     return make_rearrange_env(

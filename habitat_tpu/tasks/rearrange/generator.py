@@ -180,6 +180,14 @@ def build_rearrange_table(
     target_pos = np.zeros((E, O, 3), np.float32)
     target_mask = np.zeros((E, O), bool)
     pick_target = np.zeros((E,), np.int32)
+    A = 1  # one articulated object (drawer) per episode
+    art_pos = np.zeros((E, A, 3), np.float32)
+    art_axis = np.zeros((E, A, 3), np.float32)
+    art_valid = np.zeros((E, A), bool)
+    art_target = np.zeros((E,), np.int32)
+    art_init_q = np.zeros((E,), np.float32)
+    art_goal_q = np.zeros((E,), np.float32)
+    rng_art = np.random.default_rng(1234)
     nav_episodes = []
 
     for i, ep in enumerate(episodes):
@@ -201,6 +209,24 @@ def build_rearrange_table(
             if not target_mask[i, j]:
                 target_pos[i, j] = obj_init[i, j]
         pick_target[i] = first_target if first_target is not None else 0
+        # articulated drawer: placed from episode metadata when present, else
+        # sampled at a navigable spot
+        scene = scenes[ep.scene_id]
+        markers = ep.markers if getattr(ep, "markers", None) else []
+        if markers:
+            m0 = markers[0]
+            art_pos[i, 0] = m0.get("position", [0, 0, 0])
+        else:
+            p = scene.sample_navigable_point(rng_art)
+            art_pos[i, 0] = p
+        ang = rng_art.uniform(-np.pi, np.pi)
+        art_axis[i, 0] = [np.cos(ang), 0.0, np.sin(ang)]
+        art_valid[i, 0] = True
+        task_kind = ep.info.get("art_task", "open")
+        if task_kind == "close":
+            art_init_q[i], art_goal_q[i] = 0.35, 0.0
+        else:
+            art_init_q[i], art_goal_q[i] = 0.0, 0.35
         # nav goal = pick-target object start (NavToObj semantics)
         nav_episodes.append(
             NavigationEpisode(
@@ -226,6 +252,12 @@ def build_rearrange_table(
         target_pos=jnp.asarray(target_pos),
         target_mask=jnp.asarray(target_mask),
         pick_target=jnp.asarray(pick_target),
+        art_pos=jnp.asarray(art_pos),
+        art_axis=jnp.asarray(art_axis),
+        art_valid=jnp.asarray(art_valid),
+        art_target=jnp.asarray(art_target),
+        art_init_q=jnp.asarray(art_init_q),
+        art_goal_q=jnp.asarray(art_goal_q),
     )
 
 

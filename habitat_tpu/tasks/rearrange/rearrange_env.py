@@ -56,6 +56,14 @@ class RearrangeTable:
     target_pos: jnp.ndarray  # (E, O, 3) goal position per object
     target_mask: jnp.ndarray  # (E, O) bool — objects that must move
     pick_target: jnp.ndarray  # (E,) int32 — focus object for pick/place
+    # articulated objects (drawers: prismatic joints, reference
+    # sub_tasks/articulated_object_task.py) — (E, A, ...) with A art objs
+    art_pos: jnp.ndarray  # (E, A, 3) body position
+    art_axis: jnp.ndarray  # (E, A, 3) prismatic axis (unit, horizontal)
+    art_valid: jnp.ndarray  # (E, A) bool
+    art_target: jnp.ndarray  # (E,) int32 target art obj
+    art_init_q: jnp.ndarray  # (E,) initial joint state of the target
+    art_goal_q: jnp.ndarray  # (E,) desired joint state
 
 
 @jtu.register_dataclass
@@ -70,6 +78,7 @@ class RearrangeState:
     yaw: jnp.ndarray
     prev_pos: jnp.ndarray
     obj_pos: jnp.ndarray  # (N, O, 3)
+    art_q: jnp.ndarray  # (N, A) joint states
     held: jnp.ndarray  # (N,) int32, -1 = none
     ever_held: jnp.ndarray  # (N,) bool — picked the right object at least once
     stop_called: jnp.ndarray
@@ -176,6 +185,16 @@ class RearrangeBatchedEnv:
     def _target_obj(self, state) -> jnp.ndarray:
         return self.table.pick_target[state.ep_idx]
 
+    def _handle_pos(self, state) -> jnp.ndarray:
+        """(N,3) world position of the target drawer handle (front face of
+        the drawer at its current extension)."""
+        n_idx = jnp.arange(self.num_envs)
+        a = self.table.art_target[state.ep_idx]
+        base = self.table.art_pos[state.ep_idx, a]
+        axis = self.table.art_axis[state.ep_idx, a]
+        q = state.art_q[n_idx, a]
+        return base + axis * (q[:, None] + 0.3) + jnp.array([0.0, 0.5, 0.0])
+
     def _obj_world(self, state) -> jnp.ndarray:
         """(N,O,3) object positions with the held one following the agent."""
         held = state.held  # (N,)
@@ -241,23 +260,42 @@ class RearrangeBatchedEnv:
         )
         tri = corners[faces]  # (12,3,3)
         center = objs + jnp.array([0.0, OBJ_HALF, 0.0])  # sit on floor
-        v = center[:, :, None, None, :] + tri[None, None, :, :, :]  # (N,O,12,3,3)
+        # articulated drawers render as larger boxes at base + axis*q
+        A = self.table.art_pos.shape[1]
+        art_center = (
+            self.table.art_pos[state.ep_idx]
+            + self.table.art_axis[state.ep_idx] * state.art_q[..., None]
+            + jnp.array([0.0, 0.4, 0.0])
+        )  # (N,A,3)
+        art_tri = tri * 3.0  # drawers are ~0.7m boxes
+        centers = jnp.concatenate([center, art_center], axis=1)
+        tris_all = jnp.concatenate(
+            [
+                jnp.broadcast_to(tri, (self.num_envs, self.num_objects, 12, 3, 3)),
+                jnp.broadcast_to(art_tri, (self.num_envs, A, 12, 3, 3)),
+            ],
+            axis=1,
+        )
+        v = centers[:, :, None, None, :] + tris_all  # (N,O+A,12,3,3)
         N = self.num_envs
         v = v.reshape(N, -1, 3, 3)
-        valid = jnp.repeat(self.table.obj_valid[state.ep_idx], 12, axis=1)
-        o_ids = jnp.arange(self.num_objects)
-        sem = jnp.repeat(
-            jnp.broadcast_to(o_ids[None], (N, self.num_objects)) + OBJ_SEM_BASE,
+        valid = jnp.repeat(
+            jnp.concatenate(
+                [self.table.obj_valid[state.ep_idx], self.table.art_valid[state.ep_idx]],
+                axis=1,
+            ),
             12,
             axis=1,
         )
+        n_dyn = self.num_objects + A
+        o_ids = jnp.arange(n_dyn)
+        sem = jnp.repeat(
+            jnp.broadcast_to(o_ids[None], (N, n_dyn)) + OBJ_SEM_BASE, 12, axis=1
+        )
         palette = jnp.asarray(
-            np.random.default_rng(7).uniform(0.3, 1.0, (self.num_objects, 3)),
-            jnp.float32,
+            np.random.default_rng(7).uniform(0.3, 1.0, (n_dyn, 3)), jnp.float32
         )
-        color = jnp.repeat(
-            jnp.broadcast_to(palette[None], (N, self.num_objects, 3)), 12, axis=1
-        )
+        color = jnp.repeat(jnp.broadcast_to(palette[None], (N, n_dyn, 3)), 12, axis=1)
         return dict(
             v0=v[:, :, 0],
             e1=v[:, :, 1] - v[:, :, 0],
@@ -301,7 +339,20 @@ class RearrangeBatchedEnv:
             "robot_collisions": state.collision_count.astype(jnp.float32),
             "num_steps": state.step.astype(jnp.float32),
         }
-        if self.task == "pick":
+        if self.task in ("open", "close"):
+            art_t = self.table.art_target[state.ep_idx]
+            q = state.art_q[n_idx, art_t]
+            goal_q = self.table.art_goal_q[state.ep_idx]
+            handle = self._handle_pos(state)
+            measures["art_obj_state"] = q
+            measures["art_obj_at_desired_state"] = (
+                jnp.abs(q - goal_q) < 0.05
+            ).astype(jnp.float32)
+            measures["ee_to_marker_dist"] = jnp.linalg.norm(
+                (handle - ee)[:, jnp.array([0, 2])], axis=-1
+            )
+            measures["success"] = measures["art_obj_at_desired_state"]
+        elif self.task == "pick":
             measures["pick_success"] = holding_target.astype(jnp.float32)
             measures["success"] = measures["pick_success"]
         elif self.task == "place":
@@ -321,7 +372,14 @@ class RearrangeBatchedEnv:
         """Distance-delta shaping + success bonus (reference
         RearrangePickReward/PlaceReward structure, sub_tasks/*_sensors.py)."""
         r = jnp.full((self.num_envs,), self.slack_reward)
-        if self.task == "pick":
+        if self.task in ("open", "close"):
+            r = r + self.dist_reward_scale * (
+                prev_m["ee_to_marker_dist"] - m["ee_to_marker_dist"]
+            )
+            r = r + 2.0 * jnp.abs(m["art_obj_state"] - prev_m["art_obj_state"]) * jnp.sign(
+                1.0
+            )
+        elif self.task == "pick":
             r = r + self.dist_reward_scale * (
                 prev_m["ee_to_object_distance"] - m["ee_to_object_distance"]
             )
@@ -348,6 +406,11 @@ class RearrangeBatchedEnv:
             yaw=yaw,
             prev_pos=pos,
             obj_pos=self.table.obj_init[ep_idx],
+            art_q=jnp.broadcast_to(
+                self.table.art_init_q[ep_idx][:, None],
+                (n, self.table.art_pos.shape[1]),
+            )
+            * self.table.art_valid[ep_idx],
             held=jnp.full((n,), -1, jnp.int32),
             ever_held=jnp.zeros((n,), bool),
             stop_called=jnp.zeros((n,), bool),
@@ -406,6 +469,23 @@ class RearrangeBatchedEnv:
             last_action=a,
             step=state.step + 1,
         )
+
+        # -- articulated interaction (art tasks: grab near the handle slides
+        # the prismatic joint toward the goal, reference ArtObj tasks) -------
+        if self.task in ("open", "close"):
+            interact = (a == A_GRAB)
+            handle = self._handle_pos(state)
+            near_handle = (
+                jnp.linalg.norm((handle - self._ee_pos(state))[:, jnp.array([0, 2])], axis=-1)
+                <= self.grasp_distance
+            )
+            art_t = self.table.art_target[state.ep_idx]
+            goal_q = self.table.art_goal_q[state.ep_idx]
+            cur_q = state.art_q[n_idx, art_t]
+            dq = jnp.clip(goal_q - cur_q, -0.08, 0.08)
+            new_q = jnp.where(interact & near_handle, cur_q + dq, cur_q)
+            art_q = state.art_q.at[n_idx, art_t].set(new_q)
+            state = dataclasses.replace(state, art_q=art_q)
 
         # -- magic grasp / release (reference grip_actions.py:38-177) ----
         if self.continuous:
@@ -466,6 +546,7 @@ class RearrangeBatchedEnv:
             yaw=sel(fresh.yaw, state.yaw),
             prev_pos=sel(fresh.prev_pos, state.prev_pos),
             obj_pos=sel(fresh.obj_pos, state.obj_pos),
+            art_q=sel(fresh.art_q, state.art_q),
             held=sel(fresh.held, state.held),
             ever_held=sel(fresh.ever_held, state.ever_held),
             stop_called=sel(fresh.stop_called, state.stop_called),

@@ -235,3 +235,49 @@ def test_rearrange_pick_learns():
         if i >= 40 and dc > 0:
             late_succ.append(float(m.get("m_success", 0.0)) / dc)
     assert np.mean(late_succ) > 0.05, np.mean(late_succ)
+
+
+def test_art_obj_open_drawer():
+    """ArtObj open task (reference sub_tasks/articulated_object_task.py):
+    navigate to the drawer handle, interact until open."""
+    env = make_rearrange_env(
+        num_envs=N,
+        task="open",
+        with_visual=False,
+        max_episode_steps=200,
+        n_rooms_per_axis=1,
+        n_clutter=0,
+        seed=4,
+    )
+    state, obs = env.reset(seed=0)
+    assert np.allclose(np.asarray(state.art_q), 0.0)
+    opened = False
+    for t in range(200):
+        # steer to the handle using the measure-provided handle position
+        handle = np.asarray(env._handle_pos(state))
+        pos = np.asarray(state.pos)
+        yaw = np.asarray(state.yaw)
+        d = handle - pos
+        dist = np.linalg.norm(d[:, [0, 2]], axis=-1)
+        # agent-frame angle
+        ang_world = np.arctan2(-d[:, 0], -d[:, 2])
+        ang = np.arctan2(np.sin(ang_world - yaw), np.cos(ang_world - yaw))
+        act = np.where(
+            dist < 0.8,
+            A_GRAB,
+            np.where(np.abs(ang) < np.deg2rad(12), A_FWD, np.where(ang > 0, A_LEFT, A_RIGHT)),
+        )
+        state, obs, r, done, info = env.step(state, jnp.asarray(act))
+        if np.any(np.asarray(info["art_obj_at_desired_state"]) > 0):
+            opened = True
+            break
+    assert opened, "no env opened its drawer"
+    assert np.asarray(info["art_obj_state"]).max() > 0.3
+
+
+def test_art_obj_renders():
+    env = make_rearrange_env(
+        num_envs=2, task="open", with_visual=True, render_size=(32, 32), seed=5
+    )
+    state, obs = env.reset(seed=0)
+    assert obs["robot_head_rgb"].shape == (2, 32, 32, 3)
