@@ -451,19 +451,50 @@ def render_batch(
 
     if dynamic is not None:
         td = dynamic["v0"].shape[1]
-        dmat = build_tri_matrix_jnp(
-            dynamic["v0"], dynamic["e1"], dynamic["e2"], dynamic["valid"]
-        )  # (N,10,4,Td)
-        t2, idx2 = raycast_mxu_batch(dmat, origins, dirs, tri_chunk=td)
-        closer = (idx2 >= 0) & (t2 < t)
-        si2 = jnp.maximum(idx2, 0)
-        nrm2 = jnp.cross(
-            jnp.take_along_axis(dynamic["e1"], si2[..., None], axis=1),
-            jnp.take_along_axis(dynamic["e2"], si2[..., None], axis=1),
-        )
-        nrm2 = nrm2 / (jnp.linalg.norm(nrm2, axis=-1, keepdims=True) + 1e-9)
-        col2 = jnp.take_along_axis(dynamic["color"], si2[..., None], axis=1)
-        sem2 = jnp.take_along_axis(dynamic["sem"], si2, axis=1).astype(jnp.float32)
+        pad = (-td) % 128
+        v0d = jnp.pad(dynamic["v0"], ((0, 0), (0, pad), (0, 0)))
+        e1d = jnp.pad(dynamic["e1"], ((0, 0), (0, pad), (0, 0)))
+        e2d = jnp.pad(dynamic["e2"], ((0, 0), (0, pad), (0, 0)))
+        validd = jnp.pad(dynamic["valid"], ((0, 0), (0, pad)))
+        dmat = build_tri_matrix_jnp(v0d, e1d, e2d, validd)  # (N,10,4,Tp)
+        if be == "pallas":
+            # per-env dynamic geometry = per-env "scenes": build the attr
+            # table in-jit and reuse the fused kernel with sids = arange(N)
+            from habitat_tpu.ops.raycast_pallas import raycast_pallas_batch
+
+            nrm = jnp.cross(e1d, e2d)
+            nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-9)
+            cold = jnp.pad(dynamic["color"], ((0, 0), (0, pad), (0, 0)))
+            semd = jnp.pad(dynamic["sem"], ((0, 0), (0, pad))).astype(jnp.float32)
+            dattr = jnp.concatenate(
+                [
+                    nrm,
+                    cold,
+                    semd[..., None],
+                    validd[..., None].astype(jnp.float32),
+                ],
+                axis=-1,
+            )  # (N,Tp,8)
+            t2, attrs2 = raycast_pallas_batch(
+                dmat, dattr, jnp.arange(N, dtype=jnp.int32), origins, dirs
+            )
+            closer = (attrs2[..., 7] > 0.5) & (t2 < t)
+            nrm2 = attrs2[..., 0:3]
+            col2 = attrs2[..., 3:6]
+            sem2 = attrs2[..., 6]
+        else:
+            t2, idx2 = raycast_mxu_batch(dmat, origins, dirs, tri_chunk=128)
+            closer = (idx2 >= 0) & (t2 < t)
+            si2 = jnp.maximum(idx2, 0)
+            nrm2 = jnp.cross(
+                jnp.take_along_axis(v0d * 0 + e1d, si2[..., None], axis=1),
+                jnp.take_along_axis(e2d, si2[..., None], axis=1),
+            )
+            nrm2 = nrm2 / (jnp.linalg.norm(nrm2, axis=-1, keepdims=True) + 1e-9)
+            cold = jnp.pad(dynamic["color"], ((0, 0), (0, pad), (0, 0)))
+            semd = jnp.pad(dynamic["sem"], ((0, 0), (0, pad)))
+            col2 = jnp.take_along_axis(cold, si2[..., None], axis=1)
+            sem2 = jnp.take_along_axis(semd, si2, axis=1).astype(jnp.float32)
         t = jnp.where(closer, t2, t)
         hit = hit | closer
         n = jnp.where(closer[..., None], nrm2, n)

@@ -271,6 +271,7 @@ def make_rearrange_env(
     render_size=(128, 128),
     n_rooms_per_axis: int = 2,
     n_clutter: int = 3,
+    num_objects: int = 3,
     **env_kw,
 ):
     from habitat_tpu.sims.scene import pack_scenes
@@ -282,6 +283,7 @@ def make_rearrange_env(
         seed=seed,
         n_rooms_per_axis=n_rooms_per_axis,
         n_clutter=n_clutter,
+        num_objects=num_objects,
     )
     scene_index = {s.scene_id: i for i, s in enumerate(scenes)}
     scene_map = {s.scene_id: s for s in scenes}
