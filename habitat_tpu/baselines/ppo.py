@@ -152,6 +152,8 @@ class PPOLearner:
         measure_keys: Tuple[str, ...] = ("success", "spl", "distance_to_goal"),
         total_updates: Optional[int] = None,
         action_type: str = "categorical",  # "categorical" | "gaussian"
+        aux_loss: Optional[Any] = None,  # e.g. aux_losses.CPCA instance
+        aux_loss_coef: float = 1.0,
     ):
         self.env = env
         self.policy = policy
@@ -159,8 +161,21 @@ class PPOLearner:
         self.optimizer = make_optimizer(cfg, total_updates)
         self.measure_keys = measure_keys
         self.action_type = action_type
+        self.aux_loss = aux_loss
+        self.aux_loss_coef = aux_loss_coef
         n = env.num_envs
         assert n % cfg.num_mini_batch == 0, (n, cfg.num_mini_batch)
+
+    def _apply_policy(self, params, *args, with_feats: bool = False):
+        p = params["policy"] if self.aux_loss is not None else params
+        if with_feats:
+            (out), inter = self.policy.apply(
+                p, *args, mutable=["intermediates"]
+            )
+            feats_list = jax.tree_util.tree_leaves(inter)
+            feats = feats_list[0] if feats_list else None
+            return out + (feats,)
+        return self.policy.apply(p, *args)
 
     def _zero_action(self, n):
         if self.action_type == "gaussian":
@@ -194,6 +209,18 @@ class PPOLearner:
         prev_action = self._zero_action(n)
         not_done = jnp.zeros((n,), jnp.float32)  # start of episode -> mask 0
         params = self.policy.init(k_param, obs, hidden, prev_action, not_done)
+        if self.aux_loss is not None:
+            # aux params live under their own top-level key in the pytree
+            n_ = self.env.num_envs
+            T_ = self.cfg.num_steps
+            H_ = net.hidden_size
+            dummy_b = jnp.zeros((T_, n_, H_))
+            dummy_a = jnp.zeros((T_, n_), jnp.int32)
+            dummy_m = jnp.ones((T_, n_))
+            aux_params = self.aux_loss.init(
+                jax.random.fold_in(k_param, 1), dummy_b, dummy_b, dummy_a, dummy_m, key
+            )
+            params = {"policy": params, "aux": aux_params}
         opt_state = self.optimizer.init(params)
         return TrainState(
             params=params,
@@ -219,7 +246,7 @@ class PPOLearner:
         def step(carry, _):
             env_state, obs, hidden, prev_action, not_done, key, ep_ret, ep_len = carry
             key, k_act = jax.random.split(key)
-            dist_params, value, new_hidden = self.policy.apply(
+            dist_params, value, new_hidden = self._apply_policy(
                 ts.params, obs, hidden, prev_action, not_done
             )
             action, logp = self._sample(dist_params, k_act)
@@ -287,7 +314,7 @@ class PPOLearner:
         )
         # bootstrap value (reference get_value at rollout end,
         # ppo_trainer.py:489-506)
-        _, last_value, _ = self.policy.apply(
+        _, last_value, _ = self._apply_policy(
             ts.params, obs, hidden, prev_action, not_done
         )
         rollout_stats = jax.tree.map(lambda x: jnp.sum(x, axis=0), stats)
@@ -306,9 +333,15 @@ class PPOLearner:
     # -- update -------------------------------------------------------
     def _loss_fn(self, params, mb, h0_mb, clip_param):
         cfg = self.cfg
-        dist_params, values, _ = self.policy.apply(
-            params, mb["obs"], h0_mb, mb["prev_actions"], mb["masks"]
-        )
+        if self.aux_loss is not None:
+            dist_params, values, _, feats = self._apply_policy(
+                params, mb["obs"], h0_mb, mb["prev_actions"], mb["masks"],
+                with_feats=True,
+            )
+        else:
+            dist_params, values, _ = self._apply_policy(
+                params, mb["obs"], h0_mb, mb["prev_actions"], mb["masks"]
+            )
         logp, entropy = self._evaluate(dist_params, mb["actions"])
         ratio = jnp.exp(logp - mb["log_probs"])
         adv = mb["advantages"]
@@ -337,6 +370,24 @@ class PPOLearner:
             "losses/value_loss": value_loss,
             "losses/entropy": ent,
         }
+        if self.aux_loss is not None and feats is not None:
+            # CPC|A over the minibatch sequence: beliefs = fused features,
+            # targets = the visual embedding (sow'd by the net)
+            T, Nmb = mb["masks"].shape
+            f = feats.reshape(T, Nmb, -1)
+            cpca = self.aux_loss.apply(
+                params["aux"],
+                f,
+                f,
+                mb["actions"].astype(jnp.int32)
+                if mb["actions"].ndim == 2
+                else jnp.zeros((T, Nmb), jnp.int32),
+                mb["masks"],
+                jax.random.PRNGKey(0),
+            )
+            total = total + self.aux_loss_coef * cpca
+            aux["losses/learner_loss"] = total
+            aux["losses/cpca"] = cpca
         return total, aux
 
     def _update(self, ts: TrainState, batch: RolloutBatch, last_value, h0):

@@ -141,7 +141,11 @@ class PointNavResNetNet(nn.Module):
                 ngroups=self.ngroups,
                 normalize_visual_inputs=self.normalize_visual_inputs,
             )(visual_obs)
-            parts.append(nn.relu(nn.Dense(self.hidden_size)(enc)))
+            visual_fc = nn.relu(nn.Dense(self.hidden_size)(enc))
+            # expose the visual embedding for auxiliary losses (CPC|A targets,
+            # reference cpc_aux_loss.py) without changing the call signature
+            self.sow("intermediates", "visual_feats", visual_fc)
+            parts.append(visual_fc)
 
         # goal embeddings (reference fuses each goal sensor through a 32-dim
         # embedding, resnet_policy.py:434-549); pointgoal polar form is

@@ -57,3 +57,44 @@ def test_cpca_discriminates_after_training():
         if first is None:
             first = float(l)
     assert float(l) < first - 0.05, (first, float(l))
+
+
+def test_cpca_wired_into_ppo():
+    """PPOLearner with the CPC|A aux loss enabled (reference wires aux losses
+    into the PPO update, rl/ppo/ppo.py aux loss hooks)."""
+    from habitat_tpu.baselines.ppo import PPOConfig, PPOLearner
+    from habitat_tpu.core.env_factory import make_nav_env
+    from habitat_tpu.datasets.pointnav import make_procedural_pointnav
+    from habitat_tpu.models.policy import make_pointnav_resnet_policy
+
+    scenes, episodes, fields = make_procedural_pointnav(
+        num_scenes=1, episodes_per_scene=4, seed=7
+    )
+    env = make_nav_env(
+        scenes,
+        episodes,
+        num_envs=4,
+        sensor_specs=(
+            ("HabitatSimDepthSensor", {"height": 32, "width": 32}),
+            ("PointGoalWithGPSCompassSensor", None),
+        ),
+        precomputed_fields=fields,
+        max_episode_steps=16,
+    )
+    policy = make_pointnav_resnet_policy(
+        len(env.actions), backbone="resnet9", hidden_size=32
+    )
+    learner = PPOLearner(
+        env,
+        policy,
+        PPOConfig(num_steps=8, num_mini_batch=2, ppo_epoch=1),
+        aux_loss=CPCA(num_steps=2, hidden=16, num_actions=len(env.actions)),
+        aux_loss_coef=0.5,
+    )
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0))
+    step = jax.jit(learner.train_step, donate_argnums=(0,))
+    ts, m = step(ts)
+    assert "losses/cpca" in m
+    assert np.isfinite(float(m["losses/cpca"]))
+    ts, m2 = step(ts)
+    assert np.isfinite(float(m2["losses/learner_loss"]))
