@@ -303,3 +303,8 @@ def raycast_pallas_culled(
         ),
     )(sids.astype(jnp.int32), chunk_ids.astype(jnp.int32), F, tri_mat, tri_attr)
     return t.reshape(N, R), attrs.reshape(N, R, ATTR_CH)
+
+
+# NOTE: a whole-image-per-program kernel variant (fewer, bigger programs)
+# was prototyped but trips Mosaic's scoped-VMEM accounting on this toolchain;
+# revisit in round 2 (see PROGRESS.md renderer notes).
