@@ -266,3 +266,57 @@ class HierarchicalPolicy:
 def default_rearrange_plan() -> List[Skill]:
     """nav → pick → nav → place (the reference's canonical PDDL plan)."""
     return [OracleNavSkill(), PickSkill(), NavToGoalSkill(), PlaceSkill()]
+
+
+class NnSkill(Skill):
+    """Neural low-level skill (reference skills/nn_skill.py): wraps a trained
+    policy's act path behind the Skill protocol. Stateless form: the rollout
+    carry holds no per-skill hidden, so use memoryless policies (hidden is
+    re-zeroed each step) or feed-forward nets; recurrent skill state is the
+    round-2 extension (reference keeps per-skill RNN state the same way its
+    HrlRolloutStorage does)."""
+
+    name = "nn_skill"
+
+    def __init__(
+        self,
+        policy,
+        params,
+        done_fn,
+        obs_fn=None,
+        deterministic: bool = True,
+        name: str = "nn_skill",
+    ):
+        from habitat_tpu.models.rnn_state_encoder import initial_hidden_state
+
+        self.policy = policy
+        self.params = params
+        self._done_fn = done_fn
+        self._obs_fn = obs_fn
+        self.deterministic = deterministic
+        self.name = name
+
+    def act(self, env, state):
+        from habitat_tpu.models.policy import sample_action
+        from habitat_tpu.models.rnn_state_encoder import initial_hidden_state
+
+        obs = self._obs_fn(env, state) if self._obs_fn else env._observations(state)
+        n = env.num_envs
+        net = self.policy.net
+        hidden = initial_hidden_state(
+            n, net.hidden_size, net.num_recurrent_layers, net.rnn_type
+        )
+        logits, _, _ = self.policy.apply(
+            self.params,
+            obs,
+            hidden,
+            jnp.zeros((n,), jnp.int32),
+            jnp.ones((n,), jnp.float32),
+        )
+        act, _ = sample_action(
+            logits, jax.random.PRNGKey(0), deterministic=self.deterministic
+        )
+        return act
+
+    def is_done(self, env, state):
+        return self._done_fn(env, state)

@@ -69,3 +69,38 @@ def test_hierarchical_policy_solves_rearrange(composite_env):
     # at least half the lanes complete the full rearrangement within 300 steps
     solved = np.asarray(succ).max(axis=0)
     assert solved.sum() >= 2, solved
+
+
+def test_nn_skill_in_hierarchy(composite_env):
+    """A (briefly trained) neural pick skill plugs into the skill protocol
+    (reference skills/nn_skill.py) and the hierarchy still executes."""
+    from habitat_tpu.baselines.hrl.hierarchical import (
+        NavToGoalSkill,
+        NnSkill,
+        OracleNavSkill,
+        PickSkill,
+        PlaceSkill,
+    )
+    from habitat_tpu.baselines.ppo import PPOConfig, PPOLearner
+    from habitat_tpu.models.policy import make_pointnav_resnet_policy
+
+    env = composite_env
+    policy = make_pointnav_resnet_policy(
+        env.action_space.n, has_visual=False, hidden_size=32, goal_keys=()
+    )
+    learner = PPOLearner(
+        env, policy, PPOConfig(num_steps=8, num_mini_batch=2, ppo_epoch=1),
+        measure_keys=("success",),
+    )
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0))
+    ts, _ = jax.jit(learner.train_step, donate_argnums=(0,))(ts)
+
+    pick_done = PickSkill().is_done
+    nn_pick = NnSkill(policy, ts.params, done_fn=pick_done, name="nn_pick")
+    plan = [OracleNavSkill(), nn_pick, NavToGoalSkill(), PlaceSkill()]
+    hier = HierarchicalPolicy(env, FixedHighLevelPolicy(env, plan))
+    state, obs = env.reset(seed=0)
+    hl = hier.init_state()
+    rollout = jax.jit(lambda s, h: hier.rollout(s, h, 20))
+    state, hl, rs, dones, succ = rollout(state, hl)
+    assert rs.shape == (20, env.num_envs)
