@@ -376,9 +376,8 @@ class RearrangeBatchedEnv:
             r = r + self.dist_reward_scale * (
                 prev_m["ee_to_marker_dist"] - m["ee_to_marker_dist"]
             )
-            r = r + 2.0 * jnp.abs(m["art_obj_state"] - prev_m["art_obj_state"]) * jnp.sign(
-                1.0
-            )
+            # joint progress toward the goal state (open: +q, close: -q)
+            r = r + 2.0 * jnp.abs(m["art_obj_state"] - prev_m["art_obj_state"])
         elif self.task == "pick":
             r = r + self.dist_reward_scale * (
                 prev_m["ee_to_object_distance"] - m["ee_to_object_distance"]

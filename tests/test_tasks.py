@@ -128,3 +128,47 @@ def test_tensor_dict():
     assert np.all(td["a"][1] == 7.0)
     mapped = td.map(lambda x: x * 2)
     assert np.all(mapped["b"]["c"][0] == 2.0)
+
+
+def test_instance_image_nav_loader_schema():
+    import json
+    from habitat_tpu.datasets.image_nav import InstanceImageNavDatasetV1
+
+    ds = InstanceImageNavDatasetV1()
+    ds.from_json(
+        json.dumps(
+            {
+                "goals": {
+                    "scene1.glb_obj42": [
+                        {
+                            "position": [1, 0, 2],
+                            "object_id": "obj42",
+                            "object_category": "chair",
+                            "image_goals": [
+                                {
+                                    "position": [1.5, 1.2, 2.5],
+                                    "rotation": [0, 0.707, 0, 0.707],
+                                    "hfov": 79.0,
+                                }
+                            ],
+                        }
+                    ]
+                },
+                "episodes": [
+                    {
+                        "episode_id": 0,
+                        "scene_id": "scenes/scene1.glb",
+                        "start_position": [0, 0, 0],
+                        "start_rotation": [0, 0, 0, 1],
+                        "object_category": "chair",
+                        "goal_image_id": 0,
+                        "goal_key": "scene1.glb_obj42",
+                    }
+                ],
+            }
+        )
+    )
+    assert len(ds.episodes) == 1
+    ep = ds.episodes[0]
+    assert ep.goals[0].object_category == "chair"
+    assert ep.goals[0].image_goals[0].hfov == 79.0
