@@ -281,3 +281,27 @@ def test_art_obj_renders():
     )
     state, obs = env.reset(seed=0)
     assert obs["robot_head_rgb"].shape == (2, 32, 32, 3)
+
+
+def test_gfx_replay_roundtrip(pick_env, tmp_path):
+    """Keyframe record/write/load + replay render (reference write_gfx_replay
+    + GfxReplayMeasure semantics)."""
+    from habitat_tpu.utils.gfx_replay import (
+        GfxReplayRecorder,
+        load_gfx_replay,
+        render_keyframe,
+    )
+
+    env = pick_env
+    state, obs = env.reset(seed=0)
+    rec = GfxReplayRecorder(env, env_idx=0)
+    for _ in range(5):
+        state, obs, r, d, info = env.step(state, jnp.full((N,), A_FWD))
+        rec.record(state)
+    path = str(tmp_path / "replay.json.gz")
+    rec.write(path)
+    kfs = load_gfx_replay(path)
+    assert len(kfs) == 5
+    assert "rigid_objects" in kfs[0] and "articulated_states" in kfs[0]
+    frame = render_keyframe(env, kfs[-1], height=32, width=32)
+    assert frame["rgb"].shape == (32, 32, 3)
