@@ -195,8 +195,23 @@ class Env:
         obs = self._inner._observations(self._state)
         if "rgb" in obs:
             return np.asarray(obs["rgb"][0])
-        d = np.asarray(obs["depth"][0])
-        return (np.repeat(d, 3, axis=-1) * 255).astype(np.uint8)
+        if "depth" in obs:
+            d = np.asarray(obs["depth"][0])
+            return (np.repeat(d, 3, axis=-1) * 255).astype(np.uint8)
+        # no visual sensors: render a debug frame through the raycaster
+        from habitat_tpu.ops.raycast import render_batch
+        import jax.numpy as jnp
+
+        out = render_batch(
+            self._inner.pack,
+            self._inner.table.scene_idx[self._state.ep_idx][:1],
+            self._state.pos[:1] + jnp.array([0.0, 1.25, 0.0]),
+            self._state.yaw[:1],
+            self._state.pitch[:1],
+            height=256,
+            width=256,
+        )
+        return np.asarray(out["rgb"][0])
 
     def close(self) -> None:
         pass
