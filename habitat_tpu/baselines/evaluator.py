@@ -133,7 +133,7 @@ def evaluate_from_config(config, trainer) -> Dict[str, float]:
 
     env = trainer.env
     policy = trainer.policy
-    ts = trainer._init(jax.random.PRNGKey(0))
+    ts = trainer._init(jax.random.PRNGKey(0), trainer._env_data)
     latest = os.path.join(
         os.path.abspath(trainer.run_cfg.checkpoint_folder), "latest"
     )

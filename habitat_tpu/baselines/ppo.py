@@ -198,9 +198,9 @@ class PPOLearner:
         return evaluate_actions_stats(dist_params, actions)
 
     # -- init ---------------------------------------------------------
-    def init_fn(self, key: jax.Array) -> TrainState:
+    def init_fn(self, key: jax.Array, env_data=None) -> TrainState:
         k_env, k_param = jax.random.split(key)
-        env_state, obs = self.env.reset_fn(k_env)
+        env_state, obs = self.env.reset_fn(k_env, env_data=env_data)
         n = self.env.num_envs
         net = self.policy.net
         hidden = initial_hidden_state(
@@ -237,7 +237,7 @@ class PPOLearner:
         )
 
     # -- rollout ------------------------------------------------------
-    def _collect_rollout(self, ts: TrainState):
+    def _collect_rollout(self, ts: TrainState, env_data=None):
         """lax.scan of T steps: act -> env.step (reference double-buffered
         _compute_actions_and_step_envs / _collect_environment_result,
         ppo_trainer.py:343-487 — no buffering needed, it is one fused scan)."""
@@ -251,7 +251,7 @@ class PPOLearner:
             )
             action, logp = self._sample(dist_params, k_act)
             new_env_state, new_obs, reward, done, info = self.env.step_fn(
-                env_state, action
+                env_state, action, env_data=env_data
             )
             ep_ret = ep_ret + reward
             ep_len = ep_len + 1.0
@@ -454,8 +454,12 @@ class PPOLearner:
         ), metrics
 
     # -- full step ------------------------------------------------------
-    def train_step(self, ts: TrainState) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        ts, batch, last_value, h0, rollout_stats = self._collect_rollout(ts)
+    def train_step(
+        self, ts: TrainState, env_data=None
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """One update. Pass env_data=env.env_data when jitting at scale so the
+        scene/episode tables are XLA parameters, not embedded constants."""
+        ts, batch, last_value, h0, rollout_stats = self._collect_rollout(ts, env_data)
         ts, metrics = self._update(ts, batch, last_value, h0)
         metrics.update(rollout_stats)
         metrics["reward_step_mean"] = jnp.mean(batch.rewards)

@@ -87,8 +87,11 @@ class PPOTrainer:
         self.mesh = (
             meshlib.make_mesh() if run_cfg.use_mesh and len(jax.devices()) > 1 else None
         )
-        self._train_step = jax.jit(self.learner.train_step, donate_argnums=(0,))
-        self._init = jax.jit(self.learner.init_fn)
+        self._env_data = getattr(env, "env_data", None)
+        self._train_step = jax.jit(
+            lambda ts, data: self.learner.train_step(ts, data), donate_argnums=(0,)
+        )
+        self._init = jax.jit(lambda key, data: self.learner.init_fn(key, data))
         self.num_steps_done = 0
         self.num_updates_done = 0
         self._windows: Dict[str, deque] = defaultdict(
@@ -176,7 +179,7 @@ class PPOTrainer:
         """Main loop (reference ppo_trainer.py:656-801)."""
         rc = self.run_cfg
         stopper = EarlyStopper()
-        ts = self._init(jax.random.PRNGKey(seed))
+        ts = self._init(jax.random.PRNGKey(seed), self._env_data)
         if resume and self.resume_state_exists():
             ts = self.load_checkpoint(".resume_state", ts)
             logger.info(
@@ -195,7 +198,7 @@ class PPOTrainer:
         t_start = time.time()
         last_metrics: Dict[str, float] = {}
         while not self.is_done():
-            ts, metrics = self._train_step(ts)
+            ts, metrics = self._train_step(ts, self._env_data)
             self.num_updates_done += 1
             self.num_steps_done += steps_per_update
 

@@ -141,31 +141,48 @@ class BatchedEnv:
             {s.uuid: s.observation_space() for s in self.sensors}
         )
 
-        self._jit_reset = jax.jit(self.reset_fn)
-        self._jit_step = jax.jit(self.step_fn, donate_argnums=(0,))
+        # the scene pack / episode table / order are DATA: the jitted host
+        # conveniences pass them as arguments so they are XLA parameters, not
+        # giant embedded constants (which melt the compiler at scale); fused
+        # trainers should do the same via ``env_data``
+        self._jit_reset = jax.jit(
+            lambda data, key: self.reset_fn(key, env_data=data)
+        )
+        self._jit_step = jax.jit(
+            lambda data, state, a: self.step_fn(state, a, env_data=data),
+            donate_argnums=(1,),
+        )
+
+    @property
+    def env_data(self):
+        """(pack, table, order) pytree — pass through jit boundaries."""
+        return (self.pack, self.table, self.order)
 
     # ------------------------------------------------------------------
     # functional core
     # ------------------------------------------------------------------
 
-    def _episode_pose(self, ep_idx):
-        pos = self.table.start_pos[ep_idx]
-        yaw = self.table.start_yaw[ep_idx]
+    def _episode_pose(self, ep_idx, table=None):
+        table = self.table if table is None else table
+        pos = table.start_pos[ep_idx]
+        yaw = table.start_yaw[ep_idx]
         return pos, yaw
 
-    def _make_ctx(self, state: EnvState) -> StepContext:
-        sid = self.table.scene_idx[state.ep_idx]
+    def _make_ctx(self, state: EnvState, pack=None, table=None) -> StepContext:
+        pack = self.pack if pack is None else pack
+        table = self.table if table is None else table
+        sid = table.scene_idx[state.ep_idx]
         return StepContext(
-            pack=self.pack,
-            table=self.table,
+            pack=pack,
+            table=table,
             ep_idx=state.ep_idx,
             sid=sid,
             pos=state.pos,
             yaw=state.yaw,
             pitch=state.pitch,
             prev_pos=state.prev_pos,
-            start_pos=self.table.start_pos[state.ep_idx],
-            start_yaw=self.table.start_yaw[state.ep_idx],
+            start_pos=table.start_pos[state.ep_idx],
+            start_yaw=table.start_yaw[state.ep_idx],
             step=state.step,
             action=state.last_action,
             stop_called=state.stop_called,
@@ -174,14 +191,15 @@ class BatchedEnv:
             rng=jnp.zeros((state.pos.shape[0], 2), jnp.uint32),
         )
 
-    def _observations(self, state: EnvState) -> Dict[str, jnp.ndarray]:
-        ctx = self._make_ctx(state)
+    def _observations(self, state: EnvState, pack=None, table=None) -> Dict[str, jnp.ndarray]:
+        pack = self.pack if pack is None else pack
+        ctx = self._make_ctx(state, pack, table)
         obs = {s.uuid: s.compute(ctx) for s in self.state_sensors}
         if self.visual_sensors:
             cam_pos = state.pos + jnp.array([0.0, self._cam_height, 0.0])
             mn, mx, norm = self._depth_cfg
             frames = render_batch(
-                self.pack,
+                pack,
                 ctx.sid,
                 cam_pos,
                 state.yaw,
@@ -198,12 +216,15 @@ class BatchedEnv:
                 obs[s.uuid] = frames[s.uuid]
         return obs
 
-    def reset_fn(self, key: jax.Array) -> Tuple[EnvState, Dict[str, jnp.ndarray]]:
+    def reset_fn(
+        self, key: jax.Array, env_data=None
+    ) -> Tuple[EnvState, Dict[str, jnp.ndarray]]:
+        pack, table, order = env_data if env_data is not None else self.env_data
         n = self.num_envs
         ep_ptr = jnp.zeros((n,), jnp.int32)
         env_ids = jnp.arange(n)
-        ep_idx = self.order[env_ids, ep_ptr % self._order_len]
-        pos, yaw = self._episode_pose(ep_idx)
+        ep_idx = order[env_ids, ep_ptr % self._order_len]
+        pos, yaw = self._episode_pose(ep_idx, table)
         state = EnvState(
             ep_ptr=ep_ptr,
             ep_idx=ep_idx,
@@ -221,27 +242,28 @@ class BatchedEnv:
             measure_state={},
             key=key,
         )
-        ctx = self._make_ctx(state)
+        ctx = self._make_ctx(state, pack, table)
         mstate: Dict[str, Any] = {}
         for m in self.measures:
             ms, _ = m.reset(ctx)
             mstate[m.uuid] = ms
         state = dataclasses.replace(state, measure_state=mstate)
-        return state, self._observations(state)
+        return state, self._observations(state, pack, table)
 
-    def reset_to_fn(self, key: jax.Array, ep_idx: jnp.ndarray):
+    def reset_to_fn(self, key: jax.Array, ep_idx: jnp.ndarray, env_data=None):
         """Reset all envs to explicit episode ids (host Env / evaluator use)."""
-        state, _ = self.reset_fn(key)
+        pack, table, order = env_data if env_data is not None else self.env_data
+        state, _ = self.reset_fn(key, env_data)
         state = dataclasses.replace(state, ep_idx=jnp.asarray(ep_idx, jnp.int32))
-        pos, yaw = self._episode_pose(state.ep_idx)
+        pos, yaw = self._episode_pose(state.ep_idx, table)
         state = dataclasses.replace(state, pos=pos, yaw=yaw, prev_pos=pos)
-        ctx = self._make_ctx(state)
+        ctx = self._make_ctx(state, pack, table)
         mstate = {}
         for m in self.measures:
             ms, _ = m.reset(ctx)
             mstate[m.uuid] = ms
         state = dataclasses.replace(state, measure_state=mstate)
-        return state, self._observations(state)
+        return state, self._observations(state, pack, table)
 
     def measure_values(self, state: EnvState):
         """Current measure values without stepping (Env.get_metrics parity)."""
@@ -254,11 +276,16 @@ class BatchedEnv:
         return values
 
     def step_fn(
-        self, state: EnvState, actions: jnp.ndarray
+        self, state: EnvState, actions: jnp.ndarray, env_data=None
     ) -> Tuple[EnvState, Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
-        """One batched step. Returns (state, obs, reward, done, info)."""
+        """One batched step. Returns (state, obs, reward, done, info).
+
+        env_data: optional (pack, table, order) passed as jit ARGUMENTS —
+        required at scale (embedding multi-MB tables as closure constants
+        chokes XLA constant handling; see env_data property)."""
+        pack, table, order = env_data if env_data is not None else self.env_data
         a = actions.astype(jnp.int32)
-        sid = self.table.scene_idx[state.ep_idx]
+        sid = table.scene_idx[state.ep_idx]
 
         stop = state.stop_called | self._stop_flag[a]
         yaw = state.yaw + self._turn_amt[a]
@@ -266,7 +293,7 @@ class BatchedEnv:
         move = self._move_amt[a]
         target = state.pos + yaw_to_forward(yaw) * move[:, None]
         new_pos, collided = jax.vmap(
-            functools.partial(ng.try_step, self.pack, n_substeps=self.slide_substeps)
+            functools.partial(ng.try_step, pack, n_substeps=self.slide_substeps)
         )(sid, state.pos, target)
         moved = move > 0
         collided = collided & moved
@@ -288,7 +315,7 @@ class BatchedEnv:
 
         # measures in dependency order (reference update_measures,
         # embodied_task.py:168-173)
-        ctx = self._make_ctx(state)
+        ctx = self._make_ctx(state, pack, table)
         values: Dict[str, jnp.ndarray] = {}
         new_mstate: Dict[str, Any] = {}
         for m in self.measures:
@@ -316,15 +343,15 @@ class BatchedEnv:
             state = dataclasses.replace(
                 state, episode_over=episode_over, measure_state=new_mstate
             )
-            obs = self._observations(state)
+            obs = self._observations(state, pack, table)
             return state, obs, reward, done, info
 
         # ---- auto-reset done envs (VectorEnv auto_reset_done semantics) ----
         n = self.num_envs
         env_ids = jnp.arange(n)
         ep_ptr = jnp.where(done, state.ep_ptr + 1, state.ep_ptr)
-        ep_idx = self.order[env_ids, ep_ptr % self._order_len]
-        rpos, ryaw = self._episode_pose(ep_idx)
+        ep_idx = order[env_ids, ep_ptr % self._order_len]
+        rpos, ryaw = self._episode_pose(ep_idx, table)
         d1 = done[:, None]
         state = dataclasses.replace(
             state,
@@ -345,7 +372,7 @@ class BatchedEnv:
         )
 
         # merge measure reset state for done envs
-        reset_ctx = self._make_ctx(state)
+        reset_ctx = self._make_ctx(state, pack, table)
         merged: Dict[str, Any] = {}
         for m in self.measures:
             rms, _ = m.reset(reset_ctx)
@@ -360,7 +387,7 @@ class BatchedEnv:
             )
         state = dataclasses.replace(state, measure_state=merged)
 
-        obs = self._observations(state)
+        obs = self._observations(state, pack, table)
         return state, obs, reward, done, info
 
     # ------------------------------------------------------------------
@@ -368,10 +395,10 @@ class BatchedEnv:
     # ------------------------------------------------------------------
 
     def reset(self, seed: int = 0):
-        return self._jit_reset(jax.random.PRNGKey(seed))
+        return self._jit_reset(self.env_data, jax.random.PRNGKey(seed))
 
     def step(self, state: EnvState, actions):
-        return self._jit_step(state, jnp.asarray(actions))
+        return self._jit_step(self.env_data, state, jnp.asarray(actions))
 
     def get_metrics(self, info) -> Dict[str, np.ndarray]:
         """Host view of the last info dict (Env.get_metrics parity)."""

@@ -156,8 +156,12 @@ class Env:
         self._current_episode = next(self._episode_iterator)
         idx = self._ep_index[self._current_episode.episode_id]
         self._key, k = jax.random.split(self._key)
-        self._state, obs = jax.jit(self._inner.reset_to_fn)(
-            k, jnp.asarray([idx], jnp.int32)
+        if not hasattr(self, "_jit_reset_to"):
+            self._jit_reset_to = jax.jit(
+                lambda data, key, idx: self._inner.reset_to_fn(key, idx, env_data=data)
+            )
+        self._state, obs = self._jit_reset_to(
+            self._inner.env_data, k, jnp.asarray([idx], jnp.int32)
         )
         self._last_info = {
             k2: np.asarray(v)[0]
@@ -175,7 +179,7 @@ class Env:
         if isinstance(action, str):
             action = self._inner.action_names.index(action)
         self._state, obs, reward, done, info = self._inner._jit_step(
-            self._state, jnp.asarray([action], jnp.int32)
+            self._inner.env_data, self._state, jnp.asarray([action], jnp.int32)
         )
         self._elapsed_steps += 1
         self._episode_over = bool(np.asarray(self._state.episode_over)[0])

@@ -421,13 +421,13 @@ class RearrangeBatchedEnv:
             key=key,
         )
 
-    def reset_fn(self, key):
+    def reset_fn(self, key, env_data=None):  # env_data unused (tables small)
         n = self.num_envs
         ep_idx = self.order[jnp.arange(n), 0]
         state = self._fresh(ep_idx, key)
         return state, self._observations(state)
 
-    def step_fn(self, state: RearrangeState, actions: jnp.ndarray):
+    def step_fn(self, state: RearrangeState, actions: jnp.ndarray, env_data=None):
         n = self.num_envs
         n_idx = jnp.arange(n)
         prev_m = self._measures(state)

@@ -203,12 +203,12 @@ class SocialNavBatchedEnv:
             key=key,
         )
 
-    def reset_fn(self, key):
+    def reset_fn(self, key, env_data=None):
         ep_idx = self.order[jnp.arange(self.num_envs), 0]
         state = self._fresh(ep_idx, key)
         return state, self._observations(state)
 
-    def step_fn(self, state, actions):
+    def step_fn(self, state, actions, env_data=None):
         a = actions.astype(jnp.int32)
         n = self.num_envs
         sid = self._sid(state)

@@ -50,7 +50,7 @@ def test_train_checkpoint_resume_roundtrip(tmp_path):
     trainer.save_checkpoint(trainer._final_ts, ".resume_state")
     trainer2, _ = _trainer(tmp_path)
     assert trainer2.resume_state_exists()
-    ts = trainer2._init(jax.random.PRNGKey(0))
+    ts = trainer2._init(jax.random.PRNGKey(0), trainer2._env_data)
     ts = trainer2.load_checkpoint(".resume_state", ts)
     assert trainer2.num_updates_done == 3
     # restored params equal saved params
