@@ -51,16 +51,17 @@ def main() -> None:
         env, policy, PPOConfig(num_steps=num_steps, num_mini_batch=2, ppo_epoch=2)
     )
 
-    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0))
+    data = env.env_data  # tables as jit arguments, not embedded constants
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0), data)
     jax.block_until_ready(ts.params)
     step = jax.jit(learner.train_step, donate_argnums=(0,))
-    ts, m = step(ts)  # compile + warmup
+    ts, m = step(ts, data)  # compile + warmup
     jax.block_until_ready(m["losses/learner_loss"])
 
     iters = 5
     t0 = time.time()
     for _ in range(iters):
-        ts, m = step(ts)
+        ts, m = step(ts, data)
     jax.block_until_ready(m["losses/learner_loss"])
     dt = (time.time() - t0) / iters
     sps = num_envs * num_steps / dt
