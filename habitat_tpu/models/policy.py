@@ -135,12 +135,21 @@ class PointNavResNetNet(nn.Module):
             for k in ("robot_head_rgb", "robot_head_depth"):
                 if k in obs:
                     visual_obs[k.split("_")[-1]] = flat(obs[k])
-            enc = ResNetEncoder(
-                backbone=self.backbone,
-                base_planes=self.base_planes,
-                ngroups=self.ngroups,
-                normalize_visual_inputs=self.normalize_visual_inputs,
-            )(visual_obs)
+            if self.backbone.startswith("resnet50_clip"):
+                # frozen CLIP-RN50 features (reference resnet_policy.py:81-82,
+                # 279-391: backbones resnet50_clip_{avgpool,attnpool})
+                from habitat_tpu.models.clip_resnet import ResNetCLIPEncoder
+
+                enc = ResNetCLIPEncoder(
+                    pooling=self.backbone.split("_")[-1], name="clip_encoder"
+                )(visual_obs)
+            else:
+                enc = ResNetEncoder(
+                    backbone=self.backbone,
+                    base_planes=self.base_planes,
+                    ngroups=self.ngroups,
+                    normalize_visual_inputs=self.normalize_visual_inputs,
+                )(visual_obs)
             visual_fc = nn.relu(nn.Dense(self.hidden_size)(enc))
             # expose the visual embedding for auxiliary losses (CPC|A targets,
             # reference cpc_aux_loss.py) without changing the call signature
