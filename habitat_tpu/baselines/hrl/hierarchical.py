@@ -187,6 +187,27 @@ class PlaceSkill(Skill):
         return placed & (state.held < 0)
 
 
+class ArtObjSkill(Skill):
+    """Open/close an articulated object (reference skills/art_obj.py): steer
+    to the handle, then GRAB to slide the prismatic joint toward its goal
+    state; done when the joint reaches the episode's art_goal_q. Only
+    meaningful in art-task envs (task in open/close) where GRAB interacts
+    with the joint."""
+
+    name = "art_obj"
+
+    def act(self, env, state):
+        handle = env._handle_pos(state)
+        rel = _rel_to(env, state, handle)
+        return _steer(rel, env.grasp_distance * 0.9, A_GRAB)
+
+    def is_done(self, env, state):
+        n_idx = jnp.arange(env.num_envs)
+        art_t = env.table.art_target[state.ep_idx]
+        q = state.art_q[n_idx, art_t]
+        return jnp.abs(q - env.table.art_goal_q[state.ep_idx]) < 0.05
+
+
 class WaitSkill(Skill):
     """reference skills/wait.py."""
 

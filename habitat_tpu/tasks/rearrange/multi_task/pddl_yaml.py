@@ -438,9 +438,9 @@ class PddlProblem:
 
     def solution_to_skills(self):
         """Bound solution actions -> HRL skill instances. nav to a goal
-        entity routes to NavToGoalSkill; articulated open/close map to
-        WaitSkill placeholders until the art-skill lands (documented gap)."""
+        entity routes to NavToGoalSkill; open/close actions to ArtObjSkill."""
         from habitat_tpu.baselines.hrl.hierarchical import (
+            ArtObjSkill,
             NavToGoalSkill,
             OracleNavSkill,
             PickSkill,
@@ -457,6 +457,8 @@ class PddlProblem:
                 skills.append(PickSkill())
             elif name == "place":
                 skills.append(PlaceSkill())
+            elif name.startswith(("open", "close")):
+                skills.append(ArtObjSkill())
             else:
                 skills.append(WaitSkill())
         return skills
