@@ -2,10 +2,11 @@
 
 Counterparts of reference articulated_agents/humanoids/kinematic_humanoid.py
 and articulated_agent_controllers/ (HumanoidRearrangeController:52 — walk /
-reach pose blending from mocap pickles; HumanoidSeqPoseController). Without
-mocap assets, the walk cycle is procedural (phase-driven sinusoidal gait over
-the same 17-joint layout); the controller API (reset / calculate_walk_pose /
-get_pose) matches so policy-side code is portable.
+reach pose blending from mocap pickles; HumanoidSeqPoseController). Mocap
+clips in the reference's walk-pose pickle layout (or .npz) load via
+load_motion(); without assets the walk cycle falls back to a procedural
+phase-driven sinusoidal gait over the same 17-joint layout. The controller
+API (reset / calculate_walk_pose / get_pose) matches either way.
 """
 
 from __future__ import annotations
@@ -16,6 +17,58 @@ import numpy as np
 
 NUM_JOINTS = 17  # SMPL-X-ish reduced body
 _DIST_TO_STOP = 1e-9
+
+
+class Motion:
+    """A loaded mocap clip (reference humanoid_base_controller.py::Motion:40
+    — per-frame joint quats + root transforms + fps + total displacement)."""
+
+    def __init__(
+        self,
+        joints_quat: np.ndarray,  # (T, J, 4)
+        transforms: np.ndarray,  # (T, 4, 4)
+        fps: float,
+        displacement: Optional[np.ndarray] = None,  # (T,) cumulative meters
+    ):
+        self.poses = np.asarray(joints_quat, np.float32)
+        self.transforms = np.asarray(transforms, np.float32)
+        self.fps = float(fps)
+        self.num_poses = len(self.poses)
+        if displacement is None:
+            # root-translation arc length per frame
+            steps = np.linalg.norm(
+                np.diff(self.transforms[:, :3, 3], axis=0), axis=-1
+            )
+            displacement = np.concatenate([[0.0], np.cumsum(steps)])
+        self.displacement = np.asarray(displacement, np.float32)
+
+    @property
+    def dist_per_step_size(self) -> float:
+        return float(self.displacement[-1]) / max(1, self.num_poses)
+
+
+def load_motion(path: str, key: str = "walk_motion") -> Motion:
+    """Load a mocap clip from the reference's walk-pose pickle layout
+    (humanoid_rearrange_controller.py:82-98: dict[key] with
+    joints_quat_array / transform_array / fps / displacement) or an .npz
+    with the same field names."""
+    if path.endswith(".npz"):
+        data = dict(np.load(path))
+    else:
+        import pickle
+
+        with open(path, "rb") as f:
+            raw = pickle.load(f)
+        data = raw.get(key, raw) if isinstance(raw, dict) else raw
+    if key in data and isinstance(data[key], dict):
+        data = data[key]
+    joints = np.asarray(data["joints_quat_array"], np.float32)
+    transforms = np.asarray(data["transform_array"], np.float32)
+    fps = float(np.asarray(data.get("fps", 30.0)).reshape(-1)[0])
+    disp = data.get("displacement")
+    if joints.ndim == 2:  # flat (T, J*4)
+        joints = joints.reshape(len(joints), -1, 4)
+    return Motion(joints, transforms, fps, disp)
 
 
 class HumanoidBaseController:
@@ -49,6 +102,13 @@ class HumanoidRearrangeController(HumanoidBaseController):
         self.turning_step_amount = 20  # degrees per turn step (reference :23)
         self.stop_distance = 0.2
         self.walk_speed = 1.0  # m/s
+        # mocap walk cycle when assets are available (reference :82-98);
+        # procedural gait otherwise
+        self.walk_motion: Optional[Motion] = None
+        self._motion_frame = 0
+        if walk_pose_path is not None:
+            self.walk_motion = load_motion(walk_pose_path)
+            self.walk_speed = self.walk_motion.dist_per_step_size * self.motion_fps
 
     def calculate_stop_pose(self) -> None:
         self.joint_pose[:] = 0.0
@@ -74,6 +134,14 @@ class HumanoidRearrangeController(HumanoidBaseController):
         self.obj_transform_base[:3, 3] += dirn * step
         yaw = float(np.arctan2(-dirn[0], -dirn[2]))
         self.obj_transform_base[:3, :3] = _yaw_matrix(yaw)
+        if self.walk_motion is not None:
+            # advance frames so mocap displacement matches the distance moved
+            # (reference :223-245 scales frame step by fps ratio)
+            m = self.walk_motion
+            adv = max(1, int(round(step / max(m.dist_per_step_size, 1e-6))))
+            self._motion_frame = (self._motion_frame + adv) % m.num_poses
+            self.joint_pose = m.poses[self._motion_frame].copy()
+            return
         self._phase = (self._phase + 2 * np.pi * 1.6 / self.motion_fps) % (2 * np.pi)
         self._swing(1.0)
 
@@ -102,6 +170,15 @@ class HumanoidSeqPoseController(HumanoidBaseController):
         super().__init__(motion_fps)
         self.poses = poses if poses is not None else np.zeros((1, NUM_JOINTS, 4))
         self._t = 0
+
+    @classmethod
+    def from_file(cls, path: str, key: str = "walk_motion"):
+        """Load the sequence from a mocap pickle/npz (reference
+        humanoid_seq_pose_controller.py loads the same clip format)."""
+        m = load_motion(path, key)
+        ctrl = cls(m.poses, motion_fps=m.fps)
+        ctrl.motion = m
+        return ctrl
 
     def reset(self, base_transformation) -> None:
         super().reset(base_transformation)

@@ -90,6 +90,7 @@ def generate_rearrange_episode(
     num_objects: int = 3,
     num_targets: int = 1,
     min_start_dist: float = 1.0,
+    use_receptacles: bool = False,
 ) -> Optional[RearrangeEpisode]:
     occ = scene.nav_occ
     nav_cells = np.argwhere(occ)
@@ -101,9 +102,20 @@ def generate_rearrange_episode(
         xz = scene.cell_to_world(c)
         return [float(xz[0]), scene.floor_y, float(xz[1])]
 
+    def sample_goal():
+        # receptacle-surface goals (reference object_sampler places objects
+        # on receptacles; sims/receptacles.py) with floor fallback
+        if use_receptacles:
+            from habitat_tpu.sims.receptacles import sample_on_receptacle
+
+            p = sample_on_receptacle(scene, rng)
+            if p is not None:
+                return [float(p[0]), float(p[1]), float(p[2])]
+        return sample_point()
+
     objs = [(f"obj_{i}", sample_point()) for i in range(num_objects)]
     target_ids = rng.choice(num_objects, size=num_targets, replace=False)
-    targets = {f"obj_{i}": sample_point() for i in target_ids}
+    targets = {f"obj_{i}": sample_goal() for i in target_ids}
     start = sample_point()
     tries = 0
     while (
