@@ -163,6 +163,41 @@ def ray_features(origins: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([dirs, origins, oxd, ones], axis=-1).astype(jnp.float32)
 
 
+def ray_feature_matrix(cam_pos, yaw, pitch) -> jnp.ndarray:
+    """(N,3),(N,),(N,) -> (N,4,10) B with ray_features = [d_cam, 1] @ B.
+
+    F = [d_world, o, o x d_world, 1] is bilinear in the camera-frame dir:
+    d_world = R d_cam, o x d_world = skew(o) R d_cam. Row-vector form:
+    B[0:3] = [R^T | 0 | -R^T skew(o) | 0], B[3] = [0 | o | 0 | 1]. Lets the
+    fast render path build features with one tiny matmul against the
+    constant pixel grid instead of per-pixel trig (see render_batch)."""
+    from habitat_tpu.utils.geometry import view_rotation_matrix
+
+    N = cam_pos.shape[0]
+    rot = view_rotation_matrix(yaw, pitch)  # (N,3,3), d_world = R @ d_cam
+    o = cam_pos.astype(jnp.float32)
+    zeros = jnp.zeros((N, 3, 3), jnp.float32)
+    sk = jnp.zeros((N, 3, 3), jnp.float32)
+    sk = sk.at[:, 0, 1].set(-o[:, 2]).at[:, 0, 2].set(o[:, 1])
+    sk = sk.at[:, 1, 0].set(o[:, 2]).at[:, 1, 2].set(-o[:, 0])
+    sk = sk.at[:, 2, 0].set(-o[:, 1]).at[:, 2, 1].set(o[:, 0])
+    rT = jnp.swapaxes(rot, 1, 2)
+    b_top = jnp.concatenate(
+        [rT, zeros, -jnp.einsum("nij,njk->nik", rT, sk)], axis=2
+    )
+    b_top = jnp.concatenate([b_top, jnp.zeros((N, 3, 1), jnp.float32)], axis=2)
+    b_bot = jnp.concatenate(
+        [
+            jnp.zeros((N, 3), jnp.float32),
+            o,
+            jnp.zeros((N, 3), jnp.float32),
+            jnp.ones((N, 1), jnp.float32),
+        ],
+        axis=1,
+    )[:, None, :]
+    return jnp.concatenate([b_top, b_bot], axis=1)
+
+
 def mt_epilogue(G: jnp.ndarray, C: int):
     """Determinant segments (..., 4C) -> (t (...,C)). Shared by XLA+Pallas."""
     detA = G[..., 0 * C : 1 * C]
@@ -398,6 +433,61 @@ def render_batch(
     from habitat_tpu.utils.geometry import equirect_rays, fisheye_rays
 
     N = sids.shape[0]
+    be_early = _pick_backend(backend)
+    n_chunks_early = pack.tri_mat.shape[3] // 128
+    if (
+        be_early == "pallas"
+        and projection == "pinhole"
+        and dynamic is None
+        and (height * width) % 1024 == 0
+        and not (n_chunks_early > 2 * cull_k)
+    ):
+        # FAST PATH: matrix ray generation. Pinhole rays are a CONSTANT
+        # camera-frame pixel grid rotated per env, and the MT ray features
+        # F = [d, o, o x d, 1] are bilinear in [d_cam, 1], so F is one tiny
+        # (R,4)x(N,4,10) einsum against ray_feature_matrix(o, yaw, pitch)
+        # instead of per-pixel-per-env trig + cross products (profiled at
+        # ~25% of render time at N=256). dirs for shading = F[..., 0:3].
+        from habitat_tpu.ops.raycast_pallas import raycast_pallas_batch
+
+        d_cam = camera_rays(
+            jnp.float32(0.0), jnp.float32(0.0), jnp.deg2rad(hfov_deg), height, width
+        ).reshape(-1, 3)
+        B = ray_feature_matrix(cam_pos, yaw, pitch)  # (N, 4, 10)
+        d_aug = jnp.concatenate(
+            [d_cam, jnp.ones((d_cam.shape[0], 1), jnp.float32)], axis=-1
+        )
+        F = jnp.einsum(
+            "rk,nkf->nrf", d_aug, B, precision=jax.lax.Precision.HIGHEST
+        )
+        t, attrs = raycast_pallas_batch(
+            pack.tri_mat, pack.tri_attr, sids, features=F
+        )
+        hit = attrs[..., 7] > 0.5
+        # planar depth: dirs . fwd = (R d_cam) . (R fwd_cam) = -d_cam_z,
+        # constant per pixel
+        z = t * (-d_cam[None, :, 2])
+        z = jnp.where(hit, z, max_depth)
+        z = jnp.clip(z, min_depth, max_depth)
+        if normalize_depth:
+            z = (z - min_depth) / (max_depth - min_depth)
+        depth = z.reshape(N, height, width, 1).astype(jnp.float32)
+        lambert = jnp.abs(jnp.sum(attrs[..., 0:3] * F[..., 0:3], axis=-1))
+        shade = 0.35 + 0.65 * lambert
+        sky = jnp.array([0.65, 0.75, 0.9], jnp.float32)
+        rgb = jnp.where(hit[..., None], attrs[..., 3:6] * shade[..., None], sky)
+        rgb_u8 = (
+            jnp.clip(rgb * 255.0, 0, 255)
+            .astype(jnp.uint8)
+            .reshape(N, height, width, 3)
+        )
+        sem = jnp.where(hit, jnp.round(attrs[..., 6]).astype(jnp.int32), 0)
+        return {
+            "rgb": rgb_u8,
+            "depth": depth,
+            "semantic": sem.reshape(N, height, width, 1),
+        }
+
     if projection == "equirect":
         ray_fn = lambda y, p: equirect_rays(y, p, height, width)
     elif projection == "fisheye":

@@ -78,6 +78,7 @@ class RearrangeState:
     yaw: jnp.ndarray
     prev_pos: jnp.ndarray
     obj_pos: jnp.ndarray  # (N, O, 3)
+    obj_vel: jnp.ndarray  # (N, O, 3) rigid-body velocity (gravity dynamics)
     art_q: jnp.ndarray  # (N, A) joint states
     held: jnp.ndarray  # (N,) int32, -1 = none
     ever_held: jnp.ndarray  # (N,) bool — picked the right object at least once
@@ -121,6 +122,7 @@ class RearrangeBatchedEnv:
         render_size: Optional[Tuple[int, int]] = (128, 128),
         with_visual: bool = True,
         continuous: bool = False,
+        dynamics: str = "kinematic",  # kinematic | gravity
     ):
         self.pack = pack
         self.table = table
@@ -128,6 +130,7 @@ class RearrangeBatchedEnv:
         self.num_envs = int(episode_order.shape[0])
         self._order_len = int(episode_order.shape[1])
         self.task = task
+        self.dynamics = dynamics
         self.max_episode_steps = max_episode_steps
         self.grasp_distance = grasp_distance
         self.at_goal_thresh = at_goal_thresh
@@ -405,6 +408,7 @@ class RearrangeBatchedEnv:
             yaw=yaw,
             prev_pos=pos,
             obj_pos=self.table.obj_init[ep_idx],
+            obj_vel=jnp.zeros((n, self.num_objects, 3), jnp.float32),
             art_q=jnp.broadcast_to(
                 self.table.art_init_q[ep_idx][:, None],
                 (n, self.table.art_pos.shape[1]),
@@ -509,6 +513,11 @@ class RearrangeBatchedEnv:
         navigable = jax.vmap(functools.partial(ng.is_navigable, self.pack))(sid, ee_floor)
         snapped = jax.vmap(functools.partial(ng.snap_to_navigable, self.pack))(sid, ee)
         drop = jnp.where(navigable[:, None], ee_floor, snapped)
+        if self.dynamics == "gravity":
+            # release in mid-air at the EE; the rigid-body stepper below
+            # integrates the fall (reference: Bullet gravity after
+            # desnap, RearrangeSim.step_world)
+            drop = drop.at[:, 1].set(ee[:, 1])
         held_idx = jnp.maximum(state.held, 0)
         obj_pos = state.obj_pos
         obj_pos = jnp.where(
@@ -520,7 +529,30 @@ class RearrangeBatchedEnv:
         held = jnp.where(can_grab, nearest, held)
         tgt = self._target_obj(state)
         ever_held = state.ever_held | (held == tgt)
-        state = dataclasses.replace(state, obj_pos=obj_pos, held=held, ever_held=ever_held)
+        obj_vel = state.obj_vel
+        if self.dynamics == "gravity":
+            # semi-implicit Euler rigid-body step for free objects
+            # (reference RearrangeSim substeps Bullet at ctrl_freq;
+            # dt here = one control step). Floor contact settles the
+            # object with ground friction killing horizontal motion.
+            dt, g = 0.1, 9.8
+            # positions anchor the object BOTTOM (render adds +OBJ_HALF)
+            rest_y = self.pack.floor_y[sid][:, None]
+            o_lane = jnp.arange(self.num_objects)[None]
+            free = (
+                self.table.obj_valid[state.ep_idx]
+                & (o_lane != jnp.where(held < 0, -1, held)[:, None])
+            )
+            v = obj_vel.at[..., 1].add(-g * dt)
+            p = obj_pos + v * dt
+            on_ground = p[..., 1] <= rest_y
+            p = p.at[..., 1].set(jnp.where(on_ground, rest_y, p[..., 1]))
+            v = jnp.where(on_ground[..., None], 0.0, v)
+            obj_pos = jnp.where(free[..., None], p, obj_pos)
+            obj_vel = jnp.where(free[..., None], v, jnp.zeros_like(v))
+        state = dataclasses.replace(
+            state, obj_pos=obj_pos, obj_vel=obj_vel, held=held, ever_held=ever_held
+        )
 
         m = self._measures(state)
         episode_over = stop | (state.step >= self.max_episode_steps)
@@ -545,6 +577,7 @@ class RearrangeBatchedEnv:
             yaw=sel(fresh.yaw, state.yaw),
             prev_pos=sel(fresh.prev_pos, state.prev_pos),
             obj_pos=sel(fresh.obj_pos, state.obj_pos),
+            obj_vel=sel(fresh.obj_vel, state.obj_vel),
             art_q=sel(fresh.art_q, state.art_q),
             held=sel(fresh.held, state.held),
             ever_held=sel(fresh.ever_held, state.ever_held),

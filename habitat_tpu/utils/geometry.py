@@ -101,19 +101,29 @@ def camera_rays(yaw, pitch, hfov_rad, height, width):
     xx, yy = jnp.meshgrid(xs, ys)  # (H, W)
     dirs = jnp.stack([xx, yy, -jnp.ones_like(xx)], axis=-1)  # (H, W, 3)
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return rotate_dirs(dirs, yaw, pitch)
 
-    def rot(d, yaw, pitch):
-        cp, sp = jnp.cos(pitch), jnp.sin(pitch)
-        x, y, z = d[..., 0], d[..., 1], d[..., 2]
-        # pitch about +x (look up = positive pitch)
-        y2 = cp * y - sp * z
-        z2 = sp * y + cp * z
-        cyw, syw = jnp.cos(yaw), jnp.sin(yaw)
-        x3 = cyw * x + syw * z2
-        z3 = -syw * x + cyw * z2
-        return jnp.stack([x3, y2, z3], axis=-1)
 
-    return rot(dirs, yaw, pitch)
+def rotate_dirs(d, yaw, pitch):
+    """Camera-frame -> world: pitch about camera +x, then yaw about +y."""
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    # pitch about +x (look up = positive pitch)
+    y2 = cp * y - sp * z
+    z2 = sp * y + cp * z
+    cyw, syw = jnp.cos(yaw), jnp.sin(yaw)
+    x3 = cyw * x + syw * z2
+    z3 = -syw * x + cyw * z2
+    return jnp.stack([x3, y2, z3], axis=-1)
+
+
+def view_rotation_matrix(yaw, pitch):
+    """(...,) yaw/pitch -> (..., 3, 3) R with d_world = R @ d_camera
+    (columns are the rotated camera basis vectors; same rotation as
+    rotate_dirs, exposed for the fused-raygen render path)."""
+    eye = jnp.eye(3)
+    cols = [rotate_dirs(eye[k], yaw, pitch) for k in range(3)]
+    return jnp.stack(cols, axis=-1)
 
 
 def angle_diff(a, b):

@@ -305,3 +305,36 @@ def test_gfx_replay_roundtrip(pick_env, tmp_path):
     assert "rigid_objects" in kfs[0] and "articulated_states" in kfs[0]
     frame = render_keyframe(env, kfs[-1], height=32, width=32)
     assert frame["rgb"].shape == (32, 32, 3)
+
+
+def test_gravity_dynamics():
+    """Opt-in rigid-body stepper: released objects fall and settle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from habitat_tpu.tasks.rearrange.generator import make_rearrange_env
+
+    env = make_rearrange_env(
+        num_envs=2, task="place", seed=5, n_rooms_per_axis=1, n_clutter=0,
+        dynamics="gravity",
+    )
+    state, _ = jax.jit(env.reset_fn)(jax.random.PRNGKey(0))
+    n_idx = jnp.arange(env.num_envs)
+    tgt = env.table.pick_target[state.ep_idx]
+    # force-hold the target (place task starts holding anyway for some seeds)
+    import dataclasses as dc
+
+    state = dc.replace(state, held=tgt)
+    step = jax.jit(env.step_fn)
+    # release mid-air: GRAB drops the object at EE height (~0.9m up)
+    state, *_ = step(state, jnp.full((env.num_envs,), 4, jnp.int32))
+    y0 = np.asarray(state.obj_pos)[np.arange(2), np.asarray(tgt), 1]
+    floor = np.asarray(env.pack.floor_y)[np.asarray(env.table.nav.scene_idx[state.ep_idx])]
+    assert (y0 > floor + 0.2).all(), "object should start falling from EE height"
+    # a few steps later it has settled on the floor with zero velocity
+    for _ in range(8):
+        state, *_ = step(state, jnp.zeros((env.num_envs,), jnp.int32))
+    y1 = np.asarray(state.obj_pos)[np.arange(2), np.asarray(tgt), 1]
+    np.testing.assert_allclose(y1, floor, atol=1e-4)
+    v = np.asarray(state.obj_vel)[np.arange(2), np.asarray(tgt)]
+    np.testing.assert_allclose(v, 0.0, atol=1e-6)
