@@ -40,6 +40,7 @@ def evaluate_agent(
     video_env: int = 0,
     tb_writer=None,
     checkpoint_idx: int = 0,
+    map_tracker=None,  # optional TopDownMapTracker for the video env
 ) -> Dict[str, float]:
     """Run evaluation; returns aggregated metrics (reference aggregates the
     per-episode stats dict the same way, habitat_evaluator.py:39+)."""
@@ -86,8 +87,19 @@ def evaluate_agent(
                 for k, v in obs.items()
                 if k in ("rgb", "depth", "semantic")
             }
+            frame_info = {}
+            if map_tracker is not None:
+                # TopDownMap in eval videos (reference TopDownMap measure,
+                # tasks/nav/nav.py:678-937, is eval/video-only there too)
+                map_tracker.update(
+                    np.asarray(state.pos[video_env]),
+                    float(np.asarray(state.yaw[video_env])),
+                )
+                frame_info["top_down_map"] = map_tracker.frame()
             if frame_obs:
-                frames.append(observations_to_image(frame_obs, {}))
+                frames.append(observations_to_image(frame_obs, frame_info))
+            if map_tracker is not None and bool(np.asarray(done)[video_env]):
+                map_tracker.reset()
         prev_action = action
         not_done = 1.0 - np.asarray(done).astype(np.float32)
         not_done = jnp.asarray(not_done)

@@ -79,11 +79,10 @@ def _kernel(
             & (p + q <= aa)
             & (w > _TMIN * aa)
         )
-        # hardware approximate reciprocal (~1 VPU op) instead of a full f32
-        # divide per ray-tri pair — the divide dominated the kernel (VPU
-        # multi-pass). ~12-bit relative t accuracy: winner selection can
-        # only flip between surfaces within ~0.02% depth of each other.
-        t = jnp.where(hit, tnum * pl.reciprocal(detA, approx=True), _TMAX)
+        # NOTE(perf): pl.reciprocal(approx=True) here measured SLOWER than
+        # the exact divide (19.9ms vs 18.4ms full render at N=256) — the
+        # kernel is not divide-bound; don't re-try that experiment.
+        t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
         tmin = jnp.min(t, axis=1, keepdims=True)  # (Rt, 1)
         # exact one-hot of the winner via argmin (ties -> lowest index)
         win = jnp.argmin(t, axis=1).astype(jnp.int32)  # (Rt,)

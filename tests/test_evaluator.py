@@ -54,3 +54,60 @@ def test_evaluate_agent_counts_and_video(tmp_path):
     assert "spl" in metrics and "reward" in metrics
     vids = os.listdir(tmp_path)
     assert len(vids) == 1 and vids[0].endswith((".mp4", ".gif"))
+
+
+def test_evaluate_with_topdown_map(tmp_path):
+    """TopDownMap overlay in eval video frames (tracker wiring)."""
+    import jax
+    from habitat_tpu.baselines.evaluator import evaluate_agent
+    from habitat_tpu.core.env_factory import make_nav_env
+    from habitat_tpu.datasets.pointnav import make_procedural_pointnav
+    from habitat_tpu.models.policy import make_pointnav_resnet_policy
+    from habitat_tpu.utils.visualizations.maps import TopDownMapTracker
+
+    scenes, episodes, fields = make_procedural_pointnav(
+        num_scenes=1, episodes_per_scene=4, seed=0, extent=6.0
+    )
+    env = make_nav_env(
+        scenes,
+        episodes,
+        num_envs=2,
+        precomputed_fields=fields,
+        max_episode_steps=12,
+        sensor_specs=(
+            ("HabitatSimDepthSensor", {"height": 32, "width": 32}),
+            ("PointGoalWithGPSCompassSensor", None),
+        ),
+    )
+    policy = make_pointnav_resnet_policy(
+        len(env.actions), backbone="resnet9", hidden_size=32
+    )
+    import jax.numpy as jnp
+    from habitat_tpu.models.rnn_state_encoder import initial_hidden_state
+
+    obs = {
+        "depth": jnp.zeros((2, 32, 32, 1)),
+        "pointgoal_with_gps_compass": jnp.zeros((2, 2)),
+    }
+    params = policy.init(
+        jax.random.PRNGKey(0),
+        obs,
+        initial_hidden_state(2, 32, 1, "LSTM"),
+        jnp.zeros((2,), jnp.int32),
+        jnp.ones((2,)),
+    )
+    tracker = TopDownMapTracker(scenes[0])
+    out = evaluate_agent(
+        env,
+        policy,
+        params,
+        episodes_per_env=1,
+        max_steps=14,
+        video_option=("disk",),
+        video_dir=str(tmp_path),
+        map_tracker=tracker,
+    )
+    assert "num_episodes" in out
+    import os
+
+    assert any(f.endswith((".gif", ".mp4")) for f in os.listdir(tmp_path))
