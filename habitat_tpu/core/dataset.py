@@ -412,21 +412,28 @@ def _render_goal_images(episodes, scenes, scene_index, size: int) -> np.ndarray:
     pack = pack_scenes([scenes[sid] for sid in scene_list])
     E = len(episodes)
     sids = np.asarray([scene_index[e.scene_id] for e in episodes], np.int32)
-    goal = np.asarray(
-        [np.asarray(e.goals[0].position, np.float32) for e in episodes]
-    )
-    cam = goal + np.array([0.0, 1.25, 0.0], np.float32)
-    # episode-seeded deterministic heading (reference uses
-    # RandomState(episode_id).uniform(0, 2pi))
-    yaws = np.asarray(
-        [
-            np.random.RandomState(abs(hash(e.episode_id)) % (2**31)).uniform(
-                0, 2 * np.pi
-            )
-            for e in episodes
-        ],
-        np.float32,
-    )
+
+    def _goal_view(e):
+        """(cam_pos, yaw): InstanceImageNav episodes carry stored goal-view
+        camera parameters (reference instance_image_nav_task.py
+        InstanceImageParameters — position + rotation quat); plain ImageGoal
+        uses the goal point + an episode-seeded heading (nav.py:210)."""
+        g = e.goals[0] if e.goals else None
+        img_goals = getattr(g, "image_goals", None)
+        if img_goals:
+            p = img_goals[int(getattr(e, "goal_image_id", 0)) % len(img_goals)]
+            x, y, z, w = p.rotation
+            yaw = float(np.arctan2(2 * (w * y + x * z), 1 - 2 * (y * y + x * x)))
+            return np.asarray(p.position, np.float32), yaw
+        gp = np.asarray(g.position, np.float32)
+        yaw = np.random.RandomState(abs(hash(e.episode_id)) % (2**31)).uniform(
+            0, 2 * np.pi
+        )
+        return gp + np.array([0.0, 1.25, 0.0], np.float32), float(yaw)
+
+    views = [_goal_view(e) for e in episodes]
+    cam = np.stack([v[0] for v in views])
+    yaws = np.asarray([v[1] for v in views], np.float32)
     out = jax.jit(
         lambda s, c, y, p: render_batch(
             pack, s, c, y, p, height=size, width=size, backend="xla"

@@ -114,3 +114,54 @@ def test_eqa_mp3d_loader_schema():
     )
     assert len(ds.episodes) == 1
     assert ds.episodes[0].question.answer_token == 0
+
+
+def test_instance_image_goal_view_params():
+    """Instance-image goals render from STORED camera params, not the
+    default goal-point heading."""
+    import numpy as np
+    from habitat_tpu.core.dataset import build_episode_table
+    from habitat_tpu.datasets.image_nav import (
+        InstanceImageGoal,
+        InstanceImageGoalNavEpisode,
+        InstanceImageParameters,
+    )
+    from habitat_tpu.sims.procedural import generate_apartment
+
+    scene = generate_apartment(seed=0, extent=6.0, n_rooms_per_axis=1)
+    cam_pos = [3.0, 1.4, 3.0]
+    ep = InstanceImageGoalNavEpisode(
+        episode_id="ii0",
+        scene_id=scene.scene_id,
+        start_position=[2.0, 0.0, 2.0],
+        start_rotation=[0, 0, 0, 1],
+        goals=[
+            InstanceImageGoal(
+                position=[4.0, 0.0, 4.0],
+                object_id="obj_1",
+                image_goals=[
+                    InstanceImageParameters(
+                        position=cam_pos, rotation=[0, 0, 0, 1], hfov=79.0
+                    )
+                ],
+            )
+        ],
+    )
+    plain = InstanceImageGoalNavEpisode(
+        episode_id="ii1",
+        scene_id=scene.scene_id,
+        start_position=[2.0, 0.0, 2.0],
+        start_rotation=[0, 0, 0, 1],
+        goals=[InstanceImageGoal(position=[4.0, 0.0, 4.0], object_id="obj_2")],
+    )
+    table = build_episode_table(
+        [ep, plain],
+        {scene.scene_id: scene},
+        {scene.scene_id: 0},
+        goal_image_size=32,
+    )
+    imgs = np.asarray(table.goal_image)
+    assert imgs.shape == (2, 32, 32, 3)
+    # both render, and the stored-params view differs from the default view
+    assert imgs[0].std() > 0 and imgs[1].std() > 0
+    assert np.abs(imgs[0].astype(int) - imgs[1].astype(int)).mean() > 1
