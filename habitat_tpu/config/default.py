@@ -31,6 +31,29 @@ from habitat_tpu.config.omega import Config, read_write, resolve_interpolations
 from habitat_tpu.config.structured import cs
 
 CONFIG_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+# Additional config roots searched AFTER ours — lets an unmodified reference
+# checkout's YAML tree (habitat-lab/habitat/config, habitat-baselines/...)
+# compose through this loader (reference get_config's search path behaves
+# the same way via hydra's searchpath plugin, default.py:49-77).
+SEARCH_ROOTS: List[str] = [CONFIG_ROOT]
+
+
+def add_search_root(root: str) -> None:
+    root = os.path.abspath(root)
+    if root not in SEARCH_ROOTS and os.path.isdir(root):
+        SEARCH_ROOTS.append(root)
+
+
+for _cand in (
+    os.environ.get("HABITAT_TPU_CONFIG_PATH"),
+    "/root/reference/habitat-lab/habitat/config",
+    "/root/reference/habitat-lab/habitat-baselines/habitat_baselines/config",
+    "/root/reference/habitat-baselines/habitat_baselines/config",
+):
+    if _cand and os.path.isdir(_cand):
+        add_search_root(_cand)
+
 _PKG_RE = re.compile(r"^#\s*@package\s+(\S+)")
 
 
@@ -68,8 +91,11 @@ def _coerce_numbers(v: Any) -> Any:
 
 
 def _find_group_file(group: str, name: str) -> Optional[str]:
-    p = os.path.join(CONFIG_ROOT, group.strip("/"), name + ".yaml")
-    return p if os.path.exists(p) else None
+    for root in SEARCH_ROOTS:
+        p = os.path.join(root, group.strip("/"), name + ".yaml")
+        if os.path.exists(p):
+            return p
+    return None
 
 
 def _nest(package: str, data: dict) -> dict:
@@ -151,7 +177,14 @@ class _Composer:
 
     def _process_default(self, entry: Any, cur_group: str, cur_pkg: str) -> None:
         if isinstance(entry, str):
-            # sibling config in the same group
+            # sibling config in the same group; "name@pkg" retargets the
+            # package ("_here_" = the current config's package — hydra's
+            # keyword, used by e.g. reference agents/fetch_suction.yaml:3)
+            if "@" in entry:
+                name, rel_pkg = entry.split("@", 1)
+                rel_pkg = "" if rel_pkg == "_here_" else rel_pkg
+                self._load(cur_group, name, rel_pkg, cur_pkg)
+                return
             self._load(cur_group, entry, None, cur_pkg)
             return
         if isinstance(entry, dict):
@@ -209,12 +242,13 @@ def get_config(
     (e.g. "benchmark/nav/pointnav/pointnav_procgen.yaml" or
     "pointnav/ppo_pointnav_example.yaml" under experiments/).
     """
-    candidates = [
-        config_path,
-        os.path.join(CONFIG_ROOT, config_path),
-        os.path.join(CONFIG_ROOT, "experiments", config_path),
-        os.path.join(CONFIG_ROOT, "benchmark", config_path),
-    ]
+    candidates = [config_path]
+    for root in SEARCH_ROOTS:
+        candidates += [
+            os.path.join(root, config_path),
+            os.path.join(root, "experiments", config_path),
+            os.path.join(root, "benchmark", config_path),
+        ]
     path = next((p for p in candidates if os.path.isfile(p)), None)
     if path is None:
         raise FileNotFoundError(f"config not found: {config_path} (tried {candidates})")
@@ -222,8 +256,12 @@ def get_config(
     composer = _Composer()
     # top-level experiment configs are global-package; their group is their
     # directory relative to CONFIG_ROOT if inside it
-    rel = os.path.relpath(path, CONFIG_ROOT)
-    group = "" if rel.startswith("..") else os.path.dirname(rel)
+    group = ""
+    for root in SEARCH_ROOTS:
+        rel = os.path.relpath(path, root)
+        if not rel.startswith(".."):
+            group = os.path.dirname(rel)
+            break
     composer.compose_file(path, group, None, "")
     cfg = composer.result
 

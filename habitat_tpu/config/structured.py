@@ -211,6 +211,57 @@ for _name, _node in {
         min_abs_ang_speed=1.0,
         time_step=1.0,
     ),
+    # rearrange / multi-agent actions (reference default_structured_configs
+    # .py:241-380, store names :1999-2070)
+    "arm_action": dict(
+        type="ArmAction",
+        arm_controller="ArmRelPosAction",
+        grip_controller=None,
+        arm_joint_mask=None,
+        arm_joint_dimensionality=7,
+        grasp_thresh_dist=0.15,
+        disable_grip=False,
+        delta_pos_limit=0.0125,
+        ee_ctrl_lim=0.015,
+        should_clip=False,
+        render_ee_target=False,
+    ),
+    "base_velocity": dict(
+        type="BaseVelAction",
+        lin_speed=10.0,
+        ang_speed=10.0,
+        allow_dyn_slide=True,
+        allow_back=True,
+    ),
+    "base_velocity_non_cylinder": dict(
+        type="BaseVelNonCylinderAction",
+        lin_speed=10.0,
+        ang_speed=10.0,
+        allow_dyn_slide=True,
+        allow_back=True,
+    ),
+    "humanoidjoint_action": dict(type="HumanoidJointAction", num_joints=17),
+    "humanoid_pick_action": dict(type="HumanoidPickAction", dist_move_per_step=0.04),
+    "empty": dict(type="EmptyAction"),
+    "rearrange_stop": dict(type="RearrangeStopAction"),
+    "a_selection_of_base_or_arm": dict(type="SelectBaseOrArmAction"),
+    "answer": dict(type="AnswerAction"),
+    "oracle_nav_action": dict(
+        type="OracleNavAction",
+        motion_control="base_velocity",
+        num_joints=17,
+        turn_velocity=1.0,
+        forward_velocity=1.0,
+        turn_thresh=0.1,
+        dist_thresh=0.2,
+        lin_speed=10.0,
+        ang_speed=10.0,
+        allow_dyn_slide=True,
+        allow_back=True,
+        spawn_max_dist_to_obj=2.0,
+        num_spawn_attempts=200,
+    ),
+    "pddl_apply_action": dict(type="PddlApplyAction"),
 }.items():
     cs.store(
         group="habitat/task/actions",
@@ -237,6 +288,39 @@ for _name, _key, _node in [
     ("heading_sensor", "heading", dict(type="HeadingSensor")),
     ("proximity_sensor", "proximity", dict(type="ProximitySensor", max_detection_radius=2.0)),
     ("imagegoal_sensor", "imagegoal", dict(type="ImageGoalSensor")),
+    # rearrange / multi-agent / EQA / VLN lab sensors (reference store
+    # names :398-756 and :2230-2320; packaged under the store name like the
+    # reference does for these)
+    ("instance_imagegoal_sensor", "instance_imagegoal_sensor", dict(type="InstanceImageGoalSensor")),
+    ("instance_imagegoal_hfov_sensor", "instance_imagegoal_hfov_sensor", dict(type="InstanceImageGoalHFOVSensor")),
+    ("localization_sensor", "localization_sensor", dict(type="LocalizationSensor")),
+    ("target_start_sensor", "target_start_sensor", dict(type="TargetStartSensor", goal_format="CARTESIAN", dimensionality=3)),
+    ("goal_sensor", "goal_sensor", dict(type="GoalSensor", goal_format="CARTESIAN", dimensionality=3)),
+    ("abs_target_start_sensor", "abs_target_start_sensor", dict(type="AbsTargetStartSensor", goal_format="CARTESIAN", dimensionality=3)),
+    ("abs_goal_sensor", "abs_goal_sensor", dict(type="AbsGoalSensor", goal_format="CARTESIAN", dimensionality=3)),
+    ("joint_sensor", "joint_sensor", dict(type="JointSensor", dimensionality=7)),
+    ("joint_velocity_sensor", "joint_velocity_sensor", dict(type="JointVelocitySensor", dimensionality=7)),
+    ("humanoid_joint_sensor", "humanoid_joint_sensor", dict(type="HumanoidJointSensor")),
+    ("end_effector_sensor", "end_effector_sensor", dict(type="EEPositionSensor")),
+    ("is_holding_sensor", "is_holding_sensor", dict(type="IsHoldingSensor")),
+    ("relative_resting_pos_sensor", "relative_resting_pos_sensor", dict(type="RelativeRestingPositionSensor")),
+    ("instruction_sensor", "instruction_sensor", dict(type="InstructionSensor")),
+    ("question_sensor", "question_sensor", dict(type="QuestionSensor")),
+    ("object_sensor", "object_sensor", dict(type="TargetCurrentSensor", goal_format="CARTESIAN", dimensionality=3)),
+    ("target_start_gps_compass_sensor", "target_start_gps_compass_sensor", dict(type="TargetStartGpsCompassSensor")),
+    ("target_goal_gps_compass_sensor", "target_goal_gps_compass_sensor", dict(type="TargetGoalGpsCompassSensor")),
+    ("initial_gps_compass_sensor", "initial_gps_compass_sensor", dict(type="InitialGpsCompassSensor")),
+    ("humanoid_detector_sensor", "humanoid_detector_sensor", dict(type="HumanoidDetectorSensor", human_id=100, human_pixel_threshold=1000, return_image=False, is_return_image_bbox=False)),
+    ("arm_depth_bbox_sensor", "arm_depth_bbox_sensor", dict(type="ArmDepthBBoxSensor", height=480, width=640)),
+    ("spot_head_stereo_depth_sensor", "spot_head_stereo_depth_sensor", dict(type="SpotHeadStereoDepthSensor")),
+    ("multi_agent_all_predicates", "multi_agent_all_predicates", dict(type="MultiAgentGlobalPredicatesSensor")),
+    ("agents_within_threshold", "agents_within_threshold", dict(type="AreAgentsWithinThreshold", x_len=None, y_len=None, agent_idx=0)),
+    ("has_finished_oracle_nav", "has_finished_oracle_nav", dict(type="HasFinishedOracleNavSensor")),
+    ("has_finished_humanoid_pick", "has_finished_humanoid_pick", dict(type="HasFinishedHumanoidPickSensor")),
+    ("other_agent_gps", "other_agent_gps", dict(type="OtherAgentGps")),
+    ("nav_to_skill_sensor", "nav_to_skill_sensor", dict(type="NavToSkillSensor", num_skills=8)),
+    ("nav_goal_sensor", "nav_goal_sensor", dict(type="NavGoalPointGoalSensor")),
+    ("all_predicates", "all_predicates", dict(type="GlobalPredicatesSensor")),
 ]:
     cs.store(
         group="habitat/task/lab_sensors",
@@ -267,6 +351,54 @@ for _name, _node in {
         draw_goal_aabbs=True,
         fog_of_war=dict(draw=True, visibility_dist=5.0, fov=90),
     ),
+    # rearrange / pddl / social-nav measurements (reference
+    # default_structured_configs.py store names; minimal type nodes — the
+    # batched engine computes these in tasks/rearrange/)
+    "answer_accuracy": dict(type="AnswerAccuracy"),
+    "art_obj_at_desired_state": dict(type="ArtObjAtDesiredState", use_absolute_distance=True, success_dist_threshold=0.05),
+    "art_obj_reward": dict(type="ArtObjReward"),
+    "art_obj_state": dict(type="ArtObjState"),
+    "art_obj_success": dict(type="ArtObjSuccess", rest_dist_threshold=0.15, must_call_stop=True),
+    "articulated_agent_colls": dict(type="RobotCollisions"),
+    "articulated_agent_force": dict(type="RobotForce", min_force=20.0),
+    "bad_called_terminate": dict(type="BadCalledTerminate", bad_term_pen=0.0, decay_bad_term=False),
+    "base_to_object_distance": dict(type="BaseToObjectDistance"),
+    "composite_stage_goals": dict(type="PddlStageGoals"),
+    "did_agents_collide": dict(type="DidAgentsCollide"),
+    "did_pick_object": dict(type="DidPickObjectMeasure"),
+    "did_violate_hold_constraint": dict(type="DidViolateHoldConstraintMeasure"),
+    "dist_to_goal": dict(type="DistToGoal"),
+    "does_want_terminate": dict(type="DoesWantTerminate"),
+    "ee_dist_to_marker": dict(type="EndEffectorDistToMarker"),
+    "end_effector_to_goal_distance": dict(type="EndEffectorToGoalDistance"),
+    "end_effector_to_object_distance": dict(type="EndEffectorToObjectDistance"),
+    "end_effector_to_rest_distance": dict(type="EndEffectorToRestDistance"),
+    "episode_info": dict(type="EpisodeInfo"),
+    "force_terminate": dict(type="ForceTerminate", max_accum_force=-1.0, max_instant_force=-1.0),
+    "gfx_replay_measure": dict(type="GfxReplayMeasure"),
+    "habitat_perf": dict(type="RuntimePerfStats"),
+    "move_objects_reward": dict(type="MoveObjectsReward"),
+    "nav_to_pos_succ": dict(type="NavToPosSucc", success_distance=1.5),
+    "num_agents_collide": dict(type="NumAgentsCollide"),
+    "obj_at_goal": dict(type="ObjAtGoal", succ_thresh=0.15),
+    "object_to_goal_distance": dict(type="ObjectToGoalDistance"),
+    "pddl_subgoal_reward": dict(type="PddlSubgoalReward"),
+    "pddl_success": dict(type="PddlSuccess", must_call_stop=True),
+    "pick_reward": dict(type="RearrangePickReward", dist_reward=2.0),
+    "pick_success": dict(type="RearrangePickSuccess", ee_resting_success_threshold=0.15),
+    "place_reward": dict(type="PlaceReward", dist_reward=2.0),
+    "place_success": dict(type="PlaceSuccess", ee_resting_success_threshold=0.15),
+    "rearrange_cooperate_reward": dict(type="RearrangeCooperateReward"),
+    "rearrange_nav_to_obj_reward": dict(type="NavToObjReward"),
+    "rearrange_nav_to_obj_success": dict(type="NavToObjSuccess", must_look_at_targ=True, must_call_stop=True),
+    "rearrange_reach_reward": dict(type="RearrangeReachReward"),
+    "rearrange_reach_success": dict(type="RearrangeReachSuccess", succ_thresh=0.2),
+    "rot_dist_to_goal": dict(type="RotDistToGoal"),
+    "social_nav_reward": dict(type="SocialNavReward"),
+    "social_nav_seek_success": dict(type="SocialNavSeekSuccess"),
+    "social_nav_stats": dict(type="SocialNavStats"),
+    "top_down_map": dict(type="TopDownMap", map_resolution=1024, draw_shortest_path=True),
+    "zero": dict(type="ZeroMeasure"),
 }.items():
     cs.store(
         group="habitat/task/measurements",
@@ -276,10 +408,47 @@ for _name, _node in {
     )
 
 # sim sensor group entries
+def _derived_sensor(base: dict, uuid: str, size: int) -> dict:
+    d = dict(base)
+    d.update(uuid=uuid, width=size, height=size)
+    return d
+
+
+# agent-mounted camera variants (reference default_structured_configs.py:
+# Head/Arm/Jaw/Third *SensorConfig:1643-1726 — base sensors with a uuid
+# prefix and square resolutions)
+_AGENT_CAMERAS = {
+    "head_rgb_sensor": _derived_sensor(RGB_SENSOR, "head_rgb", 256),
+    "head_depth_sensor": _derived_sensor(DEPTH_SENSOR, "head_depth", 256),
+    "head_panoptic_sensor": _derived_sensor(SEMANTIC_SENSOR, "head_panoptic", 256),
+    "head_stereo_left_depth_sensor": _derived_sensor(
+        DEPTH_SENSOR, "head_stereo_left_depth", 256
+    ),
+    "head_stereo_right_depth_sensor": _derived_sensor(
+        DEPTH_SENSOR, "head_stereo_right_depth", 256
+    ),
+    "arm_rgb_sensor": _derived_sensor(RGB_SENSOR, "articulated_agent_arm_rgb", 256),
+    "arm_depth_sensor": _derived_sensor(
+        DEPTH_SENSOR, "articulated_agent_arm_depth", 256
+    ),
+    "arm_panoptic_sensor": _derived_sensor(
+        SEMANTIC_SENSOR, "articulated_agent_arm_panoptic", 256
+    ),
+    "jaw_rgb_sensor": _derived_sensor(RGB_SENSOR, "articulated_agent_jaw_rgb", 256),
+    "jaw_depth_sensor": _derived_sensor(
+        DEPTH_SENSOR, "articulated_agent_jaw_depth", 256
+    ),
+    "jaw_panoptic_sensor": _derived_sensor(
+        SEMANTIC_SENSOR, "articulated_agent_jaw_panoptic", 256
+    ),
+    "third_rgb_sensor": _derived_sensor(RGB_SENSOR, "third_rgb", 512),
+    "third_depth_sensor": _derived_sensor(DEPTH_SENSOR, "third_depth", 512),
+}
 for _name, _node in {
     "rgb_sensor": RGB_SENSOR,
     "depth_sensor": DEPTH_SENSOR,
     "semantic_sensor": SEMANTIC_SENSOR,
+    **_AGENT_CAMERAS,
 }.items():
     cs.store(group="habitat/simulator/sim_sensors", name=_name, node=_node)
 
@@ -402,3 +571,31 @@ cs.store(
     node=HABITAT_BASELINES,
     package="habitat_baselines",
 )
+
+# IL variant (reference habitat-baselines default_structured_configs.py:510):
+# same base config with an `il` dict instead of `rl`
+_HB_IL = {k: v for k, v in HABITAT_BASELINES.items() if k != "rl"}
+_HB_IL["il"] = dict()
+cs.store(
+    group="habitat_baselines",
+    name="habitat_baselines_il_config_base",
+    node=_HB_IL,
+    package="habitat_baselines",
+)
+
+# obs-transform store entries (reference :108-215)
+for _name, _node in {
+    "center_cropper_base": dict(type="CenterCropper", height=256, width=256, channels_last=True),
+    "resize_shortest_edge_base": dict(type="ResizeShortestEdge", size=256, channels_last=True, trans_keys=["rgb", "depth", "semantic"], semantic_key="semantic"),
+    "cube_2_eq_base": dict(type="CubeMap2Equirect", height=256, width=512),
+    "cube_2_fish_base": dict(type="CubeMap2Fisheye", height=256, width=256, fov=180, params=[0.2, 0.2, 0.2]),
+    "add_virtual_keys_base": dict(type="AddVirtualKeys", virtual_keys=dict()),
+    "eq_2_cube_base": dict(type="Equirect2CubeMap", height=256, width=256),
+}.items():
+    _key = _name.replace("_base", "")
+    cs.store(
+        group="habitat_baselines/rl/policy/obs_transforms",
+        name=_name,
+        node=_node,
+        package=f"habitat_baselines.rl.policy.obs_transforms.{_key}",
+    )

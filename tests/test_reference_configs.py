@@ -1,0 +1,84 @@
+"""Reference YAML compatibility: the reference checkout's config trees
+compose UNMODIFIED through our mini-Hydra loader (BASELINE.md target)."""
+
+import os
+
+import pytest
+
+from habitat_tpu.config.default import get_config
+
+HAB_ROOT = "/root/reference/habitat-lab/habitat/config"
+BL_ROOT = "/root/reference/habitat-baselines/habitat_baselines/config"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(HAB_ROOT), reason="reference checkout absent"
+)
+
+
+def _walk(root):
+    for dirp, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.endswith(".yaml"):
+                yield os.path.relpath(os.path.join(dirp, f), root)
+
+
+def test_all_reference_benchmark_yamls_compose():
+    rels = [r for r in _walk(os.path.join(HAB_ROOT, "benchmark"))]
+    assert len(rels) >= 50
+    for rel in rels:
+        get_config(os.path.join("benchmark", rel))  # must not raise
+
+
+@pytest.mark.skipif(not os.path.isdir(BL_ROOT), reason="baselines absent")
+def test_all_reference_baselines_yamls_compose():
+    rels = list(_walk(BL_ROOT))
+    assert len(rels) >= 30
+    for rel in rels:
+        get_config(rel)  # must not raise
+
+
+def test_reference_pointnav_semantics():
+    cfg = get_config("benchmark/nav/pointnav/pointnav_habitat_test.yaml")
+    assert cfg.habitat.task.type == "Nav-v0"
+    assert "pointgoal_with_gps_compass" in cfg.habitat.task.lab_sensors
+    assert cfg.habitat.task.reward_measure == "distance_to_goal_reward"
+    assert cfg.habitat.task.success_measure == "spl"  # reference pointnav.yaml
+    assert cfg.habitat.environment.max_episode_steps == 500
+    sim = cfg.habitat.simulator
+    assert "rgb_sensor" in sim.agents.main_agent.sim_sensors
+
+
+def test_reference_rearrange_pick_semantics():
+    cfg = get_config("benchmark/rearrange/skills/pick.yaml")
+    assert cfg.habitat.task.type == "RearrangePickTask-v0"
+    assert "pick_success" in cfg.habitat.task.measurements
+    assert "joint_sensor" in cfg.habitat.task.lab_sensors
+    assert cfg.habitat.task.reward_measure == "pick_reward"
+    agent = cfg.habitat.simulator.agents.main_agent
+    assert "head_depth_sensor" in agent.sim_sensors
+
+
+@pytest.mark.skipif(not os.path.isdir(BL_ROOT), reason="baselines absent")
+def test_reference_ddppo_experiment_semantics():
+    cfg = get_config("pointnav/ddppo_pointnav.yaml")
+    hb = cfg.habitat_baselines
+    assert hb.trainer_name == "ddppo"
+    assert hb.rl.ppo.num_steps == 128
+    assert hb.rl.ddppo.backbone.startswith("resnet")
+    assert cfg.habitat.task.type == "Nav-v0"
+
+
+def test_reference_yaml_env_builds_end_to_end():
+    """A composed reference benchmark YAML drives env construction (dataset
+    files absent in this image -> procedural fallback in load_dataset)."""
+    from habitat_tpu.core.construct import env_from_config
+
+    cfg = get_config(
+        "benchmark/nav/pointnav/pointnav_habitat_test.yaml",
+        overrides=["habitat.environment.max_episode_steps=20"],
+    )
+    env = env_from_config(cfg, num_envs=2)
+    import jax
+
+    state, obs = env.reset_fn(jax.random.PRNGKey(0), env.env_data)
+    assert "pointgoal_with_gps_compass" in obs
