@@ -82,3 +82,19 @@ def test_reference_yaml_env_builds_end_to_end():
 
     state, obs = env.reset_fn(jax.random.PRNGKey(0), env.env_data)
     assert "pointgoal_with_gps_compass" in obs
+
+
+def test_reference_rearrange_yaml_env_builds():
+    """The reference pick skill YAML builds a working batched rearrange env."""
+    from habitat_tpu.core.construct import env_from_config
+
+    cfg = get_config(
+        "benchmark/rearrange/skills/pick.yaml",
+        overrides=["habitat.environment.max_episode_steps=20"],
+    )
+    env = env_from_config(cfg, num_envs=2)
+    import jax
+
+    state, obs = env.reset_fn(jax.random.PRNGKey(0))
+    for key in ("obj_start_sensor", "joint", "is_holding", "ee_pos"):
+        assert key in obs, key
