@@ -98,3 +98,29 @@ def test_reference_rearrange_yaml_env_builds():
     state, obs = env.reset_fn(jax.random.PRNGKey(0))
     for key in ("obj_start_sensor", "joint", "is_holding", "ee_pos"):
         assert key in obs, key
+
+
+@pytest.mark.skipif(not os.path.isdir(BL_ROOT), reason="baselines absent")
+def test_reference_ddppo_experiment_trains():
+    """The reference ddppo_pointnav experiment YAML drives a full DD-PPO
+    train step through trainer_from_config (sizes shrunk via normal CLI-style
+    overrides, config otherwise unmodified)."""
+    import jax
+    import numpy as np
+    from habitat_tpu.core.construct import trainer_from_config
+
+    cfg = get_config(
+        "pointnav/ddppo_pointnav.yaml",
+        overrides=[
+            "habitat_baselines.num_environments=2",
+            "habitat_baselines.rl.ppo.num_steps=4",
+            "habitat_baselines.rl.ppo.hidden_size=64",
+            "habitat_baselines.rl.ddppo.backbone=resnet9",
+            "habitat.simulator.agents.main_agent.sim_sensors.depth_sensor.width=64",
+            "habitat.simulator.agents.main_agent.sim_sensors.depth_sensor.height=64",
+        ],
+    )
+    tr = trainer_from_config(cfg)
+    ts = tr._init(jax.random.PRNGKey(0), tr._env_data)
+    ts, m = tr._train_step(ts, tr._env_data)
+    assert np.isfinite(float(m["losses/learner_loss"]))
