@@ -30,12 +30,20 @@ from habitat_tpu.hitl.app_states import (
 def make_keyframe(sim, obs: Dict[str, np.ndarray], step: int) -> Dict[str, Any]:
     """gfx-replay-style keyframe (reference keyframe wire format,
     _internal/networking/keyframe_utils.py): poses + state, no mesh payload."""
-    state = sim.get_agent_state()
+    if hasattr(sim, "get_agent_state"):
+        state = sim.get_agent_state()
+        position, rotation = state.position, np.atleast_1d(state.rotation)
+    elif getattr(sim, "_state", None) is not None:
+        # host Env wraps a 1-env BatchedEnv: read lane 0 of the device state
+        position = np.asarray(sim._state.pos[0])
+        rotation = np.atleast_1d(np.asarray(sim._state.yaw[0]))
+    else:
+        position, rotation = np.zeros(3), np.zeros(1)
     kf: Dict[str, Any] = {
         "step": step,
         "agent": {
-            "position": [float(x) for x in state.position],
-            "rotation": [float(x) for x in np.atleast_1d(state.rotation)],
+            "position": [float(x) for x in position],
+            "rotation": [float(x) for x in rotation],
         },
     }
     return kf
@@ -83,7 +91,7 @@ class HitlDriver:
         self.app_state.sim_update(dt, post)
         if "action" in post:
             self._obs = self._env.step(post["action"])
-        self.keyframes.append(make_keyframe(self._sim, self._obs, self._step))
+        self.keyframes.append(make_keyframe(self._env, self._obs, self._step))
         if self.record_video and self._obs is not None and "rgb" in self._obs:
             self.service.video_frames.append(np.asarray(self._obs["rgb"]))
         self.gui_input.on_frame_end()

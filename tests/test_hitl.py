@@ -48,3 +48,15 @@ def test_gui_input():
     assert gi.get_key("w") and not gi.get_key_down("w")
     gi.release("w")
     assert not gi.get_key("w")
+
+
+def test_hitl_minimal_example_app():
+    import importlib.util, os
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "hitl_minimal_app.py")
+    spec = importlib.util.spec_from_file_location("hitl_minimal_app", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    driver = mod.main(max_steps=8)
+    assert driver._step >= 1
+    assert len(driver.keyframes) == driver._step
