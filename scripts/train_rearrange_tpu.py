@@ -1,4 +1,4 @@
-"""TPU training run: rearrange PICK with RL (state obs, discrete actions).
+"""TPU training run: composite rearrange (nav-pick-nav-place) with RL (state obs, discrete actions).
 
 Learning-evidence capstone beyond PointNav: PPO on the batched rearrange
 engine, one chip. Prints train metrics per 50 updates and a final eval.
@@ -21,14 +21,14 @@ from habitat_tpu.tasks.rearrange.generator import make_rearrange_env
 
 env = make_rearrange_env(
     num_envs=128,
-    task="pick",
+    task="rearrange",
     num_scenes=8,
     episodes_per_scene=16,
     seed=0,
     with_visual=False,
     n_rooms_per_axis=1,
     n_clutter=0,
-    max_episode_steps=120,
+    max_episode_steps=300,
 )
 
 n_act = env.action_space.n
@@ -41,10 +41,10 @@ learner = PPOLearner(
 ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0))
 step = jax.jit(learner.train_step, donate_argnums=(0,))
 t0 = time.time()
-budget_updates = 600
+budget_updates = 4000
 for u in range(budget_updates + 1):
     ts, m = step(ts)
-    if u % 50 == 0:
+    if u % 200 == 0:
         jax.block_until_ready(m["losses/learner_loss"])
         rew = float(m.get("reward", jnp.nan))
         succ = float(m.get("success", m.get("metrics/success", jnp.nan)))
@@ -53,7 +53,7 @@ for u in range(budget_updates + 1):
             f"loss {float(m['losses/learner_loss']):.4f} ({time.time()-t0:.0f}s)",
             flush=True,
         )
-    if time.time() - t0 > 1500:
+    if time.time() - t0 > 1200:
         print(f"time budget reached at {u}", flush=True)
         break
 print("final metrics:", {k: round(float(v), 4) for k, v in m.items() if v.ndim == 0}, flush=True)
