@@ -387,6 +387,18 @@ class RearrangeBatchedEnv:
             )
             r = r + 1.0 * (m["did_pick_object"] - prev_m["did_pick_object"])
         elif self.task in ("place", "rearrange"):
+            if self.task == "rearrange":
+                # staged shaping (reference MoveObjectsReward,
+                # composite_sensors.py): EE->object distance until the first
+                # pick + a one-time pick bonus; the object->goal term below
+                # only moves once the object is carried
+                not_picked = 1.0 - prev_m["did_pick_object"]
+                r = r + self.dist_reward_scale * not_picked * (
+                    prev_m["ee_to_object_distance"] - m["ee_to_object_distance"]
+                )
+                r = r + 1.0 * jnp.maximum(
+                    m["did_pick_object"] - prev_m["did_pick_object"], 0.0
+                )
             r = r + self.dist_reward_scale * (
                 prev_m["object_to_goal_distance"] - m["object_to_goal_distance"]
             )
