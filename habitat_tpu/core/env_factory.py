@@ -51,13 +51,18 @@ def make_nav_env(
     reward_spec: RewardSpec = RewardSpec(),
     precomputed_fields: Optional[Dict[str, np.ndarray]] = None,
     seed: int = 0,
+    goal_image_size: Optional[int] = None,
 ) -> BatchedEnv:
     """Build a batched PointNav-style env from host scenes + episodes."""
     scene_index = {s.scene_id: i for i, s in enumerate(scenes)}
     scene_map = {s.scene_id: s for s in scenes}
     pack = pack_scenes(list(scenes))
     table = build_episode_table(
-        list(episodes), scene_map, scene_index, precomputed_fields=precomputed_fields
+        list(episodes),
+        scene_map,
+        scene_index,
+        precomputed_fields=precomputed_fields,
+        goal_image_size=goal_image_size,
     )
     order = build_env_episode_order(list(episodes), num_envs, seed=seed)
 

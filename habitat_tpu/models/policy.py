@@ -156,6 +156,23 @@ class PointNavResNetNet(nn.Module):
             self.sow("intermediates", "visual_feats", visual_fc)
             parts.append(visual_fc)
 
+        # image goals: a SECOND visual encoder over the goal view (reference
+        # resnet_policy.py:523-539 goal_visual_encoder + goal_visual_fc)
+        for k in ("imagegoal", "instance_imagegoal"):
+            if k in obs:
+                genc = ResNetEncoder(
+                    backbone=self.backbone,
+                    base_planes=self.base_planes,
+                    ngroups=self.ngroups,
+                    normalize_visual_inputs=self.normalize_visual_inputs,
+                    name=f"goal_encoder_{k}",
+                )({"rgb": flat(obs[k])})
+                parts.append(
+                    nn.relu(
+                        nn.Dense(self.hidden_size, name=f"goal_visual_fc_{k}")(genc)
+                    )
+                )
+
         # goal embeddings (reference fuses each goal sensor through a 32-dim
         # embedding, resnet_policy.py:434-549); pointgoal polar form is
         # converted to (d, cos, sin) for continuity

@@ -164,3 +164,30 @@ def test_running_mean_and_var():
     z = normalize(stats, jnp.asarray(data.reshape(-1, 3)))
     assert abs(float(jnp.mean(z))) < 0.1
     assert abs(float(jnp.std(z)) - 1.0) < 0.1
+
+
+def test_imagegoal_second_encoder():
+    """Image goals go through a second visual encoder (reference
+    resnet_policy.py:523-539)."""
+    import jax
+    import jax.numpy as jnp
+    from habitat_tpu.models.policy import make_pointnav_resnet_policy
+    from habitat_tpu.models.rnn_state_encoder import initial_hidden_state
+
+    policy = make_pointnav_resnet_policy(
+        4, backbone="resnet9", hidden_size=64, goal_keys=()
+    )
+    n = 2
+    obs = {
+        "rgb": jnp.zeros((n, 32, 32, 3), jnp.uint8),
+        "imagegoal": jnp.zeros((n, 32, 32, 3), jnp.uint8),
+    }
+    hidden = initial_hidden_state(n, 64, 1, "LSTM")
+    params = policy.init(
+        jax.random.PRNGKey(0), obs, hidden, jnp.zeros((n,), jnp.int32), jnp.ones((n,))
+    )
+    assert "goal_encoder_imagegoal" in params["params"]["net"]
+    logits, values, _ = policy.apply(
+        params, obs, hidden, jnp.zeros((n,), jnp.int32), jnp.ones((n,))
+    )
+    assert logits.shape == (n, 4)
