@@ -22,7 +22,7 @@ env = make_nav_env(
     max_episode_steps=200, goal_image_size=64,
     sensor_specs=(
         ("HabitatSimRGBSensor", {"height": 64, "width": 64}),
-        ("ImageGoalSensor", None),
+        ("ImageGoalSensor", {"height": 64, "width": 64}),
         ("CompassSensor", None),
         ("GPSSensor", None),
     ),
