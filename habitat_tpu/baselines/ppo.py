@@ -68,6 +68,19 @@ class PPOConfig:
     reward_window_size: int = 50
 
 
+def _find_sow(tree, name):
+    """Extract a sow'd intermediate by name from flax's mutable-state dict
+    (values are stored as 1-tuples at arbitrary module depth)."""
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            if k == name:
+                return v[0] if isinstance(v, tuple) else v
+            found = _find_sow(v, name)
+            if found is not None:
+                return found
+    return None
+
+
 class RolloutBatch(NamedTuple):
     """On-device rollout storage (counterpart of common/rollout_storage.py:112
     insert — but produced wholesale by the rollout scan, never staged via host)."""
@@ -172,9 +185,9 @@ class PPOLearner:
             (out), inter = self.policy.apply(
                 p, *args, mutable=["intermediates"]
             )
-            feats_list = jax.tree_util.tree_leaves(inter)
-            feats = feats_list[0] if feats_list else None
-            return out + (feats,)
+            visual = _find_sow(inter, "visual_feats")
+            beliefs = _find_sow(inter, "rnn_feats")
+            return out + (visual, beliefs)
         return self.policy.apply(p, *args)
 
     def _zero_action(self, n):
@@ -331,10 +344,10 @@ class PPOLearner:
         return new_ts, batch, last_value, ts.hidden, rollout_stats
 
     # -- update -------------------------------------------------------
-    def _loss_fn(self, params, mb, h0_mb, clip_param):
+    def _loss_fn(self, params, mb, h0_mb, clip_param, key):
         cfg = self.cfg
         if self.aux_loss is not None:
-            dist_params, values, _, feats = self._apply_policy(
+            dist_params, values, _, visual_feats, beliefs = self._apply_policy(
                 params, mb["obs"], h0_mb, mb["prev_actions"], mb["masks"],
                 with_feats=True,
             )
@@ -370,20 +383,22 @@ class PPOLearner:
             "losses/value_loss": value_loss,
             "losses/entropy": ent,
         }
-        if self.aux_loss is not None and feats is not None:
-            # CPC|A over the minibatch sequence: beliefs = fused features,
-            # targets = the visual embedding (sow'd by the net)
+        if self.aux_loss is not None and beliefs is not None:
+            # CPC|A over the minibatch sequence: beliefs = RNN output, targets
+            # = the visual embedding — DIFFERENT tensors, matching reference
+            # rl/ppo/cpc_aux_loss.py (belief predicts future visual features).
             T, Nmb = mb["masks"].shape
-            f = feats.reshape(T, Nmb, -1)
+            b = beliefs.reshape(T, Nmb, -1)
+            v = visual_feats.reshape(T, Nmb, -1)
             cpca = self.aux_loss.apply(
                 params["aux"],
-                f,
-                f,
+                b,
+                v,
                 mb["actions"].astype(jnp.int32)
                 if mb["actions"].ndim == 2
                 else jnp.zeros((T, Nmb), jnp.int32),
                 mb["masks"],
-                jax.random.PRNGKey(0),
+                key,
             )
             total = total + self.aux_loss_coef * cpca
             aux["losses/learner_loss"] = total
@@ -418,23 +433,31 @@ class PPOLearner:
             "returns": returns,
         }
 
-        def epoch_body(carry, _):
+        def epoch_body(carry, ep_i):
             params, opt_state = carry
+            # per-epoch env-index permutation (reference randomizes env order
+            # in data_generator, rollout_storage.py:207-257); key derives from
+            # the train-state key + update/epoch counters so single-device and
+            # mesh-sharded programs compute the SAME permutation
+            kperm = jax.random.fold_in(
+                jax.random.fold_in(ts.key, ts.update_idx), ep_i
+            )
+            perm = jax.random.permutation(kperm, n)
 
             def mb_body(carry, i):
                 params, opt_state = carry
-                # contiguous env-dim minibatches: pure slicing, shard-local
-                # (reference shuffles env indices, rollout_storage.py:207-257;
-                # contiguous slices keep data device-local under the mesh)
-                sl = i * mb_size
-                mb = jax.tree.map(
-                    lambda x: jax.lax.dynamic_slice_in_dim(x, sl, mb_size, axis=1),
-                    data,
-                )
-                h0_mb = jax.lax.dynamic_slice_in_dim(h0, sl, mb_size, axis=0)
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
+                mb = jax.tree.map(lambda x: jnp.take(x, idx, axis=1), data)
+                h0_mb = jnp.take(h0, idx, axis=0)
                 (loss, aux), grads = jax.value_and_grad(
                     self._loss_fn, has_aux=True
-                )(params, mb, h0_mb, cfg.clip_param)
+                )(
+                    params,
+                    mb,
+                    h0_mb,
+                    cfg.clip_param,
+                    jax.random.fold_in(kperm, i),
+                )
                 updates, opt_state = self.optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 aux["grad_norm"] = optax.global_norm(grads)
@@ -446,7 +469,9 @@ class PPOLearner:
             return (params, opt_state), jax.tree.map(jnp.mean, auxs)
 
         (params, opt_state), auxs = jax.lax.scan(
-            epoch_body, (ts.params, ts.opt_state), None, length=cfg.ppo_epoch
+            epoch_body,
+            (ts.params, ts.opt_state),
+            jnp.arange(cfg.ppo_epoch),
         )
         metrics = jax.tree.map(jnp.mean, auxs)
         return ts._replace(

@@ -282,6 +282,27 @@ def rearrange_env_from_config(config: Config, num_envs: Optional[int] = None):
         "RearrangeCloseFridgeTask-v0": "close",
     }.get(task_type, "pick")
     proc = config.habitat.dataset.get("procedural", Config())
+    # action-config driven control mode: a declared arm_action maps onto the
+    # batched arm controller (reference ArmAction composite,
+    # tasks/rearrange/actions/actions.py:102 — ArmRelPos* -> joint-delta
+    # control, ArmEEAction -> IK control)
+    actions_cfg = config.get_path("habitat.task.actions", Config()) or Config()
+    control = None
+    arm_cfg = actions_cfg.get("arm_action", None)
+    if arm_cfg is not None:
+        arm_ctrl = str(arm_cfg.get("arm_controller", "ArmRelPosAction"))
+        control = "arm_ee" if "EE" in arm_ctrl else "arm"
+    robot = "FetchRobot"
+    agents = config.get_path("habitat.simulator.agents", Config()) or Config()
+    for _, ag in (agents.items() if hasattr(agents, "items") else []):
+        if not hasattr(ag, "get"):
+            continue
+        urdf = str(ag.get("articulated_agent_urdf", "") or "")
+        typ = str(ag.get("articulated_agent_type", "") or "")
+        for name in ("Spot", "Stretch", "Franka", "Fetch"):
+            if name.lower() in urdf.lower() or name in typ:
+                robot = f"{name}Robot"
+                break
     return make_rearrange_env(
         num_envs=num_envs,
         task=task,
@@ -293,4 +314,6 @@ def rearrange_env_from_config(config: Config, num_envs: Optional[int] = None):
         max_episode_steps=int(config.habitat.environment.get("max_episode_steps", 300)),
         success_reward=float(config.habitat.task.get("success_reward", 10.0)),
         slack_reward=float(config.habitat.task.get("slack_reward", -0.01)),
+        control=control,
+        robot=robot,
     )

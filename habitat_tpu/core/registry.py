@@ -1,199 +1,110 @@
 """Global component registry.
 
-TPU-native re-implementation of the reference's decorator registry
+TPU-native counterpart of the reference's decorator registry
 (habitat-lab/habitat/core/registry.py:43): string-named component maps that let
-YAML ``type:`` fields resolve to classes/functions.  We keep the same registration
-kinds (task / simulator / sensor / measure / task_action / dataset / env) and add
-the habitat-baselines kinds (trainer / policy / obs_transformer / storage /
-updater / auxiliary loss) that the reference keeps in a second registry
+YAML ``type:`` fields resolve to classes/functions.  We keep the same
+registration kinds (task / simulator / sensor / measure / task_action /
+dataset / env) and add the habitat-baselines kinds (trainer / policy /
+obs_transformer / storage / updater / auxiliary loss) that the reference keeps
+in a second registry
 (habitat-baselines/habitat_baselines/common/baseline_registry.py:28).
 
 Unlike the reference, registered sensors/measures/actions here are *functional*
-components: classes whose instances expose pure functions suitable for jit/vmap.
+components: classes whose instances expose pure functions suitable for
+jit/vmap.  The implementation is also different in idiom: one flat mapping of
+``kind -> {name: component}`` and a pair-generating factory — each public
+``register_X``/``get_X`` pair is stamped out from the kind string below.
 """
 
 from __future__ import annotations
 
-import collections
-from typing import Any, Callable, DefaultDict, Dict, Optional, Type
+from typing import Any, Callable, Dict, Optional
 
 
-class _Singleton(type):
-    _instances: Dict[type, Any] = {}
+class Registry:
+    """Process-global name→component tables (instantiate freely; state is
+    shared at class level, so every ``Registry()`` sees the same mapping)."""
 
-    def __call__(cls, *args, **kwargs):
-        if cls not in cls._instances:
-            cls._instances[cls] = super().__call__(*args, **kwargs)
-        return cls._instances[cls]
+    _tables: Dict[str, Dict[str, Any]] = {}
 
-
-class Registry(metaclass=_Singleton):
-    mapping: DefaultDict[str, Dict[str, Any]] = collections.defaultdict(dict)
-
-    @classmethod
-    def _register_impl(
-        cls,
-        _type: str,
-        to_register: Optional[Any],
-        name: Optional[str],
-        assert_type: Optional[type] = None,
-    ) -> Callable:
-        def wrap(to_register):
-            if assert_type is not None:
-                assert issubclass(
-                    to_register, assert_type
-                ), f"{to_register} must be a subclass of {assert_type}"
-            register_name = to_register.__name__ if name is None else name
-            cls.mapping[_type][register_name] = to_register
-            return to_register
-
-        if to_register is None:
-            return wrap
-        return wrap(to_register)
-
-    # -- habitat-lab kinds (reference core/registry.py:72-196) ------------
-    @classmethod
-    def register_task(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("task", to_register, name)
+    # (public suffix, internal kind) — the public API is register_<suffix>
+    # and get_<suffix>, matching the reference surface names.
+    _KINDS = (
+        # habitat-lab kinds (reference core/registry.py:72-196)
+        ("task", "task"),
+        ("simulator", "sim"),
+        ("sensor", "sensor"),
+        ("measure", "measure"),
+        ("task_action", "task_action"),
+        ("dataset", "dataset"),
+        ("env", "env"),
+        ("action_space_configuration", "asc"),
+        # habitat-baselines kinds (reference baseline_registry.py:28-193)
+        ("trainer", "trainer"),
+        ("policy", "policy"),
+        ("obs_transformer", "obs_transformer"),
+        ("storage", "storage"),
+        ("updater", "updater"),
+        ("auxiliary_loss", "aux_loss"),
+        ("agent_access_mgr", "agent_access_mgr"),
+        ("episode_generator", "episode_generator"),
+    )
 
     @classmethod
-    def register_simulator(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("sim", to_register, name)
+    def table(cls, kind: str) -> Dict[str, Any]:
+        return cls._tables.setdefault(kind, {})
 
     @classmethod
-    def register_sensor(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("sensor", to_register, name)
+    def add(cls, kind: str, component: Any, name: Optional[str] = None) -> Any:
+        """Insert ``component`` into the ``kind`` table under ``name``
+        (defaults to the component's class name) and return it unchanged,
+        so it doubles as a decorator body."""
+        cls.table(kind)[name or component.__name__] = component
+        return component
 
     @classmethod
-    def register_measure(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("measure", to_register, name)
-
-    @classmethod
-    def register_task_action(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("task_action", to_register, name)
-
-    @classmethod
-    def register_dataset(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("dataset", to_register, name)
-
-    @classmethod
-    def register_env(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("env", to_register, name)
-
-    @classmethod
-    def register_action_space_configuration(
-        cls, to_register=None, *, name: Optional[str] = None
-    ):
-        return cls._register_impl("asc", to_register, name)
-
-    # -- habitat-baselines kinds (reference baseline_registry.py:28-193) --
-    @classmethod
-    def register_trainer(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("trainer", to_register, name)
-
-    @classmethod
-    def register_policy(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("policy", to_register, name)
-
-    @classmethod
-    def register_obs_transformer(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("obs_transformer", to_register, name)
-
-    @classmethod
-    def register_storage(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("storage", to_register, name)
-
-    @classmethod
-    def register_updater(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("updater", to_register, name)
-
-    @classmethod
-    def register_auxiliary_loss(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("aux_loss", to_register, name)
-
-    @classmethod
-    def register_agent_access_mgr(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("agent_access_mgr", to_register, name)
-
-    @classmethod
-    def register_episode_generator(cls, to_register=None, *, name: Optional[str] = None):
-        return cls._register_impl("episode_generator", to_register, name)
-
-    # -- getters -----------------------------------------------------------
-    @classmethod
-    def _get_impl(cls, _type: str, name: str) -> Any:
-        out = cls.mapping[_type].get(name)
-        if out is None:
+    def lookup(cls, kind: str, name: str) -> Any:
+        tbl = cls.table(kind)
+        try:
+            return tbl[name]
+        except KeyError:
             raise KeyError(
-                f"No {_type} registered under name {name!r}. "
-                f"Available: {sorted(cls.mapping[_type])}"
-            )
-        return out
+                f"No {kind} registered under name {name!r}. "
+                f"Available: {sorted(tbl)}"
+            ) from None
 
     @classmethod
-    def get_task(cls, name: str):
-        return cls._get_impl("task", name)
+    def names(cls, kind: str):
+        return sorted(cls.table(kind))
 
-    @classmethod
-    def get_simulator(cls, name: str):
-        return cls._get_impl("sim", name)
+    # `mapping` kept as a property-style alias for introspection parity.
+    @property
+    def mapping(self) -> Dict[str, Dict[str, Any]]:
+        return self._tables
 
-    @classmethod
-    def get_sensor(cls, name: str):
-        return cls._get_impl("sensor", name)
 
-    @classmethod
-    def get_measure(cls, name: str):
-        return cls._get_impl("measure", name)
+def _registrar(kind: str) -> Callable:
+    """Build a ``register_<suffix>`` usable both as ``@registry.register_x``
+    and ``@registry.register_x(name="...")``."""
 
-    @classmethod
-    def get_task_action(cls, name: str):
-        return cls._get_impl("task_action", name)
+    def register(component: Any = None, *, name: Optional[str] = None):
+        if component is None:
+            return lambda c: Registry.add(kind, c, name)
+        return Registry.add(kind, component, name)
 
-    @classmethod
-    def get_dataset(cls, name: str):
-        return cls._get_impl("dataset", name)
+    return register
 
-    @classmethod
-    def get_env(cls, name: str):
-        return cls._get_impl("env", name)
 
-    @classmethod
-    def get_trainer(cls, name: str):
-        return cls._get_impl("trainer", name)
+def _getter(kind: str) -> Callable:
+    def get(name: str) -> Any:
+        return Registry.lookup(kind, name)
 
-    @classmethod
-    def get_policy(cls, name: str):
-        return cls._get_impl("policy", name)
+    return get
 
-    @classmethod
-    def get_obs_transformer(cls, name: str):
-        return cls._get_impl("obs_transformer", name)
 
-    @classmethod
-    def get_storage(cls, name: str):
-        return cls._get_impl("storage", name)
-
-    @classmethod
-    def get_updater(cls, name: str):
-        return cls._get_impl("updater", name)
-
-    @classmethod
-    def get_auxiliary_loss(cls, name: str):
-        return cls._get_impl("aux_loss", name)
-
-    @classmethod
-    def get_agent_access_mgr(cls, name: str):
-        return cls._get_impl("agent_access_mgr", name)
-
-    @classmethod
-    def get_episode_generator(cls, name: str):
-        return cls._get_impl("episode_generator", name)
-
-    @classmethod
-    def names(cls, _type: str):
-        return sorted(cls.mapping[_type])
-
+for _suffix, _kind in Registry._KINDS:
+    setattr(Registry, f"register_{_suffix}", staticmethod(_registrar(_kind)))
+    setattr(Registry, f"get_{_suffix}", staticmethod(_getter(_kind)))
 
 registry = Registry()
 

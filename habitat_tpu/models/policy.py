@@ -221,6 +221,10 @@ class PointNavResNetNet(nn.Module):
             T, N = masks.shape
             x = x.reshape(T, N, -1)
         feats, new_hidden = self.rnn()(x, hidden, masks)
+        # expose the RNN belief for auxiliary losses (CPC|A beliefs — the
+        # reference contrasts the RNN belief against the future *visual*
+        # embedding, rl/ppo/cpc_aux_loss.py)
+        self.sow("intermediates", "rnn_feats", feats)
         return feats, new_hidden
 
 

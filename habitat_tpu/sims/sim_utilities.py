@@ -111,6 +111,131 @@ def object_in_region(obj_center, region_lo, region_hi) -> bool:
     return aabb_contains(obj_center, region_lo, region_hi)
 
 
+# -- articulated-link state helpers (reference :1168-1233) --------------------
+#
+# The reference mutates Bullet joint positions through the articulated-object
+# manager; here links are rows of the batched (N, A) joint-state array with
+# per-link (lo, hi) ranges — the helpers are pure functions of that state.
+
+
+def get_link_normalized_joint_position(q, lo, hi):
+    """Joint state -> [0,1] within limits (reference :1190)."""
+    rng = np.maximum(np.asarray(hi) - np.asarray(lo), 1e-9)
+    return np.clip((np.asarray(q) - np.asarray(lo)) / rng, 0.0, 1.0)
+
+
+def set_link_normalized_joint_position(nq, lo, hi):
+    """[0,1] -> joint state (reference :1205)."""
+    return np.asarray(lo) + np.clip(np.asarray(nq), 0.0, 1.0) * (
+        np.asarray(hi) - np.asarray(lo)
+    )
+
+
+def link_is_open(q, lo, hi, threshold: float = 0.4) -> bool:
+    """reference link_is_open:1168."""
+    return bool(get_link_normalized_joint_position(q, lo, hi) >= threshold)
+
+
+def link_is_closed(q, lo, hi, threshold: float = 0.1) -> bool:
+    """reference link_is_closed:1179."""
+    return bool(get_link_normalized_joint_position(q, lo, hi) <= threshold)
+
+
+def open_link(lo, hi):
+    """Fully-open joint state (reference open_link:1223)."""
+    return set_link_normalized_joint_position(1.0, lo, hi)
+
+
+def close_link(lo, hi):
+    """Fully-closed joint state (reference close_link:1233)."""
+    return set_link_normalized_joint_position(0.0, lo, hi)
+
+
+# -- raycast-based snap (reference snap_down:310 true raycast variant) --------
+
+
+def snap_down_raycast(
+    tri_v0, tri_e1, tri_e2, tri_valid, center, size, max_drop: float = 2.0
+):
+    """Drop an object onto whatever surface is below it by raycasting the
+    bbox bottom keypoints straight down against scene triangles (reference
+    snap_down + bb_ray_prescreen, sim_utilities.py:234-380). Returns the
+    snapped center or None when there is no support within max_drop."""
+    from habitat_tpu.ops.raycast import raycast_rays
+
+    import jax.numpy as _jnp
+
+    c = np.asarray(center, np.float64)
+    h = np.asarray(size, np.float64) / 2
+    # 5 bottom keypoints: center + 4 corners of the bottom face
+    pts = np.array(
+        [
+            [c[0], c[1], c[2]],
+            [c[0] - h[0], c[1], c[2] - h[2]],
+            [c[0] + h[0], c[1], c[2] - h[2]],
+            [c[0] - h[0], c[1], c[2] + h[2]],
+            [c[0] + h[0], c[1], c[2] + h[2]],
+        ],
+        np.float32,
+    )
+    dirs = np.tile(np.array([[0.0, -1.0, 0.0]], np.float32), (5, 1))
+    t, idx = raycast_rays(
+        _jnp.asarray(tri_v0),
+        _jnp.asarray(tri_e1),
+        _jnp.asarray(tri_e2),
+        _jnp.asarray(tri_valid).astype(bool),
+        _jnp.asarray(pts),
+        _jnp.asarray(dirs),
+    )
+    t = np.asarray(t)
+    hit = np.asarray(idx) >= 0
+    if not hit.any():
+        return None
+    # support height = highest hit among keypoints (the object rests on it)
+    drop = np.min(np.where(hit, t, np.inf))
+    if drop > max_drop + h[1]:
+        return None
+    out = c.copy()
+    out[1] = c[1] - drop + h[1]
+    return out
+
+
+# -- receptacle matching (reference :1439-1528) -------------------------------
+
+
+def get_obj_receptacle_matches(
+    obj_center, obj_size, receptacles, ontop_tol: float = 0.08
+):
+    """Which receptacles support/contain the object (reference
+    get_obj_receptacle_and_confidence:1439): a receptacle matches when the
+    object's center is inside its (slightly padded) bounds or the object
+    rests on its top surface. Returns [(name, confidence)] best-first."""
+    c = np.asarray(obj_center, np.float64)
+    matches = []
+    for rec in receptacles:
+        lo, hi = rec.bounds
+        lo = np.asarray(lo, np.float64)
+        hi = np.asarray(hi, np.float64)
+        pad = np.array([ontop_tol, max(obj_size[1], ontop_tol), ontop_tol])
+        inside = np.all(c >= lo - pad) and np.all(c <= hi + pad)
+        if not inside:
+            continue
+        # confidence: xz distance from receptacle center, normalized
+        rc = (lo + hi) / 2
+        ext = np.maximum((hi - lo) / 2, 1e-6)
+        d = np.abs(c - rc) / ext
+        conf = float(np.clip(1.0 - np.max(d[[0, 2]]), 0.0, 1.0))
+        matches.append((rec.name, conf))
+    matches.sort(key=lambda x: -x[1])
+    return matches
+
+
+def find_receptacle_for_object(obj_center, obj_size, receptacles):
+    """Best-match receptacle name or None (reference usage pattern)."""
+    m = get_obj_receptacle_matches(obj_center, obj_size, receptacles)
+    return m[0][0] if m else None
+
+
 # -- batched (jit) variants ---------------------------------------------------
 
 

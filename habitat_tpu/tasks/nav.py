@@ -493,7 +493,8 @@ class LookUpAction(FunctionalAction):
     name = "look_up"
 
     def tilt_amount(self):
-        return float(np.deg2rad(_cfg(self.config, "tilt_angle", 30.0)))
+        # reference default tilt_angle = 15 (default_structured_configs.py:167)
+        return float(np.deg2rad(_cfg(self.config, "tilt_angle", 15.0)))
 
 
 @registry.register_task_action(name="LookDownAction")
@@ -501,7 +502,7 @@ class LookDownAction(FunctionalAction):
     name = "look_down"
 
     def tilt_amount(self):
-        return -float(np.deg2rad(_cfg(self.config, "tilt_angle", 30.0)))
+        return -float(np.deg2rad(_cfg(self.config, "tilt_angle", 15.0)))
 
 
 @registry.register_sensor(name="ImageGoalSensor")

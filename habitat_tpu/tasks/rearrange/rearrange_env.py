@@ -29,12 +29,18 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 from gymnasium import spaces
 
+from habitat_tpu.articulated_agents import kinematics as kin
+from habitat_tpu.articulated_agents.params import ROBOTS
 from habitat_tpu.core.dataset import EpisodeTable
 from habitat_tpu.core.registry import registry
 from habitat_tpu.ops import navgrid as ng
 from habitat_tpu.ops.raycast import render_batch
 from habitat_tpu.sims.scene import ScenePack
-from habitat_tpu.utils.geometry import rotate_world_to_agent, yaw_to_forward
+from habitat_tpu.utils.geometry import (
+    rotate_agent_to_world,
+    rotate_world_to_agent,
+    yaw_to_forward,
+)
 
 # fixed kinematic EE offset in the agent frame (forward, lifted — stands in
 # for the articulated arm's resting EE; reference Fetch params
@@ -80,6 +86,7 @@ class RearrangeState:
     obj_pos: jnp.ndarray  # (N, O, 3)
     obj_vel: jnp.ndarray  # (N, O, 3) rigid-body velocity (gravity dynamics)
     art_q: jnp.ndarray  # (N, A) joint states
+    joints: jnp.ndarray  # (N, J) arm joint positions (real FK chain)
     held: jnp.ndarray  # (N,) int32, -1 = none
     ever_held: jnp.ndarray  # (N,) bool — picked the right object at least once
     stop_called: jnp.ndarray
@@ -123,6 +130,11 @@ class RearrangeBatchedEnv:
         with_visual: bool = True,
         continuous: bool = False,
         dynamics: str = "kinematic",  # kinematic | gravity
+        control: Optional[str] = None,  # discrete | continuous | arm | arm_ee
+        robot: str = "FetchRobot",
+        max_joint_delta: float = 0.1,  # rad per step (ArmRelPosAction scale)
+        ee_delta: float = 0.06,  # m per step (ArmEEAction scale)
+        arm_grasp_distance: float = 0.25,
     ):
         self.pack = pack
         self.table = table
@@ -142,9 +154,41 @@ class RearrangeBatchedEnv:
         self.with_visual = with_visual and render_size is not None
         self.render_size = render_size
         self.num_objects = int(table.obj_init.shape[1])
-        self.continuous = continuous
+        if control is None:
+            control = "continuous" if continuous else "discrete"
+        self.control = control
+        self.continuous = control != "discrete"
+        # articulated agent: fixed-topology FK chain (reference Manipulator,
+        # articulated_agents/manipulator.py:79-120 — URDF+Bullet there, a
+        # batched serial-chain FK here; joint state lives in the env pytree)
+        self.rparams = ROBOTS[robot]
+        self.n_joints = self.rparams.arm_joints
+        self.max_joint_delta = max_joint_delta
+        self.ee_delta = ee_delta
+        self._resting = jnp.asarray(self.rparams.resting_pose, jnp.float32)
+        self._arm_root = jnp.asarray(self.rparams.arm_root_offset, jnp.float32)
+        # resting EE in the agent frame (RelativeRestingPositionSensor origin)
+        self._resting_ee_local = (
+            kin.ee_position(self.rparams, self._resting) + self._arm_root
+        )
+        if control in ("arm", "arm_ee"):
+            self.grasp_distance = arm_grasp_distance
 
-        if continuous:
+        if control == "arm":
+            # ArmAction composite: 7 joint deltas + grip + base (lin, ang) —
+            # reference ArmRelPosAction + MagicGraspAction + BaseVelAction
+            # (tasks/rearrange/actions/actions.py:102,167-238,434;
+            # grip_actions.py:38)
+            self.action_space = spaces.Box(
+                -1.0, 1.0, (self.n_joints + 3,), np.float32
+            )
+            self.action_names = ("arm_action", "base_velocity")
+        elif control == "arm_ee":
+            # ArmEEAction: 3D EE displacement solved by DLS-IK + grip + base
+            # (reference actions.py:738 + IkHelper)
+            self.action_space = spaces.Box(-1.0, 1.0, (6,), np.float32)
+            self.action_names = ("arm_ee_action", "base_velocity")
+        elif control == "continuous":
             # (lin_vel, ang_vel, grip) in [-1,1] — reference BaseVelAction +
             # grip composite (tasks/rearrange/actions/actions.py:434 +
             # grip_actions.py); HabGymWrapper's flattened Box equivalent
@@ -156,7 +200,7 @@ class RearrangeBatchedEnv:
         obs_spaces: Dict[str, spaces.Space] = {
             "obj_start_sensor": spaces.Box(-np.inf, np.inf, (3,), np.float32),
             "obj_goal_sensor": spaces.Box(-np.inf, np.inf, (3,), np.float32),
-            "joint": spaces.Box(-np.inf, np.inf, (7,), np.float32),
+            "joint": spaces.Box(-np.inf, np.inf, (self.n_joints,), np.float32),
             "is_holding": spaces.Box(0, 1, (1,), np.float32),
             "ee_pos": spaces.Box(-np.inf, np.inf, (3,), np.float32),
             "relative_resting_position": spaces.Box(-np.inf, np.inf, (3,), np.float32),
@@ -174,9 +218,19 @@ class RearrangeBatchedEnv:
     def _sid(self, state) -> jnp.ndarray:
         return self.table.nav.scene_idx[state.ep_idx]
 
-    def _ee_pos(self, state) -> jnp.ndarray:
-        from habitat_tpu.utils.geometry import rotate_agent_to_world
+    def _arm_mode(self) -> bool:
+        return self.control in ("arm", "arm_ee")
 
+    def _ee_local(self, joints) -> jnp.ndarray:
+        """(N,J) joints -> (N,3) EE in the agent frame (FK over the chain)."""
+        return jax.vmap(functools.partial(kin.ee_position, self.rparams))(
+            joints
+        ) + self._arm_root
+
+    def _ee_pos(self, state) -> jnp.ndarray:
+        if self._arm_mode():
+            local = self._ee_local(state.joints)
+            return state.pos + rotate_agent_to_world(local, state.yaw)
         off = rotate_agent_to_world(
             jnp.broadcast_to(EE_OFFSET, state.pos.shape), state.yaw
         )
@@ -221,10 +275,15 @@ class RearrangeBatchedEnv:
         obs = {
             "obj_start_sensor": rel(tgt_pos).astype(jnp.float32),
             "obj_goal_sensor": rel(goal_pos).astype(jnp.float32),
-            "joint": jnp.zeros((self.num_envs, 7), jnp.float32),
+            # live joint state (reference JointSensor, rearrange_sensors.py:51)
+            "joint": state.joints.astype(jnp.float32),
             "is_holding": (state.held >= 0).astype(jnp.float32)[:, None],
             "ee_pos": rel(ee).astype(jnp.float32),
-            "relative_resting_position": (rel(ee) - EE_OFFSET).astype(jnp.float32),
+            # EE relative to the resting EE pose in the agent frame
+            # (reference RelativeRestingPositionSensor)
+            "relative_resting_position": (
+                rel(ee) - self._resting_ee_local
+            ).astype(jnp.float32),
         }
         if self.with_visual:
             h, w = self.render_size
@@ -242,6 +301,62 @@ class RearrangeBatchedEnv:
             obs["robot_head_depth"] = frames["depth"]
             obs["robot_head_rgb"] = frames["rgb"]
         return obs
+
+    def _arm_geometry(self, state) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Arm links as oriented boxes: (N, J*12, 3, 3) world-space triangle
+        vertices + (N, J*12) valid. The FK chain's link segments render
+        through the dynamic pass (the reference renders the URDF meshes via
+        Bullet-transformed scene nodes, rearrange_sim.py:917)."""
+        J = self.n_joints
+        N = self.num_envs
+        pts_local = jax.vmap(functools.partial(kin.fk_positions, self.rparams))(
+            state.joints
+        )  # (N, J+1, 3) arm-root frame
+        pts_agent = pts_local + self._arm_root
+        pts_world = state.pos[:, None, :] + rotate_agent_to_world(
+            pts_agent, state.yaw[:, None]
+        )
+        p0 = pts_world[:, :-1]  # (N,J,3)
+        p1 = pts_world[:, 1:]
+        seg = p1 - p0
+        ln = jnp.linalg.norm(seg, axis=-1, keepdims=True)
+        u = seg / jnp.maximum(ln, 1e-6)
+        up = jnp.array([0.0, 1.0, 0.0])
+        alt = jnp.array([1.0, 0.0, 0.0])
+        ref = jnp.where(
+            (jnp.abs(u @ up) > 0.9)[..., None], alt[None, None], up[None, None]
+        )
+        v = jnp.cross(u, ref)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-6)
+        w = jnp.cross(u, v)
+        r = 0.04  # link radius
+        mid = 0.5 * (p0 + p1)
+        h = 0.5 * ln
+        # 8 corners: mid ± u*h ± v*r ± w*r
+        signs = jnp.array(
+            [
+                [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+                [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+            ],
+            jnp.float32,
+        )  # (8,3) in (u,v,w) coords
+        corners = (
+            mid[:, :, None, :]
+            + signs[None, None, :, 0:1] * u[:, :, None, :] * h[:, :, None, :]
+            + signs[None, None, :, 1:2] * v[:, :, None, :] * r
+            + signs[None, None, :, 2:3] * w[:, :, None, :] * r
+        )  # (N,J,8,3)
+        faces = jnp.array(
+            [
+                [0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6],
+                [0, 4, 5], [0, 5, 1], [1, 5, 6], [1, 6, 2],
+                [2, 6, 7], [2, 7, 3], [3, 7, 4], [3, 4, 0],
+            ]
+        )
+        tris = corners[:, :, faces, :]  # (N,J,12,3,3)
+        tris = tris.reshape(N, J * 12, 3, 3)
+        valid = jnp.ones((N, J * 12), bool)
+        return tris, valid
 
     def _dynamic_geometry(self, state) -> Dict[str, jnp.ndarray]:
         """Movable objects as boxes: (N, O*12, 3) triangles rebuilt per step."""
@@ -299,6 +414,17 @@ class RearrangeBatchedEnv:
             np.random.default_rng(7).uniform(0.3, 1.0, (n_dyn, 3)), jnp.float32
         )
         color = jnp.repeat(jnp.broadcast_to(palette[None], (N, n_dyn, 3)), 12, axis=1)
+        if self._arm_mode():
+            # render the real arm through the same dynamic pass
+            arm_v, arm_valid = self._arm_geometry(state)
+            v = jnp.concatenate([v, arm_v], axis=1)
+            valid = jnp.concatenate([valid, arm_valid], axis=1)
+            n_arm = arm_v.shape[1]
+            sem = jnp.concatenate(
+                [sem, jnp.full((N, n_arm), OBJ_SEM_BASE - 1, sem.dtype)], axis=1
+            )
+            arm_color = jnp.full((N, n_arm, 3), 0.55, jnp.float32)
+            color = jnp.concatenate([color, arm_color], axis=1)
         return dict(
             v0=v[:, :, 0],
             e1=v[:, :, 1] - v[:, :, 0],
@@ -426,6 +552,7 @@ class RearrangeBatchedEnv:
                 (n, self.table.art_pos.shape[1]),
             )
             * self.table.art_valid[ep_idx],
+            joints=jnp.broadcast_to(self._resting, (n, self.n_joints)),
             held=jnp.full((n,), -1, jnp.int32),
             ever_held=jnp.zeros((n,), bool),
             stop_called=jnp.zeros((n,), bool),
@@ -449,7 +576,39 @@ class RearrangeBatchedEnv:
         prev_m = self._measures(state)
         sid = self._sid(state)
 
-        if self.continuous:
+        new_joints = state.joints
+        if self.control == "arm":
+            # [J joint deltas | grip | base lin | base ang]
+            acts = jnp.clip(actions.astype(jnp.float32), -1.0, 1.0)
+            J = self.n_joints
+            dq = acts[:, :J] * self.max_joint_delta
+            lo = jnp.asarray(self.rparams.joint_limits_lower, jnp.float32)
+            hi = jnp.asarray(self.rparams.joint_limits_upper, jnp.float32)
+            new_joints = jnp.clip(state.joints + dq, lo, hi)
+            grip = acts[:, J] > 0.0
+            lin = acts[:, J + 1]
+            ang = acts[:, J + 2]
+            a = jnp.where(grip, A_GRAB, A_FWD).astype(jnp.int32)  # for logs
+            stop = state.stop_called
+            yaw = state.yaw + ang * self.turn
+            move = lin * self.fwd
+        elif self.control == "arm_ee":
+            # [EE delta xyz | grip | base lin | base ang] — DLS-IK toward the
+            # displaced EE target in the agent frame (reference ArmEEAction)
+            acts = jnp.clip(actions.astype(jnp.float32), -1.0, 1.0)
+            cur_local = self._ee_local(state.joints) - self._arm_root
+            target = cur_local + acts[:, 0:3] * self.ee_delta
+            new_joints = jax.vmap(
+                functools.partial(kin.ik_solve, self.rparams, iters=8)
+            )(target, state.joints)
+            grip = acts[:, 3] > 0.0
+            lin = acts[:, 4]
+            ang = acts[:, 5]
+            a = jnp.where(grip, A_GRAB, A_FWD).astype(jnp.int32)
+            stop = state.stop_called
+            yaw = state.yaw + ang * self.turn
+            move = lin * self.fwd
+        elif self.continuous:
             acts = actions.astype(jnp.float32)
             lin = jnp.clip(acts[:, 0], -1.0, 1.0)
             ang = jnp.clip(acts[:, 1], -1.0, 1.0)
@@ -478,6 +637,7 @@ class RearrangeBatchedEnv:
             pos=new_pos,
             yaw=yaw,
             prev_pos=state.pos,
+            joints=new_joints,
             stop_called=stop,
             collided=collided,
             collision_count=state.collision_count + collided.astype(jnp.int32),
@@ -503,19 +663,21 @@ class RearrangeBatchedEnv:
             state = dataclasses.replace(state, art_q=art_q)
 
         # -- magic grasp / release (reference grip_actions.py:38-177) ----
-        if self.continuous:
-            # grip toggles only on sign CHANGE semantics: act when grip>0
-            grab = grip & (state.last_action != A_GRAB)
-        else:
-            grab = a == A_GRAB
         ee = self._ee_pos(state)
         objs = self._obj_world(state)
         d = jnp.linalg.norm(objs - ee[:, None, :], axis=-1)  # (N,O)
         d = jnp.where(self.table.obj_valid[state.ep_idx], d, 1e6)
         nearest = jnp.argmin(d, axis=1).astype(jnp.int32)
         nearest_d = d[n_idx, nearest]
-        can_grab = grab & (state.held < 0) & (nearest_d <= self.grasp_distance)
-        do_release = grab & (state.held >= 0)
+        if self._arm_mode() or self.continuous:
+            # suction semantics (reference SuctionGraspAction,
+            # grip_actions.py:140+): hold while grip > 0, release on <= 0
+            can_grab = grip & (state.held < 0) & (nearest_d <= self.grasp_distance)
+            do_release = (~grip) & (state.held >= 0)
+        else:
+            grab = a == A_GRAB
+            can_grab = grab & (state.held < 0) & (nearest_d <= self.grasp_distance)
+            do_release = grab & (state.held >= 0)
 
         # release: object drops under the EE (exact spot when navigable,
         # else snapped to the nearest navigable cell)
@@ -591,6 +753,7 @@ class RearrangeBatchedEnv:
             obj_pos=sel(fresh.obj_pos, state.obj_pos),
             obj_vel=sel(fresh.obj_vel, state.obj_vel),
             art_q=sel(fresh.art_q, state.art_q),
+            joints=sel(fresh.joints, state.joints),
             held=sel(fresh.held, state.held),
             ever_held=sel(fresh.ever_held, state.ever_held),
             stop_called=sel(fresh.stop_called, state.stop_called),

@@ -126,6 +126,54 @@ def test_train_step_multi_device_sharded(small_learner):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_ddppo_sharded_matches_single_device(small_learner):
+    """Numerical equivalence: the 8-device sharded train step produces the
+    SAME parameters as the single-device step (counterpart of the reference's
+    exact DDP gradient-reduction test, test/test_ddppo_reduce.py:28-100).
+    Exactly testable here because the minibatch permutation derives from the
+    train-state key, identically on both programs."""
+    from habitat_tpu.parallel import mesh as meshlib
+
+    learner = small_learner
+    step = jax.jit(learner.train_step)
+
+    # single-device run, 2 updates
+    ts1 = jax.jit(learner.init_fn)(jax.random.PRNGKey(7))
+    for _ in range(2):
+        ts1, m1 = step(ts1)
+
+    # sharded run, same seed
+    mesh = meshlib.make_mesh(jax.devices("cpu"))
+    ts2 = jax.jit(learner.init_fn)(jax.random.PRNGKey(7))
+    n = learner.env.num_envs
+    ts2 = ts2._replace(
+        params=meshlib.replicate_pytree(ts2.params, mesh),
+        opt_state=meshlib.replicate_pytree(ts2.opt_state, mesh),
+        env_state=meshlib.shard_env_pytree(ts2.env_state, mesh, n),
+        obs=meshlib.shard_env_pytree(ts2.obs, mesh, n),
+        hidden=meshlib.shard_env_pytree(ts2.hidden, mesh, n),
+        prev_action=meshlib.shard_env_pytree(ts2.prev_action, mesh, n),
+        not_done=meshlib.shard_env_pytree(ts2.not_done, mesh, n),
+        key=meshlib.replicate_pytree(ts2.key, mesh),
+        update_idx=meshlib.replicate_pytree(ts2.update_idx, mesh),
+        ep_return_acc=meshlib.shard_env_pytree(ts2.ep_return_acc, mesh, n),
+        ep_len_acc=meshlib.shard_env_pytree(ts2.ep_len_acc, mesh, n),
+    )
+    for _ in range(2):
+        ts2, m2 = step(ts2)
+
+    np.testing.assert_allclose(
+        float(m1["losses/learner_loss"]), float(m2["losses/learner_loss"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    p1 = jax.tree.leaves(ts1.params)
+    p2 = jax.tree.leaves(ts2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+
+
 def test_gaussian_ppo_on_continuous_rearrange():
     """PPO with the Gaussian head on the continuous rearrange env (reference
     action_distribution_type='gaussian' for arm/base control)."""

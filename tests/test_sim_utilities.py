@@ -84,3 +84,61 @@ def test_debug_visualizer(tmp_path):
     assert frame.shape == (48, 48, 3)
     assert frame.std() > 1.0
     dbv.make_debug_video(str(tmp_path))
+
+
+# -- round-2 additions: link helpers, raycast snap, receptacle matching ------
+
+
+def test_link_state_helpers():
+    from habitat_tpu.sims import sim_utilities as su
+
+    lo, hi = 0.0, 0.5
+    assert su.link_is_closed(0.02, lo, hi)
+    assert not su.link_is_open(0.02, lo, hi)
+    assert su.link_is_open(0.3, lo, hi)
+    assert su.open_link(lo, hi) == 0.5
+    assert su.close_link(lo, hi) == 0.0
+    assert abs(su.get_link_normalized_joint_position(0.25, lo, hi) - 0.5) < 1e-9
+    assert abs(su.set_link_normalized_joint_position(0.5, lo, hi) - 0.25) < 1e-9
+
+
+def test_snap_down_raycast():
+    import numpy as np
+    from habitat_tpu.sims import sim_utilities as su
+
+    # one floor quad at y=0 (2 tris)
+    v = np.array(
+        [
+            [[-5, 0, -5], [5, 0, -5], [5, 0, 5]],
+            [[-5, 0, -5], [5, 0, 5], [-5, 0, 5]],
+        ],
+        np.float32,
+    )
+    # pad to chunk size 128
+    pad = np.zeros((126, 3, 3), np.float32)
+    tri = np.concatenate([v, pad])
+    valid = np.zeros((128,), np.float32)
+    valid[:2] = 1.0
+    v0, e1, e2 = tri[:, 0], tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]
+    out = su.snap_down_raycast(v0, e1, e2, valid, [0.0, 1.0, 0.0], [0.2, 0.2, 0.2])
+    assert out is not None
+    assert abs(out[1] - 0.1) < 1e-3  # rests with bottom on the floor
+    # too high -> None
+    out2 = su.snap_down_raycast(
+        v0, e1, e2, valid, [0.0, 5.0, 0.0], [0.2, 0.2, 0.2], max_drop=2.0
+    )
+    assert out2 is None
+
+
+def test_receptacle_matching():
+    import numpy as np
+    from habitat_tpu.sims import sim_utilities as su
+    from habitat_tpu.sims.receptacles import AABBReceptacle
+
+    table = AABBReceptacle("table", lo=[0, 0.7, 0], hi=[1, 0.75, 1])
+    shelf = AABBReceptacle("shelf", lo=[3, 1.0, 3], hi=[4, 1.05, 4])
+    obj_c = [0.5, 0.8, 0.5]  # resting on the table top
+    m = su.get_obj_receptacle_matches(obj_c, [0.1, 0.1, 0.1], [table, shelf])
+    assert m and m[0][0] == "table"
+    assert su.find_receptacle_for_object(obj_c, [0.1, 0.1, 0.1], [table, shelf]) == "table"
+    assert su.find_receptacle_for_object([9, 9, 9], [0.1] * 3, [table, shelf]) is None
