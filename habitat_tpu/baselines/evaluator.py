@@ -31,6 +31,7 @@ def evaluate_agent(
     params: Any,
     *,
     episodes_per_env: Optional[int] = None,
+    evals_per_ep: int = 1,
     deterministic: bool = False,
     seed: int = 0,
     max_steps: Optional[int] = None,
@@ -47,7 +48,10 @@ def evaluate_agent(
     n = env.num_envs
     if episodes_per_env is None:
         episodes_per_env = max(1, env.table.num_episodes // n)
-    quota = np.full((n,), episodes_per_env, np.int64)
+    # evals_per_ep (reference habitat_evaluator.py evals_per_ep): each env
+    # cycles its episode list deterministically, so k passes over the quota
+    # evaluate every episode exactly k times
+    quota = np.full((n,), episodes_per_env * max(1, evals_per_ep), np.int64)
 
     net = policy.net
     hidden = initial_hidden_state(
@@ -138,6 +142,84 @@ def evaluate_agent(
     return out
 
 
+def poll_checkpoint_folder(folder: str, prev_ckpt_ind: int) -> Optional[str]:
+    """Next un-evaluated numbered checkpoint, or None (reference
+    poll_checkpoint_folder used by BaseTrainer.eval,
+    common/base_trainer.py:136-150)."""
+    import os
+    import re
+
+    if not os.path.isdir(folder):
+        return None
+    found = []
+    for f in os.listdir(folder):
+        m = re.match(r"ckpt\.(\d+)$", f)
+        if m:
+            found.append((int(m.group(1)), f))
+    found.sort()
+    for idx, f in found:
+        if idx > prev_ckpt_ind:
+            return os.path.join(folder, f)
+    return None
+
+
+def eval_checkpoint_loop(
+    trainer,
+    config,
+    *,
+    poll_interval_s: float = 2.0,
+    timeout_s: float = 600.0,
+) -> Dict[int, Dict[str, float]]:
+    """Checkpoint-folder polling eval (reference BaseTrainer.eval loop,
+    common/base_trainer.py:108-167): evaluates every numbered ckpt.N as it
+    appears; progress persists to ``.eval_resume_state`` in the checkpoint
+    folder so a preempted eval job resumes at the next un-evaluated
+    checkpoint (reference :77-88, 152-163)."""
+    import json as _json
+    import os
+    import time as _time
+
+    folder = os.path.abspath(trainer.run_cfg.checkpoint_folder)
+    resume_path = os.path.join(folder, ".eval_resume_state")
+    prev = -1
+    if os.path.exists(resume_path):
+        with open(resume_path) as f:
+            prev = int(_json.load(f).get("prev_ckpt_ind", -1))
+        logger.info(f"eval resumed after checkpoint {prev}")
+
+    results: Dict[int, Dict[str, float]] = {}
+    ts = trainer._init(jax.random.PRNGKey(0), trainer._env_data)
+    deadline = _time.time() + timeout_s
+    while _time.time() < deadline:
+        nxt = poll_checkpoint_folder(folder, prev)
+        if nxt is None:
+            if trainer.is_done():
+                break
+            _time.sleep(poll_interval_s)
+            continue
+        idx = int(nxt.rsplit(".", 1)[1])
+        ts = trainer.load_checkpoint(os.path.basename(nxt), ts)
+        metrics = evaluate_agent(
+            trainer.env,
+            trainer.policy,
+            ts.params,
+            evals_per_ep=int(
+                config.get_path("habitat_baselines.eval.evals_per_ep", 1)
+            ),
+            checkpoint_idx=idx,
+            seed=int(config.habitat.get("seed", 100)),
+        )
+        results[idx] = metrics
+        logger.info(
+            f"eval ckpt.{idx}: "
+            + " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+        )
+        prev = idx
+        with open(resume_path, "w") as f:
+            _json.dump({"prev_ckpt_ind": prev}, f)
+    return results
+
+
 def evaluate_from_config(config, trainer) -> Dict[str, float]:
     """Eval entry (reference BaseTrainer.eval, common/base_trainer.py:66):
     loads latest checkpoint if present, evaluates, logs."""
@@ -160,6 +242,7 @@ def evaluate_from_config(config, trainer) -> Dict[str, float]:
         policy,
         ts.params,
         episodes_per_env=per_env,
+        evals_per_ep=int(config.get_path("habitat_baselines.eval.evals_per_ep", 1)),
         deterministic=False,
         seed=int(config.habitat.get("seed", 100)),
     )

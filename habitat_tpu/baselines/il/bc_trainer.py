@@ -10,7 +10,7 @@ distance field), so demonstrations are generated inside the jitted train step
     scan T steps: teacher = follower(action), env.step(teacher),
                   loss += CE(policy(obs), teacher)
 
-Registered as trainer "bc" (and "pacman" for the reference's nav-IL name).
+Registered as trainer "bc"; the PACMAN nav-IL lives in pacman.py.
 """
 
 from __future__ import annotations
@@ -52,7 +52,6 @@ class BCState(NamedTuple):
 
 
 @registry.register_trainer(name="bc")
-@registry.register_trainer(name="pacman")
 class BCLearner:
     """Online behavior cloning of the shortest-path follower.
 

@@ -29,14 +29,19 @@ from habitat_tpu.hitl.app_states import (
 
 def make_keyframe(sim, obs: Dict[str, np.ndarray], step: int) -> Dict[str, Any]:
     """gfx-replay-style keyframe (reference keyframe wire format,
-    _internal/networking/keyframe_utils.py): poses + state, no mesh payload."""
+    _internal/networking/keyframe_utils.py): agent pose + OBJECT states +
+    articulation joint states + grasp state, no mesh payload — enough for a
+    remote client to replay a full rearrange episode."""
+    dev_state = getattr(sim, "_state", None)
+    if dev_state is None:
+        dev_state = getattr(sim, "state", None)
     if hasattr(sim, "get_agent_state"):
         state = sim.get_agent_state()
         position, rotation = state.position, np.atleast_1d(state.rotation)
-    elif getattr(sim, "_state", None) is not None:
+    elif dev_state is not None:
         # host Env wraps a 1-env BatchedEnv: read lane 0 of the device state
-        position = np.asarray(sim._state.pos[0])
-        rotation = np.atleast_1d(np.asarray(sim._state.yaw[0]))
+        position = np.asarray(dev_state.pos[0])
+        rotation = np.atleast_1d(np.asarray(dev_state.yaw[0]))
     else:
         position, rotation = np.zeros(3), np.zeros(1)
     kf: Dict[str, Any] = {
@@ -46,6 +51,25 @@ def make_keyframe(sim, obs: Dict[str, np.ndarray], step: int) -> Dict[str, Any]:
             "rotation": [float(x) for x in rotation],
         },
     }
+    if dev_state is not None:
+        if hasattr(dev_state, "obj_pos"):
+            kf["objects"] = [
+                {"id": i, "position": [float(x) for x in p]}
+                for i, p in enumerate(np.asarray(dev_state.obj_pos[0]))
+            ]
+        if hasattr(dev_state, "art_q"):
+            kf["articulations"] = [
+                float(q) for q in np.asarray(dev_state.art_q[0])
+            ]
+        if hasattr(dev_state, "held"):
+            kf["held_object"] = int(np.asarray(dev_state.held[0]))
+        if hasattr(dev_state, "joints"):
+            kf["joints"] = [float(q) for q in np.asarray(dev_state.joints[0])]
+        if hasattr(dev_state, "human_pos"):
+            kf["humanoid"] = {
+                "position": [float(x) for x in np.asarray(dev_state.human_pos[0])],
+                "rotation": [float(np.asarray(dev_state.human_yaw[0]))],
+            }
     return kf
 
 
@@ -132,6 +156,83 @@ def hitl_main(config, create_app_state_lambda: Callable, max_steps: int = 300):
     return driver
 
 
+class RemoteClientState:
+    """Latest state received from a remote client (reference
+    _internal/networking/remote_client_state.py): head/hand poses for VR
+    avatars, pointer ray, and the per-frame input event history."""
+
+    def __init__(self):
+        self.head_pose: Optional[Dict[str, Any]] = None
+        self.hand_poses: List[Dict[str, Any]] = []
+        self.pointer: Optional[Dict[str, Any]] = None
+        self.connected: bool = False
+        self.recent_events: List[Dict[str, Any]] = []
+
+    def update(self, msg: Dict[str, Any]) -> None:
+        self.connected = True
+        if "avatar" in msg:
+            av = msg["avatar"]
+            self.head_pose = av.get("root")
+            self.hand_poses = av.get("hands", [])
+        if "pointer" in msg:
+            self.pointer = msg["pointer"]
+        self.recent_events.append(msg)
+        del self.recent_events[:-32]
+
+
+class BaselinesController:
+    """Policy-driven GUI agent (reference environment/controllers/
+    baselines_controller.py): runs a trained policy for one agent inside the
+    HITL loop while the human drives another (or observes)."""
+
+    def __init__(self, policy, params, num_envs: int = 1, deterministic: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        from habitat_tpu.models.policy import sample_action
+        from habitat_tpu.models.rnn_state_encoder import initial_hidden_state
+
+        self.policy = policy
+        self.params = params
+        self.deterministic = deterministic
+        net = policy.net
+        self._hidden = initial_hidden_state(
+            num_envs, net.hidden_size, net.num_recurrent_layers, net.rnn_type
+        )
+        self._prev_a = jnp.zeros((num_envs,), jnp.int32)
+        self._not_done = jnp.zeros((num_envs,), jnp.float32)
+        self._key = jax.random.PRNGKey(0)
+
+        def _act(params, obs, hidden, prev_a, not_done, key):
+            logits, _, new_hidden = policy.apply(params, obs, hidden, prev_a, not_done)
+            a, _ = sample_action(logits, key, deterministic=deterministic)
+            return a, new_hidden
+
+        self._act = jax.jit(_act)
+
+    def act(self, obs: Dict[str, Any]):
+        import jax
+        import jax.numpy as jnp
+
+        obs_b = {
+            k: jnp.asarray(v)[None] if np.asarray(v).ndim < 2 or k not in ("rgb", "depth")
+            else jnp.asarray(v)[None]
+            for k, v in obs.items()
+        }
+        self._key, k = jax.random.split(self._key)
+        a, self._hidden = self._act(
+            self.params, obs_b, self._hidden, self._prev_a, self._not_done, k
+        )
+        self._prev_a = a
+        self._not_done = jnp.ones_like(self._not_done)
+        return int(np.asarray(a)[0])
+
+    def on_environment_reset(self):
+        import jax.numpy as jnp
+
+        self._not_done = jnp.zeros_like(self._not_done)
+
+
 # -- networking (reference _internal/networking/networking_process.py) -----
 
 
@@ -149,6 +250,7 @@ class NetworkingServer:
         self.port = port
         self._thread = None
         self._stop = False
+        self.client_state = RemoteClientState()
 
     def start(self):
         import asyncio
@@ -170,6 +272,9 @@ class NetworkingServer:
                         self.driver.gui_input.press(key)
                     for key in data.get("keys_up", []):
                         self.driver.gui_input.release(key)
+                    # client->server state channel (avatar poses, pointer —
+                    # reference remote_client_state.py)
+                    self.client_state.update(data)
                 except Exception:
                     pass
 

@@ -307,10 +307,24 @@ def select_chunks(
     ang_r = jnp.arcsin(jnp.clip(r[:, None, :] / jnp.maximum(dist, 1e-9), 0.0, 1.0))
     visible = (ang_v <= ang_tile[:, :, None] + ang_r) | (dist <= r[:, None, :])
     valid = (r > 0)[:, None, :]
+    valid = valid & _lod_band_ok(chunk_bounds, dist)
     score = jnp.where(visible & valid, jnp.maximum(dist - r[:, None, :], 0.0), 1e9)
     k = min(k, score.shape[-1])
     _, idx = jax.lax.top_k(-score, k)  # nearest K
     return idx.astype(jnp.int32)
+
+
+def _lod_band_ok(chunk_bounds: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
+    """Discrete-LOD render band: a chunk competes only when the tile apex is
+    within its [dmin, dmax] distance range (chunk_bounds cols 4:6; single-LOD
+    packs carry [0, 1e9] = always on). Padded by the chunk radius so band
+    boundaries never open gaps."""
+    if chunk_bounds.shape[-1] < 6:
+        return jnp.ones_like(dist, dtype=bool)
+    r = chunk_bounds[..., 3][:, None, :]
+    dmin = chunk_bounds[..., 4][:, None, :]
+    dmax = chunk_bounds[..., 5][:, None, :]
+    return ((dist + r) >= dmin) & ((dist - r) <= dmax)
 
 
 def select_chunks_occluded(
@@ -323,17 +337,42 @@ def select_chunks_occluded(
     k: int,
     lowres_stride: int = 64,
     depth_margin: float = 1.0,
+    pre_chunks: int = 16,
 ) -> jnp.ndarray:
-    """Occlusion-aware chunk selection: a low-res full raycast (1/stride of
-    the rays, brute force over all chunks) bounds each tile's max depth; only
-    cone-visible chunks NEARER than that bound compete for the K slots —
-    far geometry behind walls never wastes kernel work. Conservative up to
-    subsampling (margin covers gaps the low-res pass misses)."""
+    """Occlusion-aware chunk selection: a low-res raycast (1/stride of the
+    rays) bounds each tile's max depth; only cone-visible chunks NEARER than
+    that bound compete for the K slots — far geometry behind walls never
+    wastes kernel work.
+
+    The prepass tests the ``pre_chunks`` chunks nearest the agent instead of
+    the whole scene (at HM3D scale a full brute prepass would cost more than
+    the render, and materializing (N,10,4,T) per-env matrices OOMs at
+    500k+ tris). Testing a SUBSET only raises the depth estimate (hits can
+    only get nearer with more geometry), so the bound stays conservative:
+    dmax_subset >= dmax_true, i.e. culling never drops a visible chunk that
+    full-prepass culling would keep."""
     N, R, _ = origins.shape
+    NC = chunk_bounds.shape[1]
     n_tiles = R // ray_tile
     o_lr = origins[:, ::lowres_stride]
     d_lr = dirs[:, ::lowres_stride]
-    t_lr, _ = raycast_mxu_batch(pack_tri_mat[sids], o_lr, d_lr, tri_chunk=128)
+    # proxy geometry: chunks nearest the agent (the room around it)
+    agent = origins[:, 0]  # (N,3) shared ray origin
+    cdist = jnp.linalg.norm(
+        chunk_bounds[..., :3] - agent[:, None, :], axis=-1
+    ) - chunk_bounds[..., 3]
+    cdist = jnp.where(chunk_bounds[..., 3] > 0, cdist, 1e9)
+    kp = min(pre_chunks, NC)
+    _, near_ids = jax.lax.top_k(-cdist, kp)  # (N,kp)
+    S = pack_tri_mat.shape[0]
+    C = pack_tri_mat.shape[3] // NC
+    # chunk-major gather: (S*NC, 10, 4, C) rows, never materializing the
+    # (N, 10, 4, T) per-env scene matrices (21GB at 512k tris, N=256)
+    flat = pack_tri_mat.reshape(S, 10, 4, NC, C).transpose(0, 3, 1, 2, 4)
+    flat = flat.reshape(S * NC, 10, 4, C)
+    Mg = flat[sids[:, None] * NC + near_ids]  # (N, kp, 10, 4, C)
+    Mg = Mg.transpose(0, 2, 3, 1, 4).reshape(N, 10, 4, kp * C)
+    t_lr, _ = raycast_mxu_batch(Mg, o_lr, d_lr, tri_chunk=128)
     t_lr = jnp.where(t_lr > 1e5, 40.0, t_lr)  # miss -> generous bound
     per_tile = t_lr.reshape(N, n_tiles, ray_tile // lowres_stride)
     dmax = per_tile.max(axis=-1) * 1.2 + depth_margin  # (N, n_tiles)
@@ -354,6 +393,7 @@ def select_chunks_occluded(
     visible = (ang_v <= ang_tile[:, :, None] + ang_r) | (dist <= r[:, None, :])
     near_enough = (dist - r[:, None, :]) <= dmax[:, :, None]
     valid = (r > 0)[:, None, :]
+    valid = valid & _lod_band_ok(chunk_bounds, dist)
     score = jnp.where(
         visible & valid & near_enough,
         jnp.maximum(dist - r[:, None, :], 0.0),

@@ -23,6 +23,8 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -268,6 +270,21 @@ def raycast_pallas_culled(
     from habitat_tpu.ops.raycast import ray_features
 
     N, R, _ = origins.shape
+    # chunk_ids rides the scalar-prefetch path into SMEM (1MB); split over
+    # env slices when the id table would blow the budget (hit at N=256,
+    # n_tiles=16, K=48 on real-scan scenes)
+    ids_bytes = int(np.prod(chunk_ids.shape)) * 4
+    if ids_bytes > 96 * 1024 and N % 2 == 0:
+        h = N // 2
+        t0, a0 = raycast_pallas_culled(
+            tri_mat, tri_attr, chunk_ids[:h], sids[:h], origins[:h], dirs[:h],
+            ray_tile=ray_tile, tri_chunk=tri_chunk,
+        )
+        t1, a1 = raycast_pallas_culled(
+            tri_mat, tri_attr, chunk_ids[h:], sids[h:], origins[h:], dirs[h:],
+            ray_tile=ray_tile, tri_chunk=tri_chunk,
+        )
+        return jnp.concatenate([t0, t1]), jnp.concatenate([a0, a1])
     S, _, _, T = tri_mat.shape
     n_tiles = R // ray_tile
     K = chunk_ids.shape[-1]

@@ -68,28 +68,56 @@ _GLTF_COMPONENT = {5120: np.int8, 5121: np.uint8, 5122: np.int16, 5123: np.uint1
 _GLTF_NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4}
 
 
-def _load_glb(path: str) -> SceneData:
-    """Minimal GLB parser: positions + indices of all mesh primitives.
+def _resolve_buffers(gltf: dict, bin_chunk: bytes, base_dir: str) -> list:
+    """Resolve every gltf buffer: GLB-embedded BIN chunk, external .bin file
+    (relative uri — the HM3D/MP3D distribution format), or base64 data URI."""
+    import base64
 
-    Handles the common case (embedded BIN chunk, triangles mode). Node
-    transforms are applied for the default scene graph.
+    bufs = []
+    for i, buf in enumerate(gltf.get("buffers", [{}])):
+        uri = buf.get("uri")
+        if uri is None:
+            bufs.append(bin_chunk)
+        elif uri.startswith("data:"):
+            bufs.append(base64.b64decode(uri.split(",", 1)[1]))
+        else:
+            from urllib.parse import unquote
+
+            with open(os.path.join(base_dir, unquote(uri)), "rb") as f:
+                bufs.append(f.read())
+    return bufs
+
+
+def _load_glb(path: str) -> SceneData:
+    """glTF parser: positions + indices + per-vertex colors of all mesh
+    primitives, .glb (embedded BIN) and .gltf (external buffers / data URIs).
+    Node transforms are applied for the default scene graph. Counterpart of
+    habitat-sim's asset import used at
+    sims/habitat_simulator/habitat_simulator.py:299-311.
     """
-    with open(path, "rb") as f:
-        magic, version, _length = struct.unpack("<III", f.read(12))
-        assert magic == 0x46546C67, "not a GLB file"
-        chunks = {}
-        while True:
-            header = f.read(8)
-            if len(header) < 8:
-                break
-            clen, ctype = struct.unpack("<II", header)
-            chunks[ctype] = f.read(clen)
-    gltf = json.loads(chunks[0x4E4F534A].decode("utf-8"))
-    bin_buf = chunks.get(0x004E4942, b"")
+    if path.lower().endswith(".gltf"):
+        with open(path, "r") as f:
+            gltf = json.load(f)
+        bin_chunk = b""
+    else:
+        with open(path, "rb") as f:
+            magic, version, _length = struct.unpack("<III", f.read(12))
+            assert magic == 0x46546C67, "not a GLB file"
+            chunks = {}
+            while True:
+                header = f.read(8)
+                if len(header) < 8:
+                    break
+                clen, ctype = struct.unpack("<II", header)
+                chunks[ctype] = f.read(clen)
+        gltf = json.loads(chunks[0x4E4F534A].decode("utf-8"))
+        bin_chunk = chunks.get(0x004E4942, b"")
+    buffers = _resolve_buffers(gltf, bin_chunk, os.path.dirname(path))
 
     def read_accessor(acc_idx: int) -> np.ndarray:
         acc = gltf["accessors"][acc_idx]
         bv = gltf["bufferViews"][acc["bufferView"]]
+        bin_buf = buffers[bv.get("buffer", 0)]
         dtype = _GLTF_COMPONENT[acc["componentType"]]
         n = _GLTF_NCOMP[acc["type"]]
         offset = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
@@ -100,8 +128,12 @@ def _load_glb(path: str) -> SceneData:
             raw = np.frombuffer(
                 bin_buf, np.uint8, count * stride, offset
             ).reshape(count, stride)[:, : itemsize]
-            return np.ascontiguousarray(raw).view(dtype).reshape(count, n)
-        return np.frombuffer(bin_buf, dtype, count * n, offset).reshape(count, n)
+            out = np.ascontiguousarray(raw).view(dtype).reshape(count, n)
+        else:
+            out = np.frombuffer(bin_buf, dtype, count * n, offset).reshape(count, n)
+        if acc.get("normalized") and np.issubdtype(out.dtype, np.unsignedinteger):
+            out = out.astype(np.float32) / np.iinfo(out.dtype).max
+        return out
 
     def node_transform(node) -> np.ndarray:
         if "matrix" in node:
@@ -140,14 +172,20 @@ def _load_glb(path: str) -> SceneData:
                 idx = np.arange(len(pos))
             tris = pos[idx].reshape(-1, 3, 3).astype(np.float32)
             color = np.full((len(tris), 3), 0.6, np.float32)
-            mat_idx = prim.get("material")
-            if mat_idx is not None:
-                mat = gltf["materials"][mat_idx]
-                base = (
-                    mat.get("pbrMetallicRoughness", {}).get("baseColorFactor")
-                )
-                if base:
-                    color[:] = base[:3]
+            if "COLOR_0" in prim["attributes"]:
+                # per-vertex colors (scan meshes bake textures into these);
+                # per-triangle color = mean of the 3 vertices
+                vc = read_accessor(prim["attributes"]["COLOR_0"]).astype(np.float32)
+                color = vc[idx, :3].reshape(-1, 3, 3).mean(axis=1)
+            else:
+                mat_idx = prim.get("material")
+                if mat_idx is not None:
+                    mat = gltf["materials"][mat_idx]
+                    base = (
+                        mat.get("pbrMetallicRoughness", {}).get("baseColorFactor")
+                    )
+                    if base:
+                        color[:] = base[:3]
             all_tris.append(tris)
             all_colors.append(color)
             all_sems.append(np.full((len(tris),), sem, np.int32))
@@ -270,3 +308,58 @@ def save_scene_glb(scene: SceneData, path: str) -> None:
         f.write(js)
         f.write(struct.pack("<II", len(bin_chunk), 0x004E4942))
         f.write(bin_chunk)
+
+
+def save_scene_gltf(scene: SceneData, path: str) -> None:
+    """Standard-format .gltf with an EXTERNAL .bin buffer and per-vertex
+    COLOR_0 — the layout real scan distributions use (HM3D/MP3D ship
+    glTF-family assets with separate binary buffers), exercising the
+    external-uri + COLOR_0 loader paths. One primitive per semantic id."""
+    base = os.path.splitext(path)[0]
+    bin_name = os.path.basename(base) + ".bin"
+
+    sems = np.unique(scene.semantic_ids)
+    blob = b""
+    buffer_views = []
+    accessors = []
+    primitives = []
+
+    for sem in sems:
+        mask = scene.semantic_ids == sem
+        tris = scene.vertices[mask].astype(np.float32)
+        pos = tris.reshape(-1, 3)
+        col = np.repeat(scene.colors[mask].astype(np.float32), 3, axis=0)
+        attrs = {}
+        for name, arr in (("POSITION", pos), ("COLOR_0", col)):
+            data = arr.tobytes()
+            buffer_views.append(
+                {"buffer": 0, "byteOffset": len(blob), "byteLength": len(data)}
+            )
+            blob += data
+            accessors.append(
+                {
+                    "bufferView": len(buffer_views) - 1,
+                    "componentType": 5126,
+                    "count": int(len(arr)),
+                    "type": "VEC3",
+                    "min": [float(x) for x in arr.min(axis=0)],
+                    "max": [float(x) for x in arr.max(axis=0)],
+                }
+            )
+            attrs[name] = len(accessors) - 1
+        primitives.append({"attributes": attrs, "mode": 4})
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "habitat_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": list(range(len(primitives)))}],
+        "nodes": [{"mesh": i} for i in range(len(primitives))],
+        "meshes": [{"primitives": [p]} for p in primitives],
+        "buffers": [{"uri": bin_name, "byteLength": len(blob)}],
+        "bufferViews": buffer_views,
+        "accessors": accessors,
+    }
+    with open(base + ".bin", "wb") as f:
+        f.write(blob)
+    with open(base + ".gltf", "w") as f:
+        json.dump(gltf, f)

@@ -63,6 +63,10 @@ class SceneData:
     # semantic object annotations: list of dicts with semantic_id/category_id/
     # category/center/size (SemanticScene equivalent)
     objects: Optional[list] = None
+    # discrete level-of-detail: per-triangle lod id + per-lod (dmin, dmax)
+    # render distance band (meters). None = single-LOD scene.
+    tri_lod: Optional[np.ndarray] = None  # (T,) int32
+    lod_ranges: Optional[list] = None  # [(dmin, dmax), ...] per lod id
 
     @property
     def num_triangles(self) -> int:
@@ -330,6 +334,22 @@ def _morton_sort(centroids: np.ndarray) -> np.ndarray:
     return np.argsort(code, kind="stable")
 
 
+def _morton_sort_keys(centroids: np.ndarray) -> np.ndarray:
+    """Morton codes themselves (for composite lexsort keys)."""
+    lo = centroids.min(axis=0)
+    span = centroids.max(axis=0) - lo + 1e-6
+    q = np.clip(((centroids - lo) / span * 1023).astype(np.uint32), 0, 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+
+
 def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
     """Pack host scenes into one padded device pytree (triangles morton-
     sorted; per-chunk bounding spheres for culling)."""
@@ -355,12 +375,21 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
     fy = np.zeros((S,), np.float32)
 
     n_chunks = t_max // TRI_CHUNK
-    cb = np.zeros((S, n_chunks, 4), np.float32)
+    # bounding spheres + LOD render band: [cx, cy, cz, r, dmin, dmax]
+    cb = np.zeros((S, n_chunks, 6), np.float32)
 
     for i, s in enumerate(scenes):
         n = s.num_triangles
         v = s.vertices
-        order = _morton_sort(v.mean(axis=1))
+        if s.tri_lod is not None:
+            # keep chunks LOD-pure: morton-sort WITHIN each lod group
+            order = np.lexsort(
+                (_morton_sort_keys(v.mean(axis=1)), s.tri_lod)
+            )
+            tri_lod_sorted = s.tri_lod[order]
+        else:
+            order = _morton_sort(v.mean(axis=1))
+            tri_lod_sorted = None
         v = v[order]
         v0[i, :n] = v[:, 0]
         e1[i, :n] = v[:, 1] - v[:, 0]
@@ -371,6 +400,7 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
         # per-chunk bounding spheres (padding chunks: zero radius far away)
         cb[i, :, 3] = -1.0
         cb[i, :, 1] = -1e6
+        cb[i, :, 5] = 1e9  # default band: always rendered
         for c in range(n_chunks):
             a, b = c * TRI_CHUNK, min((c + 1) * TRI_CHUNK, n)
             if a >= n:
@@ -379,6 +409,11 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
             ctr = (pts.min(axis=0) + pts.max(axis=0)) / 2
             cb[i, c, :3] = ctr
             cb[i, c, 3] = float(np.linalg.norm(pts - ctr, axis=-1).max())
+            if tri_lod_sorted is not None and s.lod_ranges is not None:
+                lod = int(tri_lod_sorted[a])  # chunk is lod-pure
+                dmin, dmax = s.lod_ranges[lod]
+                cb[i, c, 4] = dmin
+                cb[i, c, 5] = dmax
         from habitat_tpu.ops.raycast import build_tri_matrix
 
         tmat[i] = build_tri_matrix(v0[i], e1[i], e2[i], valid[i])

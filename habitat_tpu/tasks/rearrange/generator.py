@@ -172,11 +172,42 @@ def make_procedural_rearrange(
     return scenes, episodes
 
 
+def settle_objects(
+    obj_init: np.ndarray,  # (E,O,3)
+    obj_valid: np.ndarray,  # (E,O)
+    floor_y: np.ndarray,  # (E,)
+    steps: int = 30,
+) -> np.ndarray:
+    """Stability settling at episode-generation time (reference settle_sim,
+    datasets/rearrange/rearrange_generator.py:938): run the contact stepper
+    until generated placements come to rest — overlapping spawns separate,
+    floating spawns drop."""
+    import jax
+    import jax.numpy as jnp
+
+    from habitat_tpu.tasks.rearrange.rearrange_env import contact_step
+
+    p = jnp.asarray(obj_init, jnp.float32)
+    v = jnp.zeros_like(p)
+    free = jnp.asarray(obj_valid, bool)
+    fy = jnp.asarray(floor_y, jnp.float32)
+    agent_far = jnp.full((p.shape[0], 3), 1e6, jnp.float32)
+
+    def body(carry, _):
+        p, v = carry
+        p, v, _ = contact_step(p, v, free, fy, agent_far)
+        return (p, v), None
+
+    (p, v), _ = jax.lax.scan(body, (p, v), None, length=steps)
+    return np.asarray(p)
+
+
 def build_rearrange_table(
     episodes: List[RearrangeEpisode],
     scenes: Dict[str, SceneData],
     scene_index: Dict[str, int],
     max_objects: Optional[int] = None,
+    settle: bool = False,
 ):
     """Pack rearrange episodes into device arrays (+ nav table whose goal is
     the pick-target object's initial position — drives nav-reward fields)."""
@@ -256,6 +287,12 @@ def build_rearrange_table(
             )
         )
 
+    if settle:
+        floor_ys = np.array(
+            [scenes[ep.scene_id].floor_y for ep in episodes], np.float32
+        )
+        obj_init = settle_objects(obj_init, obj_valid, floor_ys)
+
     nav_table = build_episode_table(nav_episodes, scenes, scene_index)
     return RearrangeTable(
         nav=nav_table,
@@ -300,7 +337,11 @@ def make_rearrange_env(
     scene_index = {s.scene_id: i for i, s in enumerate(scenes)}
     scene_map = {s.scene_id: s for s in scenes}
     pack = pack_scenes(scenes)
-    table = build_rearrange_table(episodes, scene_map, scene_index)
+    # contact dynamics: settle generated placements (reference settle_sim)
+    table = build_rearrange_table(
+        episodes, scene_map, scene_index,
+        settle=env_kw.get("dynamics") == "contacts",
+    )
     order = build_env_episode_order(episodes, num_envs, seed=seed)
     return RearrangeBatchedEnv(
         pack,

@@ -89,6 +89,7 @@ class RearrangeState:
     joints: jnp.ndarray  # (N, J) arm joint positions (real FK chain)
     held: jnp.ndarray  # (N,) int32, -1 = none
     ever_held: jnp.ndarray  # (N,) bool — picked the right object at least once
+    accum_force: jnp.ndarray  # (N,) running contact force on the robot
     stop_called: jnp.ndarray
     collided: jnp.ndarray
     collision_count: jnp.ndarray
@@ -96,6 +97,99 @@ class RearrangeState:
     episode_over: jnp.ndarray
     episode_count: jnp.ndarray
     key: jax.Array
+
+
+AGENT_RADIUS = 0.3
+FORCE_K = 100.0  # pseudo-force per meter of robot-object penetration
+
+
+def contact_step(
+    obj_pos: jnp.ndarray,  # (N,O,3) object BOTTOM positions
+    obj_vel: jnp.ndarray,  # (N,O,3)
+    free: jnp.ndarray,  # (N,O) bool — simulated (valid & not held)
+    floor_y: jnp.ndarray,  # (N,)
+    agent_pos: jnp.ndarray,  # (N,3)
+    dt: float = 0.1,
+    g: float = 9.8,
+    n_substeps: int = 4,
+    radius: float = OBJ_HALF,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Impulse/projection contact dynamics v1 (reference: Bullet step_world,
+    tasks/rearrange/rearrange_sim.py:1017-1028). Objects are contact spheres
+    of ``radius`` (boxes for rendering): semi-implicit Euler + pairwise
+    sphere-sphere positional projection with zero restitution, floor support
+    with ground friction, and robot-cylinder pushout whose penetration
+    integrates into a pseudo contact force (reference RobotForce,
+    rearrange_sensors.py:814). Returns (obj_pos, obj_vel, robot_force).
+
+    A dropped object comes to rest ON another object (stacked sphere kiss
+    contact), not inside it — the round-1 gravity mode let objects
+    interpenetrate."""
+    N, O, _ = obj_pos.shape
+    sdt = dt / n_substeps
+    eye = jnp.eye(O, dtype=bool)[None]
+    freem = free[..., None]
+    force = jnp.zeros((N,), jnp.float32)
+    # contact positions are sphere CENTERS: bottom + radius
+    center_off = jnp.array([0.0, radius, 0.0])
+    p = obj_pos + center_off
+    v = obj_vel
+
+    fy_c = floor_y[:, None]
+    for _ in range(n_substeps):
+        v = jnp.where(freem, v.at[..., 1].add(-g * sdt), 0.0)
+        p = jnp.where(freem, p + v * sdt, p)
+
+        # sphere-sphere: positional projection + kill approaching normal vel
+        d = p[:, :, None, :] - p[:, None, :, :]  # (N,O,O,3) i<-j
+        dist = jnp.linalg.norm(d, axis=-1)
+        pair = free[:, :, None] & free[:, None, :] & ~eye
+        pen = jnp.where(pair, 2 * radius - dist, 0.0)
+        active = pen > 0.0
+        nrm = d / jnp.maximum(dist, 1e-6)[..., None]
+        # separation split: grounded (or held) bodies act kinematic — the
+        # free body takes the FULL correction (a half-correction pushed into
+        # a grounded support gets undone by the floor clamp, leaving a
+        # steady-state penetration of one gravity substep)
+        anchored = ~free | (p[..., 1] <= fy_c + radius + 1e-3)
+        ai = anchored[:, :, None]
+        aj = anchored[:, None, :]
+        w = jnp.where(aj & ~ai, 1.0, jnp.where(ai & ~aj, 0.0, 0.5))
+        corr = jnp.sum(
+            jnp.where(active[..., None], (w * pen)[..., None] * nrm, 0.0), axis=2
+        )
+        p = p + corr
+        # remove approaching relative normal velocity (restitution 0)
+        rel = v[:, :, None, :] - v[:, None, :, :]
+        vn = jnp.sum(rel * nrm, axis=-1)
+        imp = jnp.where(active & (vn < 0), -0.5 * vn, 0.0)
+        v = v + jnp.sum(imp[..., None] * nrm, axis=2)
+
+        # floor: support + ground friction kills horizontal motion
+        fy = floor_y[:, None] + radius
+        on_ground = p[..., 1] <= fy + 1e-4
+        p = p.at[..., 1].set(jnp.maximum(p[..., 1], fy))
+        v = jnp.where(
+            on_ground[..., None],
+            v * jnp.array([0.2, 0.0, 0.2]),  # friction + no bounce
+            v,
+        )
+
+        # robot cylinder pushout (xz) -> pseudo force
+        da = p - agent_pos[:, None, :]
+        da_xz = jnp.sqrt(da[..., 0] ** 2 + da[..., 2] ** 2)
+        in_h = jnp.abs(da[..., 1]) < 1.2
+        pen_a = jnp.where(
+            free & in_h, AGENT_RADIUS + radius - da_xz, 0.0
+        )
+        hit_a = pen_a > 0.0
+        nx = da[..., 0] / jnp.maximum(da_xz, 1e-6)
+        nz = da[..., 2] / jnp.maximum(da_xz, 1e-6)
+        p = p.at[..., 0].add(jnp.where(hit_a, pen_a * nx, 0.0))
+        p = p.at[..., 2].add(jnp.where(hit_a, pen_a * nz, 0.0))
+        force = force + FORCE_K * jnp.sum(jnp.where(hit_a, pen_a, 0.0), axis=1)
+
+    return p - center_off, jnp.where(freem, v, 0.0), force
 
 
 # discrete kinematic action set (abstract-grasp mode)
@@ -135,6 +229,7 @@ class RearrangeBatchedEnv:
         max_joint_delta: float = 0.1,  # rad per step (ArmRelPosAction scale)
         ee_delta: float = 0.06,  # m per step (ArmEEAction scale)
         arm_grasp_distance: float = 0.25,
+        max_accum_force: float = -1.0,  # >0 enables ForceTerminate semantics
     ):
         self.pack = pack
         self.table = table
@@ -143,6 +238,7 @@ class RearrangeBatchedEnv:
         self._order_len = int(episode_order.shape[1])
         self.task = task
         self.dynamics = dynamics
+        self.max_accum_force = max_accum_force
         self.max_episode_steps = max_episode_steps
         self.grasp_distance = grasp_distance
         self.at_goal_thresh = at_goal_thresh
@@ -461,10 +557,16 @@ class RearrangeBatchedEnv:
             "is_holding": (state.held >= 0).astype(jnp.float32),
             "obj_at_goal": at_goal[n_idx, tgt].astype(jnp.float32),
             "objects_at_goal_fraction": frac_at_goal,
-            # kinematic mode: no contact forces (reference RobotForce /
-            # ForceTerminate, rearrange_sensors.py:814,918 — zero by design)
-            "robot_force": jnp.zeros((self.num_envs,), jnp.float32),
-            "force_terminate": jnp.zeros((self.num_envs,), jnp.float32),
+            # contact mode: accumulated robot-object penetration force
+            # (reference RobotForce / ForceTerminate,
+            # rearrange_sensors.py:814,918); identically zero in kinematic
+            # mode by design
+            "robot_force": state.accum_force,
+            "force_terminate": (
+                (state.accum_force > self.max_accum_force)
+                if self.max_accum_force > 0
+                else jnp.zeros((self.num_envs,), bool)
+            ).astype(jnp.float32),
             "robot_collisions": state.collision_count.astype(jnp.float32),
             "num_steps": state.step.astype(jnp.float32),
         }
@@ -555,6 +657,7 @@ class RearrangeBatchedEnv:
             joints=jnp.broadcast_to(self._resting, (n, self.n_joints)),
             held=jnp.full((n,), -1, jnp.int32),
             ever_held=jnp.zeros((n,), bool),
+            accum_force=jnp.zeros((n,), jnp.float32),
             stop_called=jnp.zeros((n,), bool),
             collided=jnp.zeros((n,), bool),
             collision_count=jnp.zeros((n,), jnp.int32),
@@ -687,7 +790,7 @@ class RearrangeBatchedEnv:
         navigable = jax.vmap(functools.partial(ng.is_navigable, self.pack))(sid, ee_floor)
         snapped = jax.vmap(functools.partial(ng.snap_to_navigable, self.pack))(sid, ee)
         drop = jnp.where(navigable[:, None], ee_floor, snapped)
-        if self.dynamics == "gravity":
+        if self.dynamics in ("gravity", "contacts"):
             # release in mid-air at the EE; the rigid-body stepper below
             # integrates the fall (reference: Bullet gravity after
             # desnap, RearrangeSim.step_world)
@@ -704,6 +807,7 @@ class RearrangeBatchedEnv:
         tgt = self._target_obj(state)
         ever_held = state.ever_held | (held == tgt)
         obj_vel = state.obj_vel
+        step_force = jnp.zeros((n,), jnp.float32)
         if self.dynamics == "gravity":
             # semi-implicit Euler rigid-body step for free objects
             # (reference RearrangeSim substeps Bullet at ctrl_freq;
@@ -724,12 +828,32 @@ class RearrangeBatchedEnv:
             v = jnp.where(on_ground[..., None], 0.0, v)
             obj_pos = jnp.where(free[..., None], p, obj_pos)
             obj_vel = jnp.where(free[..., None], v, jnp.zeros_like(v))
+        elif self.dynamics == "contacts":
+            free = self.table.obj_valid[state.ep_idx] & (
+                jnp.arange(self.num_objects)[None]
+                != jnp.where(held < 0, -1, held)[:, None]
+            )
+            obj_pos, obj_vel, step_force = contact_step(
+                obj_pos,
+                obj_vel,
+                free,
+                self.pack.floor_y[sid],
+                state.pos,
+            )
         state = dataclasses.replace(
-            state, obj_pos=obj_pos, obj_vel=obj_vel, held=held, ever_held=ever_held
+            state,
+            obj_pos=obj_pos,
+            obj_vel=obj_vel,
+            held=held,
+            ever_held=ever_held,
+            accum_force=state.accum_force + step_force,
         )
 
         m = self._measures(state)
         episode_over = stop | (state.step >= self.max_episode_steps)
+        if self.max_accum_force > 0:
+            # reference ForceTerminate (rearrange_sensors.py:918)
+            episode_over = episode_over | (m["force_terminate"] > 0)
         # pick/place end on success (reference end_on_success for skills)
         done = episode_over | (m["success"] > 0)
         reward = self._reward(state, prev_m, m)
@@ -756,6 +880,7 @@ class RearrangeBatchedEnv:
             joints=sel(fresh.joints, state.joints),
             held=sel(fresh.held, state.held),
             ever_held=sel(fresh.ever_held, state.ever_held),
+            accum_force=sel(fresh.accum_force, state.accum_force),
             stop_called=sel(fresh.stop_called, state.stop_called),
             collided=sel(fresh.collided, state.collided),
             collision_count=sel(fresh.collision_count, state.collision_count),

@@ -85,6 +85,7 @@ class SocialNavBatchedEnv:
         detect_fov_deg: float = 90.0,
         need_to_face_steps: int = 5,
         collide_dist: float = 0.5,
+        two_agent: bool = False,
     ):
         self.pack = pack
         self.table = table
@@ -101,17 +102,28 @@ class SocialNavBatchedEnv:
         self.need_to_face = need_to_face_steps
         self.collide_dist = collide_dist
         self.num_waypoints = int(table.waypoints.shape[1])
+        self.two_agent = two_agent
 
+        agent_obs = {
+            "humanoid_detector_sensor": spaces.Box(-np.inf, np.inf, (4,), np.float32),
+            "other_agent_gps": spaces.Box(-np.inf, np.inf, (2,), np.float32),
+            "gps": spaces.Box(-np.inf, np.inf, (2,), np.float32),
+            "compass": spaces.Box(-np.pi, np.pi, (1,), np.float32),
+        }
         self.action_space = spaces.Discrete(len(SOCIAL_ACTIONS))
         self.action_names = SOCIAL_ACTIONS
-        self.observation_space = spaces.Dict(
-            {
-                "humanoid_detector_sensor": spaces.Box(-np.inf, np.inf, (4,), np.float32),
-                "other_agent_gps": spaces.Box(-np.inf, np.inf, (2,), np.float32),
-                "gps": spaces.Box(-np.inf, np.inf, (2,), np.float32),
-                "compass": spaces.Box(-np.pi, np.pi, (1,), np.float32),
-            }
-        )
+        if two_agent:
+            # multi-agent sensor prefixing (reference RearrangeSim
+            # tasks/rearrange/rearrange_sim.py:68-82): agent_{i}_<uuid>
+            self.observation_space = spaces.Dict(
+                {
+                    f"agent_{i}_{k}": sp
+                    for i in range(2)
+                    for k, sp in agent_obs.items()
+                }
+            )
+        else:
+            self.observation_space = spaces.Dict(agent_obs)
         self._jit_reset = jax.jit(self.reset_fn)
         self._jit_step = jax.jit(self.step_fn, donate_argnums=(0,))
 
@@ -128,22 +140,37 @@ class SocialNavBatchedEnv:
         visible = (dist < self.detect_dist) & (fwd_cos > self.detect_cos)
         return visible, rel
 
-    def _observations(self, state) -> Dict[str, jnp.ndarray]:
-        visible, rel = self._detected(state)
+    def _agent_obs(self, state, pos, yaw, other_pos) -> Dict[str, jnp.ndarray]:
+        """One agent's sensor suite (detector of the OTHER agent + episodic
+        GPS/compass), reference HumanoidDetectorSensor + multi-agent sensors
+        (social_nav_sensors.py:552, multi_agent_sensors.py:87)."""
+        rel = rotate_world_to_agent(other_pos - pos, yaw)
+        dist = jnp.linalg.norm(rel[:, jnp.array([0, 2])], axis=-1)
+        fwd_cos = -rel[:, 2] / jnp.maximum(dist, 1e-6)
+        visible = (dist < self.detect_dist) & (fwd_cos > self.detect_cos)
         det = jnp.concatenate(
             [visible[:, None].astype(jnp.float32), rel.astype(jnp.float32)], axis=-1
         )
         start = self.table.start_pos[state.ep_idx]
         syaw = self.table.start_yaw[state.ep_idx]
-        gps_rel = rotate_world_to_agent(state.pos - start, syaw)
-        other = rotate_world_to_agent(state.human_pos - start, syaw)
-        comp = state.yaw - syaw
+        gps_rel = rotate_world_to_agent(pos - start, syaw)
+        other = rotate_world_to_agent(other_pos - start, syaw)
+        comp = yaw - syaw
         return {
             "humanoid_detector_sensor": det,
             "other_agent_gps": jnp.stack([-other[:, 2], other[:, 0]], axis=-1).astype(jnp.float32),
             "gps": jnp.stack([-gps_rel[:, 2], gps_rel[:, 0]], axis=-1).astype(jnp.float32),
             "compass": jnp.arctan2(jnp.sin(comp), jnp.cos(comp))[:, None].astype(jnp.float32),
         }
+
+    def _observations(self, state) -> Dict[str, jnp.ndarray]:
+        robot = self._agent_obs(state, state.pos, state.yaw, state.human_pos)
+        if not self.two_agent:
+            return robot
+        human = self._agent_obs(state, state.human_pos, state.human_yaw, state.pos)
+        out = {f"agent_0_{k}": v for k, v in robot.items()}
+        out.update({f"agent_1_{k}": v for k, v in human.items()})
+        return out
 
     def _measures(self, state) -> Dict[str, jnp.ndarray]:
         visible, rel = self._detected(state)
@@ -209,12 +236,21 @@ class SocialNavBatchedEnv:
         return state, self._observations(state)
 
     def step_fn(self, state, actions, env_data=None):
-        a = actions.astype(jnp.int32)
         n = self.num_envs
         sid = self._sid(state)
         prev_dist = jnp.linalg.norm(
             (state.human_pos - state.pos)[:, jnp.array([0, 2])], axis=-1
         )
+
+        if self.two_agent:
+            # actions (N, 2): [robot, humanoid] — both agents policy-driven
+            # (reference MultiPolicy action splitting, pop_play_wrappers.py)
+            acts = actions.astype(jnp.int32)
+            a = acts[:, 0]
+            ah = acts[:, 1]
+        else:
+            a = actions.astype(jnp.int32)
+            ah = None
 
         stop = state.stop_called | (a == A_STOP)
         yaw = state.yaw + jnp.where(a == A_LEFT, self.turn, 0.0) - jnp.where(
@@ -225,7 +261,18 @@ class SocialNavBatchedEnv:
         new_pos, collided = jax.vmap(functools.partial(ng.try_step, self.pack))(
             sid, state.pos, target
         )
-        h_pos, h_yaw, h_wp = self._advance_human(state)
+        if self.two_agent:
+            h_yaw = state.human_yaw + jnp.where(
+                ah == A_LEFT, self.turn, 0.0
+            ) - jnp.where(ah == A_RIGHT, self.turn, 0.0)
+            h_move = jnp.where(ah == A_FWD, self.fwd, 0.0)
+            h_target = state.human_pos + yaw_to_forward(h_yaw) * h_move[:, None]
+            h_pos, _ = jax.vmap(functools.partial(ng.try_step, self.pack))(
+                sid, state.human_pos, h_target
+            )
+            h_wp = state.human_wp
+        else:
+            h_pos, h_yaw, h_wp = self._advance_human(state)
 
         dist = jnp.linalg.norm((h_pos - new_pos)[:, jnp.array([0, 2])], axis=-1)
         agents_collide = state.agents_collide | (dist < self.collide_dist)
@@ -257,10 +304,15 @@ class SocialNavBatchedEnv:
         done = episode_over | (m["success"] > 0)
         # SocialNavReward shaping (reference social_nav_sensors.py:37):
         # approach the humanoid into the band, penalty for collisions
+        # facing-progress shaping: each CONSECUTIVE facing step pays more, so
+        # the policy learns to hold the follow band rather than graze it
+        # (round-1 nav_seek_success was 4.8% with a flat facing bonus)
         r = (
             -0.01
             + 0.5 * (prev_dist - dist) * (~in_band).astype(jnp.float32)
-            + 0.02 * facing.astype(jnp.float32)
+            + 0.1 * facing.astype(jnp.float32)
+            + 0.05 * jnp.minimum(state.follow_steps, self.need_to_face)
+            * facing.astype(jnp.float32)
             - 1.0 * (dist < self.collide_dist).astype(jnp.float32)
             + 5.0 * m["success"] * (state.follow_steps == self.need_to_face)
         )

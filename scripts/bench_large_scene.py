@@ -1,0 +1,205 @@
+"""Large-scene (real-scan scale) render benchmark — VERDICT round-1 item #3.
+
+Generates a >=500k-triangle multi-room scan-density mesh, ships it through
+the REAL asset pipeline (.gltf + external .bin with COLOR_0 -> load_scene ->
+navgrid bake -> ScenePack), renders 128x128 RGBD at N=256 through the
+occlusion-culled Pallas path, and reports:
+  - steps/s (render-only) with true device sync
+  - pixel match + depth error vs the brute-force XLA raycaster
+  - a full PPO train-step rate on the scan scene (render+step+update)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/habitat_tpu_jax_cache")
+
+
+def sync(x):
+    return float(jnp.asarray(x).ravel()[0])
+
+
+def main():
+    from habitat_tpu.sims.procedural import generate_scan_apartment
+    from habitat_tpu.sims.loaders import save_scene_gltf, load_scene
+    from habitat_tpu.sims.scene import pack_scenes
+    from habitat_tpu.ops.raycast import raycast_mxu_batch, render_batch
+
+    res = {}
+    t0 = time.time()
+    scene = generate_scan_apartment(0, tess=0.04, n_clutter=40)
+    res["gen_s"] = round(time.time() - t0, 1)
+
+    # real-format asset round trip
+    t0 = time.time()
+    save_scene_gltf(scene, "/tmp/scan_apartment.gltf")
+    loaded = load_scene("/tmp/scan_apartment.gltf")
+    res["tris"] = int(loaded.num_triangles)
+    res["gltf_mb"] = round(os.path.getsize("/tmp/scan_apartment.bin") / 1e6, 1)
+    res["load_s"] = round(time.time() - t0, 1)
+
+    # discrete LOD: full res near, 9x/32x decimated mid/far (the production-
+    # renderer scheme; band selection happens in the chunk culler)
+    from habitat_tpu.sims.procedural import build_lod_scene
+
+    # LOD pyramid matched to the 128x128 pixel budget: full-res only within
+    # arm's reach, 8cm cells to 3m (~2-3 px/tri), 25cm to 8m, 60cm beyond —
+    # keeps every ray tile's candidate count within the culler's K budget
+    t0 = time.time()
+    lod_scene = build_lod_scene(
+        loaded, cells=(0.08, 0.25, 0.6), bands=(1.2, 3.0, 8.0)
+    )
+    lod_scene.scene_id = loaded.scene_id  # same episodes/table key
+    pack = pack_scenes([lod_scene])
+    res["pack_s"] = round(time.time() - t0, 1)
+    res["n_chunks"] = int(pack.tri_mat.shape[3] // 128)
+    res["lod_tris"] = int(lod_scene.num_triangles)
+
+    # agent poses on the navgrid
+    rng = np.random.default_rng(0)
+    N = 256
+    pos = np.stack([loaded.sample_navigable_point(rng) for _ in range(N)])
+    pos[:, 1] = loaded.floor_y + 1.2
+    sids = jnp.zeros((N,), jnp.int32)
+    posj = jnp.asarray(pos, jnp.float32)
+    yaw = jnp.asarray(rng.uniform(0, 2 * np.pi, N), jnp.float32)
+    pitch = jnp.zeros((N,), jnp.float32)
+
+    for K in (32, 48):
+        rend = jax.jit(
+            lambda p, y, K=K: render_batch(
+                pack, sids, p, y, pitch, height=128, width=128, cull_k=K
+            )
+        )
+        out = rend(posj, yaw)
+        sync(out["depth"])
+        t0 = time.time()
+        iters = 10
+        for _ in range(iters):
+            out = rend(posj, yaw)
+        sync(out["depth"])
+        dt = (time.time() - t0) / iters
+        res[f"render_ms_k{K}"] = round(dt * 1e3, 1)
+        res[f"render_fps_k{K}"] = round(N / dt, 0)
+        print("partial:", json.dumps(res), flush=True)
+
+    # pixel match vs brute-force XLA on a few envs at 64x64
+    n_val = 4
+    from habitat_tpu.utils.geometry import camera_rays
+
+    d4 = jax.vmap(
+        lambda y: camera_rays(y, jnp.float32(0.0), jnp.deg2rad(90.0), 64, 64)
+    )(yaw[:n_val]).reshape(n_val, -1, 3)
+    o4 = jnp.broadcast_to(posj[:n_val, None, :], d4.shape)
+    # reference = brute force over the FULL-RES geometry only
+    pack_full = pack_scenes([loaded])
+    t_ref, _ = jax.jit(
+        lambda o, d: raycast_mxu_batch(
+            pack_full.tri_mat[jnp.zeros((n_val,), jnp.int32)], o, d
+        )
+    )(o4, d4)
+    sync(t_ref)
+
+    from habitat_tpu.ops.raycast import select_chunks_occluded
+    from habitat_tpu.ops.raycast_pallas import raycast_pallas_culled
+
+    def culled(o, d, K):
+        ids = select_chunks_occluded(
+            pack.tri_mat, pack.chunk_bounds[sids[:n_val]], sids[:n_val], o, d,
+            1024, K,
+        )
+        return raycast_pallas_culled(
+            pack.tri_mat, pack.tri_attr, ids, sids[:n_val], o, d
+        )
+
+    t_cul, attrs_cul = jax.jit(lambda o, d: culled(o, d, 48))(o4, d4)
+    sync(t_cul)
+    # culling exactness: K=48 vs an over-provisioned K=192 pass on the SAME
+    # LOD geometry (convergence = no visible chunk was dropped)
+    t_big, attrs_big = jax.jit(lambda o, d: culled(o, d, 192))(o4, d4)
+    sync(t_big)
+    hb = np.asarray(attrs_big[..., 7]) > 0.5
+    hc48 = np.asarray(attrs_cul[..., 7]) > 0.5
+    res["cull_converged_frac"] = round(float((hb == hc48).mean()), 4)
+    bb = hb & hc48
+    res["cull_t_agree_5mm"] = round(
+        float(
+            (np.abs(np.asarray(t_big)[bb] - np.asarray(t_cul)[bb]) < 5e-3).mean()
+        ),
+        4,
+    )
+    tr = np.asarray(t_ref)
+    tc = np.asarray(t_cul)
+    hit_r = tr < 1e5
+    hit_c = np.asarray(attrs_cul[..., 7]) > 0.5
+    match = (hit_r == hit_c).mean()
+    both = hit_r & hit_c
+    terr = np.abs(tr[both] - tc[both])
+    res["pixel_match_vs_fullres"] = round(float(match), 4)
+    res["t_err_p99_vs_fullres"] = round(float(np.percentile(terr, 99)), 4)
+    res["t_within_5cm_vs_fullres"] = round(float((terr < 0.05).mean()), 4)
+    print("partial:", json.dumps(res), flush=True)
+
+    # culling correctness: culled render vs brute force over the SAME LOD
+    # geometry, restricted to each pixel's allowed bands — here approximated
+    # by near-field comparison (full-res LOD0 is active within 3.5m)
+    near = tr < 3.0
+    if near.any():
+        nb = near & hit_r & hit_c
+        res["near_match"] = round(float((hit_r == hit_c)[near].mean()), 4)
+        res["near_t_within_5cm"] = round(
+            float((np.abs(tr[nb] - tc[nb]) < 0.05).mean()), 4
+        )
+    print("partial:", json.dumps(res), flush=True)
+
+    # full train-step rate on the scan scene
+    from habitat_tpu.baselines.ppo import PPOConfig, PPOLearner
+    from habitat_tpu.core.env_factory import make_nav_env
+    from habitat_tpu.datasets.pointnav import generate_pointnav_episode
+    from habitat_tpu.models.policy import make_pointnav_resnet_policy
+
+    erng = np.random.default_rng(0)
+    pairs = [generate_pointnav_episode(loaded, str(i), erng) for i in range(32)]
+    pairs = [p for p in pairs if p is not None]
+    eps = [p[0] for p in pairs]
+    fields = {e.episode_id: f for (e, f) in pairs}
+    env = make_nav_env(
+        [lod_scene], eps, num_envs=N, max_episode_steps=500,
+        precomputed_fields=fields,
+        sensor_specs=(
+            ("HabitatSimDepthSensor", {"height": 128, "width": 128}),
+            ("HabitatSimRGBSensor", {"height": 128, "width": 128}),
+            ("PointGoalWithGPSCompassSensor", None),
+        ),
+    )
+    policy = make_pointnav_resnet_policy(
+        len(env.actions), backbone="resnet18", hidden_size=512
+    )
+    learner = PPOLearner(
+        env, policy, PPOConfig(num_steps=32, num_mini_batch=2, ppo_epoch=2)
+    )
+    data = env.env_data
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0), data)
+    step = jax.jit(learner.train_step, donate_argnums=(0,))
+    ts, m = step(ts, data)
+    sync(m["losses/learner_loss"])
+    t0 = time.time()
+    for _ in range(3):
+        ts, m = step(ts, data)
+    sync(m["losses/learner_loss"])
+    dt = (time.time() - t0) / 3
+    res["train_sps_scan_scene"] = round(N * 32 / dt, 1)
+
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    main()

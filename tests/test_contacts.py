@@ -1,0 +1,99 @@
+"""Contact dynamics v1 (reference: Bullet step_world in
+tasks/rearrange/rearrange_sim.py:1017-1028; settle_sim in
+datasets/rearrange/rearrange_generator.py:938; RobotForce/ForceTerminate in
+rearrange_sensors.py:814,918)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from habitat_tpu.tasks.rearrange.rearrange_env import (
+    OBJ_HALF,
+    contact_step,
+)
+from habitat_tpu.tasks.rearrange.generator import make_rearrange_env, settle_objects
+
+
+def _run(p, v, free, floor_y, agent, steps):
+    for _ in range(steps):
+        p, v, f = contact_step(p, v, free, floor_y, agent)
+    return p, v
+
+
+def test_dropped_object_rests_on_floor():
+    p = jnp.array([[[0.0, 1.0, 0.0]]])  # one object 1m up
+    v = jnp.zeros_like(p)
+    free = jnp.ones((1, 1), bool)
+    p, v = _run(p, v, free, jnp.zeros((1,)), jnp.full((1, 3), 1e6), 40)
+    assert abs(float(p[0, 0, 1])) < 1e-3  # bottom at floor
+    assert float(jnp.abs(v).max()) < 1e-2
+
+
+def test_dropped_object_rests_on_another_not_inside():
+    """The round-1 VERDICT criterion: stacking support, no interpenetration."""
+    p = jnp.array([[[0.0, 0.0, 0.0], [0.0, 1.0, 0.0]]])  # B on floor, A above
+    v = jnp.zeros_like(p)
+    free = jnp.ones((1, 2), bool)
+    p, v = _run(p, v, free, jnp.zeros((1,)), jnp.full((1, 3), 1e6), 60)
+    pa = np.asarray(p[0, 1])
+    pb = np.asarray(p[0, 0])
+    # sphere centers are bottom + OBJ_HALF: resting contact = 2*OBJ_HALF apart
+    gap = np.linalg.norm((pa + [0, OBJ_HALF, 0]) - (pb + [0, OBJ_HALF, 0]))
+    # resting contact up to one substep of gravity sag (~6mm at dt/4)
+    assert gap >= 2 * OBJ_HALF - 1e-2, gap  # NOT inside each other
+    assert pa[1] > pb[1] + OBJ_HALF, (pa, pb)  # A is ON TOP of B
+
+
+def test_overlapping_spawn_separates():
+    p = jnp.array([[[0.0, 0.0, 0.0], [0.05, 0.0, 0.0]]])  # overlapping
+    v = jnp.zeros_like(p)
+    free = jnp.ones((1, 2), bool)
+    p, v = _run(p, v, free, jnp.zeros((1,)), jnp.full((1, 3), 1e6), 40)
+    d = float(jnp.linalg.norm(p[0, 0] - p[0, 1]))
+    assert d >= 2 * OBJ_HALF - 5e-3, d
+
+
+def test_robot_push_generates_force():
+    p = jnp.array([[[0.1, 0.0, 0.0]]])
+    v = jnp.zeros_like(p)
+    free = jnp.ones((1, 1), bool)
+    agent = jnp.zeros((1, 3))
+    p2, v2, force = contact_step(p, v, free, jnp.zeros((1,)), agent)
+    assert float(force[0]) > 0.0
+    # object pushed out of the agent cylinder
+    d = float(jnp.linalg.norm(p2[0, 0, [0, 2]]))
+    assert d >= 0.3 + OBJ_HALF - 1e-3
+
+
+def test_held_object_not_simulated():
+    p = jnp.array([[[0.0, 1.0, 0.0]]])
+    v = jnp.zeros_like(p)
+    free = jnp.zeros((1, 1), bool)  # held
+    p2, v2, _ = contact_step(p, v, free, jnp.zeros((1,)), jnp.full((1, 3), 1e6))
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p), atol=1e-6)
+
+
+def test_settle_objects_separates_generated_spawns():
+    obj = np.array([[[1.0, 0.0, 1.0], [1.05, 0.0, 1.0], [5.0, 0.5, 5.0]]])
+    valid = np.ones((1, 3), bool)
+    out = settle_objects(obj, valid, np.zeros((1,)), steps=40)
+    d01 = np.linalg.norm(out[0, 0] - out[0, 1])
+    assert d01 >= 2 * OBJ_HALF - 5e-3
+    assert abs(out[0, 2, 1]) < 1e-2  # floater dropped to the floor
+
+
+def test_contacts_env_end_to_end():
+    env = make_rearrange_env(
+        num_envs=2,
+        task="empty",
+        with_visual=False,
+        dynamics="contacts",
+        max_accum_force=1e9,
+        seed=1,
+    )
+    state, obs = env.reset_fn(jax.random.PRNGKey(0))
+    a = jnp.zeros((2,), jnp.int32) + 1  # move forward into the scene
+    for _ in range(5):
+        state, obs, r, d, info = env.step_fn(state, a)
+    assert np.all(np.isfinite(np.asarray(state.obj_pos)))
+    assert "robot_force" in info and np.all(np.asarray(info["robot_force"]) >= 0)

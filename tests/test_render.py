@@ -192,3 +192,54 @@ def test_equirect_and_fisheye_projections(room_pack):
             assert mid.max() < 6.0 and mid.min() > 1.0
             # left/right edges both look backward (+z): equal depth (wrap)
             assert abs(mid[0] - mid[-1]) < 0.3
+
+
+# -- round 2: decimation + discrete LOD bands ---------------------------------
+
+
+def test_decimate_reduces_and_preserves_surface():
+    import numpy as np
+    from habitat_tpu.sims.procedural import decimate, generate_apartment, scanify
+
+    base = generate_apartment(3, n_clutter=2)
+    scan = scanify(base, tess=0.08, max_tris=100_000)
+    lod = decimate(scan, 0.3)
+    assert 0 < lod.num_triangles < scan.num_triangles / 4
+    # surface stays within cell/2 in y for floor tris
+    floor_full = scan.vertices[scan.semantic_ids == 1]
+    floor_lod = lod.vertices[lod.semantic_ids == 1]
+    if len(floor_lod) and len(floor_full):
+        assert abs(float(floor_lod[..., 1].mean()) - float(floor_full[..., 1].mean())) < 0.15
+
+
+def test_lod_bands_in_chunk_selection():
+    import numpy as np
+    import jax.numpy as jnp
+    from habitat_tpu.sims.procedural import build_lod_scene, generate_apartment, scanify
+    from habitat_tpu.sims.scene import pack_scenes
+    from habitat_tpu.ops.raycast import select_chunks
+    from habitat_tpu.utils.geometry import camera_rays
+
+    base = generate_apartment(3, extent=12.0, n_clutter=2)
+    scan = scanify(base, tess=0.1, max_tris=60_000)
+    lod = build_lod_scene(scan, cells=(0.4,), bands=(3.0,))
+    pack = pack_scenes([lod])
+    cb = np.asarray(pack.chunk_bounds[0])
+    assert cb.shape[-1] == 6
+    # both bands present
+    assert (cb[cb[:, 3] > 0, 5] < 1e8).any()  # fine chunks have finite dmax
+    assert (cb[cb[:, 3] > 0, 5] > 1e8).any()  # coarse chunks unbounded
+
+    # selection from a navigable point: near tiles pick fine chunks only
+    pos = jnp.array([[6.0, 1.2, 6.0]], jnp.float32)
+    dirs = camera_rays(jnp.float32(0.0), jnp.float32(-0.6), jnp.deg2rad(90.0), 32, 32)
+    dirs = dirs.reshape(1, -1, 3)
+    o = jnp.broadcast_to(pos[:, None, :], dirs.shape)
+    ids = select_chunks(pack.chunk_bounds[jnp.zeros(1, jnp.int32)], o, dirs, 1024, 8)
+    picked = np.asarray(ids).ravel()
+    d_to_cam = np.linalg.norm(cb[picked, :3] - np.asarray(pos[0]), axis=-1)
+    dmax = cb[picked, 5]
+    dmin = cb[picked, 4]
+    r = cb[picked, 3]
+    ok = ((d_to_cam + r) >= dmin) & ((d_to_cam - r) <= dmax)
+    assert ok.all(), "selected chunks must respect their LOD band"

@@ -69,3 +69,41 @@ def test_eval_cli_path(tmp_path):
 
     metrics = execute_exp(cfg, "eval")
     assert "num_episodes" in metrics and metrics["num_episodes"] >= 4
+
+
+def test_eval_checkpoint_polling_loop(tmp_path):
+    """Checkpoint-folder polling eval + resumable eval state (reference
+    BaseTrainer.eval, common/base_trainer.py:108-167)."""
+    from habitat_tpu.baselines.evaluator import (
+        eval_checkpoint_loop,
+        poll_checkpoint_folder,
+    )
+
+    trainer, cfg = _trainer(tmp_path)
+    trainer.train(seed=0, resume=False)
+    folder = os.path.join(str(tmp_path), "ckpt")
+    first = poll_checkpoint_folder(folder, -1)
+    assert first is not None and first.endswith("ckpt.0")
+
+    results = eval_checkpoint_loop(trainer, cfg, timeout_s=120.0)
+    assert results, "no checkpoints evaluated"
+    for idx, m in results.items():
+        assert m.get("num_episodes", 0) > 0
+    # resume state written; a second loop resumes past everything
+    assert os.path.exists(os.path.join(folder, ".eval_resume_state"))
+    again = eval_checkpoint_loop(trainer, cfg, timeout_s=5.0)
+    assert again == {}
+
+
+def test_evals_per_ep(tmp_path):
+    from habitat_tpu.baselines.evaluator import evaluate_agent
+
+    trainer, cfg = _trainer(tmp_path)
+    ts = trainer._init(jax.random.PRNGKey(0), trainer._env_data)
+    m1 = evaluate_agent(
+        trainer.env, trainer.policy, ts.params, episodes_per_env=1, evals_per_ep=1
+    )
+    m2 = evaluate_agent(
+        trainer.env, trainer.policy, ts.params, episodes_per_env=1, evals_per_ep=3
+    )
+    assert m2["num_episodes"] == 3 * m1["num_episodes"]
