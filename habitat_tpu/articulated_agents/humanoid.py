@@ -92,6 +92,78 @@ class HumanoidBaseController:
         )
 
 
+def _nlerp(quats: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """Weighted quaternion blend with hemisphere alignment (the reference
+    blends grid poses the same way, humanoid_rearrange_controller.py
+    _trilinear_interpolate): align every quat to the first, weighted sum,
+    renormalize. quats (K, J, 4), weights (K,) -> (J, 4)."""
+    ref = quats[0]
+    sign = np.where(
+        np.sum(quats * ref[None], axis=-1, keepdims=True) < 0, -1.0, 1.0
+    )
+    q = np.sum(quats * sign * weights[:, None, None], axis=0)
+    n = np.linalg.norm(q, axis=-1, keepdims=True)
+    return (q / np.maximum(n, 1e-9)).astype(np.float32)
+
+
+class ReachPoseGrid:
+    """Hand-reach pose grid (reference hand_processed_data in
+    HumanoidRearrangeController: full-body poses sampled over a 3D grid of
+    reachable hand positions; reaching = trilinear pose blending over the 8
+    cell corners). Without mocap assets, a synthetic grid is built from a
+    2-link analytic arm so blended poses still track the target."""
+
+    def __init__(self, xs, ys, zs, poses):
+        self.xs = np.asarray(xs, np.float32)
+        self.ys = np.asarray(ys, np.float32)
+        self.zs = np.asarray(zs, np.float32)
+        self.poses = np.asarray(poses, np.float32)  # (Gx,Gy,Gz,J,4)
+
+    @classmethod
+    def synthetic(cls, index_hand: int = 0, n: int = 5) -> "ReachPoseGrid":
+        xs = np.linspace(-0.6, 0.6, n)
+        ys = np.linspace(0.2, 1.6, n)
+        zs = np.linspace(-0.8, 0.0, n)
+        poses = np.zeros((n, n, n, NUM_JOINTS, 4), np.float32)
+        poses[..., 3] = 1.0
+        arm_j = 11 + 3 * index_hand
+        for i, x in enumerate(xs):
+            for j, y in enumerate(ys):
+                for k, z in enumerate(zs):
+                    # 2-link arm: shoulder pitch/yaw + elbow from distance
+                    pitch = np.clip((y - 0.9), -1.2, 1.2)
+                    yaw = np.clip(np.arctan2(x, max(-z, 1e-3)), -1.2, 1.2)
+                    d = np.sqrt(x * x + (y - 0.9) ** 2 + z * z)
+                    elbow = np.clip(1.6 * (1.0 - d / 0.8), 0.0, 1.5)
+                    for a, ang in enumerate((pitch, yaw, elbow)):
+                        poses[i, j, k, arm_j + a, 0] = np.sin(ang / 2)
+                        poses[i, j, k, arm_j + a, 3] = np.cos(ang / 2)
+        return cls(xs, ys, zs, poses)
+
+    def blend(self, target_rel: np.ndarray) -> np.ndarray:
+        """Trilinear quaternion blend at a hand target (relative to the
+        humanoid root). Returns (J, 4)."""
+        t = np.asarray(target_rel, np.float64)
+        idx, frac = [], []
+        for axis, v in zip((self.xs, self.ys, self.zs), t):
+            v = np.clip(v, axis[0], axis[-1])
+            i = int(np.clip(np.searchsorted(axis, v) - 1, 0, len(axis) - 2))
+            idx.append(i)
+            frac.append((v - axis[i]) / max(axis[i + 1] - axis[i], 1e-9))
+        (i, j, k), (fx, fy, fz) = idx, frac
+        corners, weights = [], []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    corners.append(self.poses[i + dx, j + dy, k + dz])
+                    weights.append(
+                        (fx if dx else 1 - fx)
+                        * (fy if dy else 1 - fy)
+                        * (fz if dz else 1 - fz)
+                    )
+        return _nlerp(np.stack(corners), np.asarray(weights))
+
+
 class HumanoidRearrangeController(HumanoidBaseController):
     """Walk/reach controller (reference
     humanoid_rearrange_controller.py:52; turn/stop thresholds :23-30)."""
@@ -109,6 +181,11 @@ class HumanoidRearrangeController(HumanoidBaseController):
         if walk_pose_path is not None:
             self.walk_motion = load_motion(walk_pose_path)
             self.walk_speed = self.walk_motion.dist_per_step_size * self.motion_fps
+        # reach grids per hand (reference hand_processed_data)
+        self._reach_grids = {
+            0: ReachPoseGrid.synthetic(0),
+            1: ReachPoseGrid.synthetic(1),
+        }
 
     def calculate_stop_pose(self) -> None:
         self.joint_pose[:] = 0.0
@@ -146,12 +223,31 @@ class HumanoidRearrangeController(HumanoidBaseController):
         self._swing(1.0)
 
     def calculate_reach_pose(self, target: np.ndarray, index_hand: int = 0) -> None:
-        """Arm-raise blend toward a 3D point (reference sets hand pose from
-        the reach mocap grid)."""
-        rel = np.asarray(target) - self.obj_transform_base[:3, 3]
-        lift = np.clip(rel[1], -1, 1)
-        arm_j = 11 + 3 * index_hand  # left/right shoulder chains
-        self.joint_pose[arm_j : arm_j + 3, 0] = 0.4 + 0.4 * lift
+        """Reach toward a 3D world point: trilinear pose blending over the
+        hand-reach grid (reference calculate_reach_pose +
+        _trilinear_interpolate in humanoid_rearrange_controller.py)."""
+        # target into the root frame (undo base yaw)
+        rel_w = np.asarray(target, np.float64) - self.obj_transform_base[:3, 3]
+        R = self.obj_transform_base[:3, :3]
+        rel = R.T @ rel_w
+        blended = self._reach_grids[index_hand].blend(rel)
+        # splice only the reaching arm's chain from the blended pose, keep
+        # the rest (walk pose etc.)
+        arm_j = 11 + 3 * index_hand
+        self.joint_pose = self.joint_pose.copy()
+        self.joint_pose[arm_j : arm_j + 3] = blended[arm_j : arm_j + 3]
+
+    def calculate_walk_and_reach_pose(
+        self,
+        target_direction: np.ndarray,
+        reach_target: np.ndarray,
+        index_hand: int = 0,
+        distance_multiplier: float = 1.0,
+    ) -> None:
+        """Walk while reaching (reference blends the walk cycle with the
+        reach grid pose for pick-while-moving)."""
+        self.calculate_walk_pose(target_direction, distance_multiplier)
+        self.calculate_reach_pose(reach_target, index_hand)
 
     def _swing(self, amp: float) -> None:
         # legs (joints 1-4) and arms (11-16) swing in counter-phase

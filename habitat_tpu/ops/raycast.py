@@ -550,15 +550,43 @@ def render_batch(
             # large scene: occlusion-aware per-ray-tile culling (low-res
             # depth prepass bounds each tile's max depth; the K nearest
             # cone-visible chunks within that bound are tested) — work
-            # scales with K, not scene size. 99.8% pixel match at K=48 on
-            # a worst-case 18k-tri clutter scene; exact on surface scans
-            # with depth complexity < K.
+            # scales with K, not scene size.
+            #
+            # Ray tiles are COMPACT PIXEL BLOCKS (32x32), not row strips:
+            # a 128-wide strip's cone has ~46 deg half-angle in EVERY
+            # direction (the horizontal FOV dominates), so near-floor
+            # chunks pass every strip's cone test and flood the K slots;
+            # a 32x32 block cone is ~23 deg and discriminates vertically.
+            blocked = (
+                projection == "pinhole" and height % 32 == 0 and width % 32 == 0
+            )
+            if blocked:
+                def to_blocks(x):
+                    tail = x.shape[2:]
+                    x = x.reshape((N, height // 32, 32, width // 32, 32) + tail)
+                    x = jnp.swapaxes(x, 2, 3)
+                    return x.reshape((N, R) + tail)
+
+                def from_blocks(x):
+                    tail = x.shape[2:]
+                    x = x.reshape((N, height // 32, width // 32, 32, 32) + tail)
+                    x = jnp.swapaxes(x, 2, 3)
+                    return x.reshape((N, R) + tail)
+
+                origins_c, dirs_c = to_blocks(origins), to_blocks(dirs)
+            else:
+                origins_c, dirs_c = origins, dirs
             ids = select_chunks_occluded(
-                pack.tri_mat, pack.chunk_bounds[sids], sids, origins, dirs, 1024, cull_k
+                pack.tri_mat, pack.chunk_bounds[sids], sids, origins_c, dirs_c,
+                1024, cull_k,
             )
             t, attrs = raycast_pallas_culled(
-                pack.tri_mat, pack.tri_attr, ids, sids, origins, dirs, ray_tile=1024
+                pack.tri_mat, pack.tri_attr, ids, sids, origins_c, dirs_c,
+                ray_tile=1024,
             )
+            if blocked:
+                t = from_blocks(t)
+                attrs = from_blocks(attrs)
         else:
             t, attrs = raycast_pallas_batch(
                 pack.tri_mat, pack.tri_attr, sids, origins, dirs

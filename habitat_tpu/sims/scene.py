@@ -90,11 +90,50 @@ class SceneData:
             return False
         return bool(self.nav_occ[i, k])
 
-    def sample_navigable_point(self, rng: np.random.Generator) -> np.ndarray:
-        ii, kk = np.nonzero(self.nav_occ)
+    def sample_navigable_point(
+        self, rng: np.random.Generator, largest_island_only: bool = False
+    ) -> np.ndarray:
+        occ = (
+            largest_island_mask(self.nav_occ) if largest_island_only else self.nav_occ
+        )
+        ii, kk = np.nonzero(occ)
         j = rng.integers(len(ii))
         xz = self.cell_to_world(np.array([ii[j], kk[j]]))
         return np.array([xz[0], self.floor_y, xz[1]], dtype=np.float32)
+
+
+def largest_island_mask(occ: np.ndarray) -> np.ndarray:
+    """Largest connected navigable component (reference
+    get_largest_island_index, datasets/rearrange/navmesh_utils.py — episode
+    generation samples only from the largest island so agents and goals are
+    mutually reachable). 4-connected BFS labeling, pure numpy."""
+    occ = np.asarray(occ, bool)
+    labels = np.zeros(occ.shape, np.int32)
+    cur = 0
+    best_label, best_size = 0, 0
+    for i, k in zip(*np.nonzero(occ)):
+        if labels[i, k]:
+            continue
+        cur += 1
+        stack = [(i, k)]
+        labels[i, k] = cur
+        size = 0
+        while stack:
+            a, b = stack.pop()
+            size += 1
+            for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                x, y = a + da, b + db
+                if (
+                    0 <= x < occ.shape[0]
+                    and 0 <= y < occ.shape[1]
+                    and occ[x, y]
+                    and not labels[x, y]
+                ):
+                    labels[x, y] = cur
+                    stack.append((x, y))
+        if size > best_size:
+            best_size, best_label = size, cur
+    return labels == best_label
 
 
 def rasterize_occupancy(

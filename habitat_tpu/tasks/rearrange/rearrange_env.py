@@ -731,6 +731,23 @@ class RearrangeBatchedEnv:
         new_pos, collided = jax.vmap(functools.partial(ng.try_step, self.pack))(
             sid, state.pos, target
         )
+        # dynamic-obstacle occupancy: movable objects block the base the way
+        # the reference's navmesh recompute does after objects move
+        # (rearrange_sim.py:465-492) — here it is a per-step disc test
+        # against the CURRENT object positions instead of a grid rebake.
+        objs_now = self._obj_world(state)
+        o_lane = jnp.arange(self.num_objects)[None]
+        blockers = self.table.obj_valid[state.ep_idx] & (
+            o_lane != jnp.where(state.held < 0, -1, state.held)[:, None]
+        )
+        d_obj = jnp.linalg.norm(
+            (objs_now - new_pos[:, None, :])[..., jnp.array([0, 2])], axis=-1
+        )
+        obj_hit = jnp.any(
+            blockers & (d_obj < (AGENT_RADIUS + OBJ_HALF) * 0.9), axis=1
+        )
+        new_pos = jnp.where(obj_hit[:, None], state.pos, new_pos)
+        collided = collided | obj_hit
         moved = jnp.abs(move) > 1e-6
         collided = collided & moved
         new_pos = jnp.where(moved[:, None], new_pos, state.pos)

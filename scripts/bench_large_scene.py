@@ -111,14 +111,25 @@ def main():
     from habitat_tpu.ops.raycast import select_chunks_occluded
     from habitat_tpu.ops.raycast_pallas import raycast_pallas_culled
 
+    def _blk(x, inv=False):
+        tail = x.shape[2:]
+        if inv:
+            x = x.reshape((n_val, 2, 2, 32, 32) + tail)
+        else:
+            x = x.reshape((n_val, 2, 32, 2, 32) + tail)
+        x = jnp.swapaxes(x, 2, 3)
+        return x.reshape((n_val, 64 * 64) + tail)
+
     def culled(o, d, K):
+        o, d = _blk(o), _blk(d)  # 32x32 pixel-block ray tiles
         ids = select_chunks_occluded(
             pack.tri_mat, pack.chunk_bounds[sids[:n_val]], sids[:n_val], o, d,
             1024, K,
         )
-        return raycast_pallas_culled(
+        t, attrs = raycast_pallas_culled(
             pack.tri_mat, pack.tri_attr, ids, sids[:n_val], o, d
         )
+        return _blk(t, inv=True), _blk(attrs, inv=True)
 
     t_cul, attrs_cul = jax.jit(lambda o, d: culled(o, d, 48))(o4, d4)
     sync(t_cul)

@@ -1,5 +1,4 @@
-"""Drill into the 20ms render: kernel alone vs feature build vs epilogue,
-and sweep ray_tile to find the per-program overhead."""
+"""Micro-profile the render path of the headline bench on the real chip."""
 
 import json
 import os
@@ -13,7 +12,6 @@ import jax.numpy as jnp
 
 
 def timeit(fn, *args, iters=20, warmup=3):
-    out = None
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
@@ -21,76 +19,105 @@ def timeit(fn, *args, iters=20, warmup=3):
     for _ in range(iters):
         out = fn(*args)
     jax.block_until_ready(out)
-    return (time.time() - t0) / iters * 1e3
+    return (time.time() - t0) / iters
 
 
-def main():
+def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/habitat_tpu_jax_cache")
     from habitat_tpu.core.env_factory import make_nav_env
     from habitat_tpu.datasets.pointnav import make_procedural_pointnav
-    from habitat_tpu.ops.raycast import (
-        camera_rays,
-        ray_feature_matrix,
-        render_batch,
-    )
+    from habitat_tpu.ops.raycast import render_batch, ray_feature_matrix, camera_rays
     from habitat_tpu.ops.raycast_pallas import raycast_pallas_batch
 
     num_envs = 256
-    H = W = 128
     scenes, episodes, fields = make_procedural_pointnav(
         num_scenes=4, episodes_per_scene=16, seed=0
     )
     env = make_nav_env(
-        scenes, episodes, num_envs=num_envs, precomputed_fields=fields,
+        scenes,
+        episodes,
+        num_envs=num_envs,
+        precomputed_fields=fields,
         max_episode_steps=500,
-        sensor_specs=(("HabitatSimDepthSensor", {"height": H, "width": W}),),
+        sensor_specs=(
+            ("HabitatSimDepthSensor", {"height": 128, "width": 128}),
+            ("HabitatSimRGBSensor", {"height": 128, "width": 128}),
+            ("PointGoalWithGPSCompassSensor", None),
+        ),
     )
     pack = env.pack
-    res = {"T": int(pack.tri_mat.shape[3])}
+    res = {"T": int(pack.tri_mat.shape[-1]), "S": int(pack.tri_mat.shape[0])}
 
-    sids = jnp.zeros((num_envs,), jnp.int32)
-    pos = jnp.tile(jnp.array([[1.0, 1.2, 1.0]], jnp.float32), (num_envs, 1))
-    yaw = jnp.linspace(0, 6.28, num_envs).astype(jnp.float32)
-    pitch = jnp.zeros((num_envs,), jnp.float32)
-
-    # full render
-    rend = jax.jit(
-        lambda p, y: render_batch(pack, sids, p, y, pitch, height=H, width=W)
+    state, obs = jax.jit(env.reset_fn)(jax.random.PRNGKey(0))
+    sids = env.table.scene_idx[state.ep_idx] if hasattr(env, "table") else jnp.zeros(
+        (num_envs,), jnp.int32
     )
-    res["full_render_ms"] = timeit(rend, pos, yaw)
+    pos = state.pos
+    yaw = state.yaw
+    pitch = jnp.zeros_like(yaw)
+    cam = pos.at[:, 1].add(1.25)
 
-    # features only
-    d_cam = camera_rays(
-        jnp.float32(0.0), jnp.float32(0.0), jnp.deg2rad(90.0), H, W
-    ).reshape(-1, 3)
-    d_aug = jnp.concatenate(
-        [d_cam, jnp.ones((d_cam.shape[0], 1), jnp.float32)], axis=-1
+    # full render_batch
+    rb = jax.jit(
+        lambda s, p, y, pt: render_batch(pack, s, p, y, pt, height=128, width=128)
     )
+    res["render_batch_ms"] = round(timeit(rb, sids, cam, yaw, pitch) * 1e3, 2)
 
-    def feats(p, y):
-        B = ray_feature_matrix(p, y, pitch)
-        return jnp.einsum("rk,nkf->nrf", d_aug, B, precision=jax.lax.Precision.HIGHEST)
-
-    feats_j = jax.jit(feats)
-    res["features_ms"] = timeit(feats_j, pos, yaw)
-    F = feats_j(pos, yaw)
-
-    # kernel only at various ray tiles
-    for rt in (1024, 2048, 4096, 8192, 16384):
-        k = jax.jit(
-            lambda F, rt=rt: raycast_pallas_batch(
-                pack.tri_mat, pack.tri_attr, sids, features=F, ray_tile=rt
-            )
+    # kernel alone (with feature matmul)
+    def kern(s, p, y, pt):
+        d_cam = camera_rays(
+            jnp.float32(0.0), jnp.float32(0.0), jnp.deg2rad(90.0), 128, 128
+        ).reshape(-1, 3)
+        B = ray_feature_matrix(p, y, pt)
+        d_aug = jnp.concatenate(
+            [d_cam, jnp.ones((d_cam.shape[0], 1), jnp.float32)], axis=-1
         )
-        try:
-            res[f"kernel_rt{rt}_ms"] = timeit(k, F)
-        except Exception as e:
-            res[f"kernel_rt{rt}_err"] = repr(e)[:120]
+        F = jnp.einsum("rk,nkf->nrf", d_aug, B, precision=jax.lax.Precision.HIGHEST)
+        return raycast_pallas_batch(pack.tri_mat, pack.tri_attr, s, features=F)
 
-    for k_, v in res.items():
-        if isinstance(v, float):
-            res[k_] = round(v, 2)
-    print(json.dumps(res, indent=1))
+    kj = jax.jit(kern)
+    res["kernel_ms"] = round(timeit(kj, sids, cam, yaw, pitch) * 1e3, 2)
+
+    # kernel with different ray tiles
+    for rt in (1024, 4096):
+        def kern_rt(s, p, y, pt, rt=rt):
+            d_cam = camera_rays(
+                jnp.float32(0.0), jnp.float32(0.0), jnp.deg2rad(90.0), 128, 128
+            ).reshape(-1, 3)
+            B = ray_feature_matrix(p, y, pt)
+            d_aug = jnp.concatenate(
+                [d_cam, jnp.ones((d_cam.shape[0], 1), jnp.float32)], axis=-1
+            )
+            F = jnp.einsum(
+                "rk,nkf->nrf", d_aug, B, precision=jax.lax.Precision.HIGHEST
+            )
+            return raycast_pallas_batch(
+                pack.tri_mat, pack.tri_attr, s, features=F, ray_tile=rt
+            )
+
+        res[f"kernel_rt{rt}_ms"] = round(
+            timeit(jax.jit(kern_rt), sids, cam, yaw, pitch) * 1e3, 2
+        )
+
+    # env step WITHOUT visual sensors
+    env2 = make_nav_env(
+        scenes,
+        episodes,
+        num_envs=num_envs,
+        precomputed_fields=fields,
+        max_episode_steps=500,
+        sensor_specs=(("PointGoalWithGPSCompassSensor", None),),
+    )
+    st2, _ = jax.jit(env2.reset_fn)(jax.random.PRNGKey(0))
+    act = jnp.ones((num_envs,), jnp.int32)
+    sj = jax.jit(lambda s, a: env2.step_fn(s, a))
+    res["env_step_novis_ms"] = round(timeit(sj, st2, act) * 1e3, 2)
+
+    # full env step (with render)
+    sj3 = jax.jit(lambda s, a: env.step_fn(s, a))
+    res["env_step_full_ms"] = round(timeit(sj3, state, act) * 1e3, 2)
+
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":
