@@ -66,6 +66,11 @@ class PPOConfig:
     use_clipped_value_loss: bool = True
     use_normalized_advantage: bool = False
     reward_window_size: int = 50
+    # store float visual observations (rank>=4 leaves) in the rollout as
+    # bfloat16 — the policy consumes them in bf16 anyway, and the (T,N,H,W,C)
+    # depth tensor dominates rollout HBM traffic (no reference counterpart;
+    # torch stores fp32)
+    obs_store_bf16: bool = True
 
 
 def _find_sow(tree, name):
@@ -269,6 +274,15 @@ class PPOLearner:
             ep_ret = ep_ret + reward
             ep_len = ep_len + 1.0
             done_f = done.astype(jnp.float32)
+            if cfg.obs_store_bf16:
+                store_obs = {
+                    k: v.astype(jnp.bfloat16)
+                    if v.dtype == jnp.float32 and v.ndim >= 4
+                    else v
+                    for k, v in obs.items()
+                }
+            else:
+                store_obs = obs
             stats = {
                 "reward_sum": jnp.sum(ep_ret * done_f),
                 "len_sum": jnp.sum(ep_len * done_f),
@@ -278,7 +292,7 @@ class PPOLearner:
                 if k in info:
                     stats[f"m_{k}"] = jnp.sum(info[k] * done_f)
             out = (
-                obs,
+                store_obs,
                 action,
                 logp,
                 value,

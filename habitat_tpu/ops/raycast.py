@@ -344,25 +344,40 @@ def select_chunks_occluded(
     that bound compete for the K slots — far geometry behind walls never
     wastes kernel work.
 
-    The prepass tests the ``pre_chunks`` chunks nearest the agent instead of
-    the whole scene (at HM3D scale a full brute prepass would cost more than
-    the render, and materializing (N,10,4,T) per-env matrices OOMs at
-    500k+ tris). Testing a SUBSET only raises the depth estimate (hits can
-    only get nearer with more geometry), so the bound stays conservative:
-    dmax_subset >= dmax_true, i.e. culling never drops a visible chunk that
-    full-prepass culling would keep."""
+    The prepass tests a PROXY SUBSET instead of the whole scene (at HM3D
+    scale a full brute prepass would cost more than the render, and
+    materializing (N,10,4,T) per-env matrices OOMs at 500k+ tris). Testing a
+    subset only raises the depth estimate (hits can only get nearer with
+    more geometry), so the bound stays conservative: dmax_subset >=
+    dmax_true, i.e. culling never drops a visible chunk that full-prepass
+    culling would keep.
+
+    Proxy choice (round-2 fix): on LOD packs the proxy is the COARSEST-LOD
+    chunks (band dmax unbounded) — they tile the WHOLE scene sparsely, so
+    the depth bound reflects the actual walls. The round-1 proxy (chunks
+    nearest the agent) covered ~16 chunks of local floor on a 6,714-chunk
+    scan, the bound degenerated to the 40m miss default, near_enough culled
+    nothing, and K nearest-chunks starved real geometry (cull convergence
+    0.34, BENCH large-scene r1). Nearest-to-agent remains the fallback for
+    single-LOD packs."""
     N, R, _ = origins.shape
     NC = chunk_bounds.shape[1]
     n_tiles = R // ray_tile
     o_lr = origins[:, ::lowres_stride]
     d_lr = dirs[:, ::lowres_stride]
-    # proxy geometry: chunks nearest the agent (the room around it)
     agent = origins[:, 0]  # (N,3) shared ray origin
     cdist = jnp.linalg.norm(
         chunk_bounds[..., :3] - agent[:, None, :], axis=-1
     ) - chunk_bounds[..., 3]
     cdist = jnp.where(chunk_bounds[..., 3] > 0, cdist, 1e9)
-    kp = min(pre_chunks, NC)
+    if chunk_bounds.shape[-1] >= 6:
+        # prefer coarse-LOD chunks (scene-covering); a large distance bonus
+        # keeps fine chunks out of the proxy unless there are few coarse ones
+        coarse = chunk_bounds[..., 5] > 1e8
+        cdist = jnp.where(coarse, cdist, cdist + 1e6)
+        kp = min(max(pre_chunks, 192), NC)
+    else:
+        kp = min(pre_chunks, NC)
     _, near_ids = jax.lax.top_k(-cdist, kp)  # (N,kp)
     S = pack_tri_mat.shape[0]
     C = pack_tri_mat.shape[3] // NC
@@ -419,6 +434,24 @@ def select_chunks_hier(
     ids = select_chunks(chunk_bounds, origins, dirs, kernel_tile // sub, k)
     N, n_sub, K = ids.shape
     return ids.reshape(N, n_sub // sub, sub * K)
+
+
+def exact_t_from_hit(tri_v0, sids, idx, attrs, origins, dirs, t_kernel):
+    """Reconstruct EXACT f32 hit distance from the winner's plane.
+
+    For reduced-precision kernel variants whose t only decides ORDERING:
+    given the winner's UNIT normal (attrs[...,0:3]) and any vertex v0 of it,
+    t = n·(v0 - o) / n·d in f32 — per-ray cost, not per-ray-tri. Falls back
+    to the kernel t on grazing hits (n·d ≈ 0). Unused on the current f32
+    kernels (their fold t is already exact); kept for bf16 experiments."""
+    v0g = tri_v0[sids[:, None], jnp.maximum(idx, 0)]  # (N,R,3)
+    n = attrs[..., 0:3]
+    nd = jnp.sum(n * dirs, axis=-1)
+    num = jnp.sum(n * (v0g - origins), axis=-1)
+    safe = jnp.abs(nd) > 1e-6
+    t_ex = num / jnp.where(safe, nd, 1.0)
+    ok = (idx >= 0) & safe & (t_ex > 0)
+    return jnp.where(ok, t_ex, t_kernel)
 
 
 def _pick_backend(backend: str) -> str:
@@ -488,7 +521,10 @@ def render_batch(
         # (R,4)x(N,4,10) einsum against ray_feature_matrix(o, yaw, pitch)
         # instead of per-pixel-per-env trig + cross products (profiled at
         # ~25% of render time at N=256). dirs for shading = F[..., 0:3].
-        from habitat_tpu.ops.raycast_pallas import raycast_pallas_batch
+        from habitat_tpu.ops.raycast_pallas import (
+            _gather_attrs,
+            raycast_pallas_index,
+        )
 
         d_cam = camera_rays(
             jnp.float32(0.0), jnp.float32(0.0), jnp.deg2rad(hfov_deg), height, width
@@ -500,10 +536,9 @@ def render_batch(
         F = jnp.einsum(
             "rk,nkf->nrf", d_aug, B, precision=jax.lax.Precision.HIGHEST
         )
-        t, attrs = raycast_pallas_batch(
-            pack.tri_mat, pack.tri_attr, sids, features=F
-        )
-        hit = attrs[..., 7] > 0.5
+        t, idx = raycast_pallas_index(pack.tri_mat, sids, F)
+        attrs = _gather_attrs(pack.tri_attr, sids, idx)
+        hit = idx >= 0
         # planar depth: dirs . fwd = (R d_cam) . (R fwd_cam) = -d_cam_z,
         # constant per pixel
         z = t * (-d_cam[None, :, 2])
@@ -541,8 +576,9 @@ def render_batch(
     be = _pick_backend(backend)
     if be == "pallas":
         from habitat_tpu.ops.raycast_pallas import (
-            raycast_pallas_batch,
+            _gather_attrs,
             raycast_pallas_culled,
+            raycast_pallas_index,
         )
 
         n_chunks = pack.tri_mat.shape[3] // 128
@@ -581,17 +617,19 @@ def render_batch(
                 1024, cull_k,
             )
             t, attrs = raycast_pallas_culled(
-                pack.tri_mat, pack.tri_attr, ids, sids, origins_c, dirs_c,
-                ray_tile=1024,
+                pack.tri_mat, pack.tri_attr, ids, sids,
+                features=ray_features(origins_c, dirs_c), ray_tile=1024,
             )
             if blocked:
                 t = from_blocks(t)
                 attrs = from_blocks(attrs)
+            hit = attrs[..., 7] > 0.5
         else:
-            t, attrs = raycast_pallas_batch(
-                pack.tri_mat, pack.tri_attr, sids, origins, dirs
+            t, idx = raycast_pallas_index(
+                pack.tri_mat, sids, ray_features(origins, dirs)
             )
-        hit = attrs[..., 7] > 0.5
+            attrs = _gather_attrs(pack.tri_attr, sids, idx)
+            hit = idx >= 0
         n = attrs[..., 0:3]
         base = attrs[..., 3:6]
         sem_val = attrs[..., 6]
@@ -616,30 +654,22 @@ def render_batch(
         validd = jnp.pad(dynamic["valid"], ((0, 0), (0, pad)))
         dmat = build_tri_matrix_jnp(v0d, e1d, e2d, validd)  # (N,10,4,Tp)
         if be == "pallas":
-            # per-env dynamic geometry = per-env "scenes": build the attr
-            # table in-jit and reuse the fused kernel with sids = arange(N)
-            from habitat_tpu.ops.raycast_pallas import raycast_pallas_batch
+            # per-env dynamic geometry = per-env "scenes": reuse the fused
+            # index kernel with sids = arange(N), gather attributes in-jit
+            from habitat_tpu.ops.raycast_pallas import raycast_pallas_index
 
             nrm = jnp.cross(e1d, e2d)
             nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-9)
             cold = jnp.pad(dynamic["color"], ((0, 0), (0, pad), (0, 0)))
             semd = jnp.pad(dynamic["sem"], ((0, 0), (0, pad))).astype(jnp.float32)
-            dattr = jnp.concatenate(
-                [
-                    nrm,
-                    cold,
-                    semd[..., None],
-                    validd[..., None].astype(jnp.float32),
-                ],
-                axis=-1,
-            )  # (N,Tp,8)
-            t2, attrs2 = raycast_pallas_batch(
-                dmat, dattr, jnp.arange(N, dtype=jnp.int32), origins, dirs
+            t2, idx2 = raycast_pallas_index(
+                dmat, jnp.arange(N, dtype=jnp.int32), ray_features(origins, dirs)
             )
-            closer = (attrs2[..., 7] > 0.5) & (t2 < t)
-            nrm2 = attrs2[..., 0:3]
-            col2 = attrs2[..., 3:6]
-            sem2 = attrs2[..., 6]
+            si2 = jnp.maximum(idx2, 0)[..., None]
+            nrm2 = jnp.take_along_axis(nrm, si2, axis=1)
+            closer = (idx2 >= 0) & (t2 < t)
+            col2 = jnp.take_along_axis(cold, si2, axis=1)
+            sem2 = jnp.take_along_axis(semd[..., None], si2, axis=1)[..., 0]
         else:
             t2, idx2 = raycast_mxu_batch(dmat, origins, dirs, tri_chunk=128)
             closer = (idx2 >= 0) & (t2 < t)
