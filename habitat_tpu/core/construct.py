@@ -276,11 +276,16 @@ def rearrange_env_from_config(config: Config, num_envs: Optional[int] = None):
         "RearrangePlaceTask-v0": "place",
         "RearrangeEmptyTask-v0": "empty",
         "RearrangeCompositeTask-v0": "rearrange",
+        "NavToObjTask-v0": "nav_to_obj",
         "RearrangeOpenDrawerTask-v0": "open",
         "RearrangeOpenFridgeTask-v0": "open",
         "RearrangeCloseDrawerTask-v0": "close",
         "RearrangeCloseFridgeTask-v0": "close",
     }.get(task_type, "pick")
+    # fridge tasks articulate a REVOLUTE door (q radians about the hinge),
+    # drawer tasks a prismatic slide (reference sub_tasks/articulated_object
+    # _task.py SetArticulatedObjectTask subclasses)
+    art_joint = "revolute" if "Fridge" in task_type else "prismatic"
     proc = config.habitat.dataset.get("procedural", Config())
     # action-config driven control mode: a declared arm_action maps onto the
     # batched arm controller (reference ArmAction composite,
@@ -306,6 +311,7 @@ def rearrange_env_from_config(config: Config, num_envs: Optional[int] = None):
     return make_rearrange_env(
         num_envs=num_envs,
         task=task,
+        art_joint=art_joint,
         num_scenes=int(proc.get("num_scenes", 2)),
         episodes_per_scene=int(proc.get("episodes_per_scene", 16)),
         seed=int(config.habitat.get("seed", 0)),

@@ -208,6 +208,7 @@ def build_rearrange_table(
     scene_index: Dict[str, int],
     max_objects: Optional[int] = None,
     settle: bool = False,
+    art_joint: str = "prismatic",
 ):
     """Pack rearrange episodes into device arrays (+ nav table whose goal is
     the pick-target object's initial position — drives nav-reward fields)."""
@@ -230,6 +231,7 @@ def build_rearrange_table(
     art_target = np.zeros((E,), np.int32)
     art_init_q = np.zeros((E,), np.float32)
     art_goal_q = np.zeros((E,), np.float32)
+    art_is_revolute = np.zeros((E, A), bool)
     rng_art = np.random.default_rng(1234)
     nav_episodes = []
 
@@ -266,10 +268,15 @@ def build_rearrange_table(
         art_axis[i, 0] = [np.cos(ang), 0.0, np.sin(ang)]
         art_valid[i, 0] = True
         task_kind = ep.info.get("art_task", "open")
+        # fridge doors are revolute (q in radians about the vertical hinge,
+        # reference open_fridge/close_fridge); drawers prismatic (q meters)
+        revolute = ep.info.get("art_joint", art_joint) == "revolute"
+        art_is_revolute[i, 0] = revolute
+        open_q = 1.5 if revolute else 0.35
         if task_kind == "close":
-            art_init_q[i], art_goal_q[i] = 0.35, 0.0
+            art_init_q[i], art_goal_q[i] = open_q, 0.0
         else:
-            art_init_q[i], art_goal_q[i] = 0.0, 0.35
+            art_init_q[i], art_goal_q[i] = 0.0, open_q
         # nav goal = pick-target object start (NavToObj semantics)
         nav_episodes.append(
             NavigationEpisode(
@@ -307,12 +314,14 @@ def build_rearrange_table(
         art_target=jnp.asarray(art_target),
         art_init_q=jnp.asarray(art_init_q),
         art_goal_q=jnp.asarray(art_goal_q),
+        art_is_revolute=jnp.asarray(art_is_revolute),
     )
 
 
 def make_rearrange_env(
     num_envs: int = 4,
     task: str = "pick",
+    art_joint: str = "prismatic",
     num_scenes: int = 2,
     episodes_per_scene: int = 8,
     seed: int = 0,
@@ -341,6 +350,7 @@ def make_rearrange_env(
     table = build_rearrange_table(
         episodes, scene_map, scene_index,
         settle=env_kw.get("dynamics") == "contacts",
+        art_joint=art_joint,
     )
     order = build_env_episode_order(episodes, num_envs, seed=seed)
     return RearrangeBatchedEnv(

@@ -159,7 +159,9 @@ class PddlDomain:
             ),
             "pick": PddlAction(
                 "pick",
-                precond=LogicalExpr(LogicalExprType.AND, [P["robot_at_obj"]]),
+                precond=LogicalExpr(
+                    LogicalExprType.AND, [P["robot_at_obj"], P["not_holding"]]
+                ),
                 postcond=LogicalExpr(LogicalExprType.AND, [P["holding"]]),
                 skill_name="pick",
             ),
@@ -171,7 +173,12 @@ class PddlDomain:
             ),
             "place": PddlAction(
                 "place",
-                precond=LogicalExpr(LogicalExprType.AND, [P["holding"]]),
+                # placing needs the robot AT the goal (matches the reference
+                # domain's place preconditions; without it a symbolic planner
+                # would "place" from anywhere in one step)
+                precond=LogicalExpr(
+                    LogicalExprType.AND, [P["holding"], P["robot_at_goal"]]
+                ),
                 postcond=LogicalExpr(
                     LogicalExprType.AND, [P["at"], P["not_holding"]]
                 ),

@@ -48,6 +48,7 @@ from habitat_tpu.utils.geometry import (
 EE_OFFSET = jnp.array([0.0, 0.9, -0.45])
 HELD_OFFSET = jnp.array([0.0, 0.9, -0.45])
 OBJ_HALF = 0.12  # rearrange objects are ~24cm boxes (YCB-ish scale)
+DOOR_LEN = 0.6  # revolute (fridge) door length, hinge to handle
 OBJ_SEM_BASE = 100
 
 
@@ -62,14 +63,17 @@ class RearrangeTable:
     target_pos: jnp.ndarray  # (E, O, 3) goal position per object
     target_mask: jnp.ndarray  # (E, O) bool — objects that must move
     pick_target: jnp.ndarray  # (E,) int32 — focus object for pick/place
-    # articulated objects (drawers: prismatic joints, reference
-    # sub_tasks/articulated_object_task.py) — (E, A, ...) with A art objs
-    art_pos: jnp.ndarray  # (E, A, 3) body position
-    art_axis: jnp.ndarray  # (E, A, 3) prismatic axis (unit, horizontal)
+    # articulated objects (reference sub_tasks/articulated_object_task.py):
+    # prismatic (drawer, q in meters along art_axis) or revolute (fridge
+    # door, q in radians about the vertical hinge at art_pos; art_axis is
+    # the door direction at q=0) — (E, A, ...) with A art objs
+    art_pos: jnp.ndarray  # (E, A, 3) body/hinge position
+    art_axis: jnp.ndarray  # (E, A, 3) slide axis / door dir at q=0 (unit)
     art_valid: jnp.ndarray  # (E, A) bool
     art_target: jnp.ndarray  # (E,) int32 target art obj
     art_init_q: jnp.ndarray  # (E,) initial joint state of the target
     art_goal_q: jnp.ndarray  # (E,) desired joint state
+    art_is_revolute: jnp.ndarray  # (E, A) bool
 
 
 @jtu.register_dataclass
@@ -339,14 +343,28 @@ class RearrangeBatchedEnv:
         return self.table.pick_target[state.ep_idx]
 
     def _handle_pos(self, state) -> jnp.ndarray:
-        """(N,3) world position of the target drawer handle (front face of
-        the drawer at its current extension)."""
+        """(N,3) world position of the target handle: drawer front face at
+        its current extension (prismatic) or the free edge of the door swung
+        by q about the vertical hinge (revolute fridge, reference
+        open_fridge/close_fridge)."""
         n_idx = jnp.arange(self.num_envs)
         a = self.table.art_target[state.ep_idx]
         base = self.table.art_pos[state.ep_idx, a]
         axis = self.table.art_axis[state.ep_idx, a]
         q = state.art_q[n_idx, a]
-        return base + axis * (q[:, None] + 0.3) + jnp.array([0.0, 0.5, 0.0])
+        prism = base + axis * (q[:, None] + 0.3)
+        cq, sq = jnp.cos(q), jnp.sin(q)
+        door = jnp.stack(
+            [
+                cq * axis[:, 0] + sq * axis[:, 2],
+                axis[:, 1],
+                -sq * axis[:, 0] + cq * axis[:, 2],
+            ],
+            axis=-1,
+        )
+        rev = base + door * DOOR_LEN
+        is_rev = self.table.art_is_revolute[state.ep_idx, a]
+        return jnp.where(is_rev[:, None], rev, prism) + jnp.array([0.0, 0.5, 0.0])
 
     def _obj_world(self, state) -> jnp.ndarray:
         """(N,O,3) object positions with the held one following the agent."""
@@ -474,14 +492,31 @@ class RearrangeBatchedEnv:
         )
         tri = corners[faces]  # (12,3,3)
         center = objs + jnp.array([0.0, OBJ_HALF, 0.0])  # sit on floor
-        # articulated drawers render as larger boxes at base + axis*q
+        # articulated objects render as larger boxes: drawers slide along
+        # their axis, fridge doors swing about the vertical hinge
         A = self.table.art_pos.shape[1]
+        axis = self.table.art_axis[state.ep_idx]  # (N,A,3)
+        q = state.art_q  # (N,A)
+        cq, sq = jnp.cos(q), jnp.sin(q)
+        door_dir = jnp.stack(
+            [
+                cq * axis[..., 0] + sq * axis[..., 2],
+                axis[..., 1],
+                -sq * axis[..., 0] + cq * axis[..., 2],
+            ],
+            axis=-1,
+        )
+        is_rev = self.table.art_is_revolute[state.ep_idx][..., None]
         art_center = (
             self.table.art_pos[state.ep_idx]
-            + self.table.art_axis[state.ep_idx] * state.art_q[..., None]
+            + jnp.where(
+                is_rev,
+                door_dir * (DOOR_LEN * 0.5),
+                axis * q[..., None],
+            )
             + jnp.array([0.0, 0.4, 0.0])
         )  # (N,A,3)
-        art_tri = tri * 3.0  # drawers are ~0.7m boxes
+        art_tri = tri * 3.0  # drawers/doors are ~0.7m boxes
         centers = jnp.concatenate([center, art_center], axis=1)
         tris_all = jnp.concatenate(
             [
@@ -595,6 +630,22 @@ class RearrangeBatchedEnv:
             measures["success"] = (
                 (frac_at_goal >= 1.0) & (state.held < 0)
             ).astype(jnp.float32)
+        elif self.task == "nav_to_obj":
+            # standalone NavToObj (reference sub_tasks/nav_to_obj_task.py +
+            # NavToObjSuccess, nav_to_obj_sensors.py: within success
+            # distance, LOOKING at the target, and terminated on purpose)
+            obj = self._obj_world(state)[n_idx, tgt]
+            d_xz = jnp.linalg.norm(
+                (obj - state.pos)[:, jnp.array([0, 2])], axis=-1
+            )
+            rel = rotate_world_to_agent(obj - state.pos, state.yaw)
+            ang = jnp.abs(jnp.arctan2(rel[:, 0], -rel[:, 2]))
+            measures["rot_dist_to_goal"] = ang
+            measures["dist_to_goal"] = d_xz
+            measures["nav_to_obj_success"] = (
+                (d_xz < 1.5) & (ang < 0.5) & state.stop_called
+            ).astype(jnp.float32)
+            measures["success"] = measures["nav_to_obj_success"]
         else:  # empty
             measures["success"] = jnp.zeros((self.num_envs,), jnp.float32)
         return measures
@@ -629,6 +680,16 @@ class RearrangeBatchedEnv:
                 )
             r = r + self.dist_reward_scale * (
                 prev_m["object_to_goal_distance"] - m["object_to_goal_distance"]
+            )
+        elif self.task == "nav_to_obj":
+            # reference NavToObjReward (nav_to_obj_sensors.py): distance
+            # progress + angle-to-target progress once near
+            r = r + self.dist_reward_scale * (
+                prev_m["dist_to_goal"] - m["dist_to_goal"]
+            )
+            near = (m["dist_to_goal"] < 1.5).astype(jnp.float32)
+            r = r + 0.5 * near * (
+                prev_m["rot_dist_to_goal"] - m["rot_dist_to_goal"]
             )
         r = r + self.success_reward * jnp.maximum(
             m["success"] - prev_m["success"], 0.0
@@ -777,7 +838,11 @@ class RearrangeBatchedEnv:
             art_t = self.table.art_target[state.ep_idx]
             goal_q = self.table.art_goal_q[state.ep_idx]
             cur_q = state.art_q[n_idx, art_t]
-            dq = jnp.clip(goal_q - cur_q, -0.08, 0.08)
+            # per-step joint rate: 8cm (prismatic slide) / 0.15rad (door swing)
+            rate = jnp.where(
+                self.table.art_is_revolute[state.ep_idx, art_t], 0.15, 0.08
+            )
+            dq = jnp.clip(goal_q - cur_q, -rate, rate)
             new_q = jnp.where(interact & near_handle, cur_q + dq, cur_q)
             art_q = state.art_q.at[n_idx, art_t].set(new_q)
             state = dataclasses.replace(state, art_q=art_q)

@@ -338,3 +338,69 @@ def test_gravity_dynamics():
     np.testing.assert_allclose(y1, floor, atol=1e-4)
     v = np.asarray(state.obj_vel)[np.arange(2), np.asarray(tgt)]
     np.testing.assert_allclose(v, 0.0, atol=1e-6)
+
+
+def test_open_fridge_revolute():
+    """Revolute (fridge-door) articulated task: steering to the swinging
+    handle and grabbing drives q in radians to the open goal (reference
+    open_fridge, sub_tasks/articulated_object_task.py)."""
+    env = make_rearrange_env(
+        num_envs=2, task="open", art_joint="revolute", with_visual=False,
+        max_episode_steps=300, seed=1, n_rooms_per_axis=1, n_clutter=0,
+    )
+    assert bool(np.asarray(env.table.art_is_revolute).all())
+    state, obs = env.reset(seed=0)
+    q0 = np.asarray(state.art_q).copy()
+    opened = False
+    for t in range(300):
+        handle = np.asarray(env._handle_pos(state))
+        pos = np.asarray(state.pos)
+        yaw = np.asarray(state.yaw)
+        d = handle - pos
+        dist = np.linalg.norm(d[:, [0, 2]], axis=-1)
+        ang_world = np.arctan2(-d[:, 0], -d[:, 2])
+        ang = np.arctan2(np.sin(ang_world - yaw), np.cos(ang_world - yaw))
+        act = np.where(
+            dist < 0.8,
+            A_GRAB,
+            np.where(np.abs(ang) < np.deg2rad(12), A_FWD,
+                     np.where(ang > 0, A_LEFT, A_RIGHT)),
+        )
+        state, obs, r, done, info = env.step(state, jnp.asarray(act))
+        if np.any(np.asarray(info["art_obj_at_desired_state"]) > 0):
+            opened = True
+            break
+    assert opened, "no env opened its fridge door"
+    # success-step measures (pre-auto-reset): the door swung in RADIANS
+    assert np.asarray(info["art_obj_state"]).max() > 1.0
+
+
+def test_nav_to_obj_task():
+    """Standalone NavToObj (reference sub_tasks/nav_to_obj_task.py): drive to
+    the target object, face it, call stop -> success."""
+    env = make_rearrange_env(
+        num_envs=2, task="nav_to_obj", with_visual=False,
+        max_episode_steps=300, seed=2, n_rooms_per_axis=1, n_clutter=0,
+    )
+    state, obs = env.reset(seed=0)
+    got = False
+    for t in range(300):
+        n_idx = np.arange(env.num_envs)
+        tgt = np.asarray(env.table.pick_target[state.ep_idx])
+        obj = np.asarray(env._obj_world(state))[n_idx, tgt]
+        pos = np.asarray(state.pos); yaw = np.asarray(state.yaw)
+        d = obj - pos
+        dist = np.linalg.norm(d[:, [0, 2]], axis=-1)
+        ang_world = np.arctan2(-d[:, 0], -d[:, 2])
+        ang = np.arctan2(np.sin(ang_world - yaw), np.cos(ang_world - yaw))
+        act = np.where(
+            (dist < 1.2) & (np.abs(ang) < 0.3),
+            A_STOP,
+            np.where(np.abs(ang) < np.deg2rad(12), A_FWD,
+                     np.where(ang > 0, A_LEFT, A_RIGHT)),
+        )
+        state, obs, r, done, info = env.step(state, jnp.asarray(act))
+        if np.asarray(info["nav_to_obj_success"]).any():
+            got = True
+            break
+    assert got, "no env reached + faced + stopped at its object"
