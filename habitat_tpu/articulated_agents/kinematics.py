@@ -90,3 +90,74 @@ def ik_solve(
 
 def ik_error(params: MobileManipulatorParams, target, joints) -> jnp.ndarray:
     return jnp.linalg.norm(target - ee_position(params, joints))
+
+
+# -- URDF chains (arbitrary axes / rpy origins / prismatic joints) -----------
+#
+# The reference gets this generality from Bullet's URDF importer
+# (articulated_agents/manipulator.py:79-120); here `urdf.load_chain` parses
+# the file and these functions run the chain as batched array math.
+
+
+def _rodrigues(axis: jnp.ndarray, theta) -> jnp.ndarray:
+    """Rotation about an arbitrary unit axis (3,) by angle theta."""
+    x, y, z = axis[0], axis[1], axis[2]
+    K = jnp.array([[0.0, -z, y], [z, 0.0, -x], [-y, x, 0.0]])
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+
+
+def fk_chain(chain, joints: jnp.ndarray) -> jnp.ndarray:
+    """URDF chain FK: (J,) joint values -> (J+1, 3) frame origins in the
+    chain's base frame; the last row is the end-effector (fixed-tail folded).
+
+    Frame update per joint j (urdf.ArticulatedChain):
+      T_j = Trans(origin_xyz[j]) @ origin_rot[j] @ Motion_j(q_j)
+    with Motion = Rodrigues(axis, q) for revolute, Trans(axis * q) prismatic.
+    """
+    o_xyz = jnp.asarray(chain.origin_xyz, jnp.float32)
+    o_rot = jnp.asarray(chain.origin_rot, jnp.float32)
+    axes = jnp.asarray(chain.axis, jnp.float32)
+    prism = np.asarray(chain.is_prismatic)
+
+    R = jnp.eye(3)
+    p = jnp.zeros(3)
+    pts = []
+    for j in range(chain.num_joints):
+        p = p + R @ o_xyz[j]
+        R = R @ o_rot[j]
+        pts.append(p)
+        if prism[j]:
+            p = p + R @ (axes[j] * joints[j])
+        else:
+            R = R @ _rodrigues(axes[j], joints[j])
+    ee = p + R @ jnp.asarray(chain.ee_offset, jnp.float32)
+    pts.append(ee)
+    return jnp.stack(pts)
+
+
+def ee_chain(chain, joints: jnp.ndarray) -> jnp.ndarray:
+    """URDF-chain end-effector position (J,) -> (3,)."""
+    return fk_chain(chain, joints)[-1]
+
+
+def ik_solve_chain(
+    chain,
+    target: jnp.ndarray,
+    joints0: jnp.ndarray,
+    iters: int = 20,
+    damping: float = 0.1,
+) -> jnp.ndarray:
+    """Damped-least-squares IK on the URDF chain (same scheme as ik_solve)."""
+    lo = jnp.asarray(chain.lower, jnp.float32)
+    hi = jnp.asarray(chain.upper, jnp.float32)
+
+    def body(q, _):
+        err = target - ee_chain(chain, q)
+        J = jax.jacfwd(lambda qq: ee_chain(chain, qq))(q)
+        JJt = J @ J.T + damping**2 * jnp.eye(3)
+        dq = J.T @ jnp.linalg.solve(JJt, err)
+        return jnp.clip(q + dq, lo, hi), None
+
+    q, _ = jax.lax.scan(body, joints0, None, length=iters)
+    return q

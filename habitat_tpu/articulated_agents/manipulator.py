@@ -88,6 +88,50 @@ class Manipulator:
         return abs(self._gripper - self.params.gripper_open_state) < 1e-3
 
 
+class UrdfManipulator(Manipulator):
+    """Manipulator whose kinematics come from a parsed URDF chain instead of
+    a hand-written param table (reference manipulator.py:79-120 loads the
+    URDF into Bullet; here `urdf.load_chain` + `kinematics.fk_chain`)."""
+
+    def __init__(self, urdf_path: str, base_link=None, ee_link=None):
+        from habitat_tpu.articulated_agents.kinematics import (
+            ee_chain,
+            ik_solve_chain,
+        )
+        from habitat_tpu.articulated_agents.params import (
+            MobileManipulatorParams,
+        )
+        from habitat_tpu.articulated_agents.urdf import load_chain
+
+        self.chain = load_chain(urdf_path, base_link=base_link, ee_link=ee_link)
+        J = self.chain.num_joints
+        rest = np.clip(np.zeros(J), self.chain.lower, self.chain.upper)
+        params = MobileManipulatorParams(
+            name=self.chain.name,
+            arm_joints=J,
+            joint_axes=tuple("x" * J),  # unused by the chain path
+            link_offsets=tuple((0.0, 0.0, 0.0) for _ in range(J)),
+            arm_root_offset=(0.0, 0.0, 0.0),
+            joint_limits_lower=tuple(float(v) for v in self.chain.lower),
+            joint_limits_upper=tuple(float(v) for v in self.chain.upper),
+            resting_pose=tuple(float(v) for v in rest),
+        )
+        super().__init__(params)
+        self._ee_chain = ee_chain
+        self._ik_chain = ik_solve_chain
+
+    @property
+    def ee_local_pos(self) -> np.ndarray:
+        return np.asarray(self._ee_chain(self.chain, jnp.asarray(self._joints)))
+
+    def calculate_ee_inverse_kinematics(self, target_local) -> np.ndarray:
+        return np.asarray(
+            self._ik_chain(
+                self.chain, jnp.asarray(target_local), jnp.asarray(self._joints)
+            )
+        )
+
+
 class MobileManipulator(Manipulator):
     """Base pose + arm (reference mobile_manipulator.py)."""
 
