@@ -208,6 +208,31 @@ class PointNavResNetNet(nn.Module):
             )
             parts.append(emb)
 
+        # VLN instruction encoder (reference R2R seq2seq baseline: embedded
+        # tokens -> LSTM, final hidden state conditions the policy; here an
+        # LSTM scan over the padded token sequence with the last VALID state
+        # selected by length)
+        if "instruction" in obs:
+            toks = flat(obs["instruction"]).astype(jnp.int32)  # (B, L)
+            temb = nn.Embed(128, 32, name="instruction_embed")(toks)
+            ScanLSTM = nn.scan(
+                nn.OptimizedLSTMCell,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=1,
+                out_axes=1,
+            )
+            cell = ScanLSTM(128, name="instruction_lstm")
+            carry0 = cell.initialize_carry(
+                jax.random.PRNGKey(0), temb[:, 0].shape
+            )
+            _, hs = cell(carry0, temb)  # (B, L, 128)
+            lengths = jnp.maximum(jnp.sum((toks > 0).astype(jnp.int32), -1), 1)
+            last = jnp.take_along_axis(
+                hs, (lengths - 1)[:, None, None], axis=1
+            )[:, 0]
+            parts.append(last)
+
         # prev action embedding (reference :747-759: index 0 = "start")
         pa = flat(prev_actions)
         if self.discrete_actions:

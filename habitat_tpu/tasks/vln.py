@@ -26,6 +26,21 @@ from habitat_tpu.tasks.nav import _cfg
 
 MAX_INSTRUCTION_LEN = 64
 
+NUMBER_WORDS = (
+    "zero one two three four five six seven eight nine ten "
+    "eleven twelve thirteen fourteen fifteen"
+).split()
+
+# fixed procedural-instruction vocabulary (index 0 = pad/unk)
+VLN_VOCAB = {
+    w: i + 1
+    for i, w in enumerate(
+        NUMBER_WORDS
+        + "point walk meters forward back left right then to reach the "
+          "goal west east north south and until you".split()
+    )
+}
+
 
 @dataclasses.dataclass
 class InstructionData:
@@ -123,14 +138,29 @@ def make_procedural_vln(
         g = np.asarray(ep.goals[0].position)
         s = np.asarray(ep.start_position)
         d = g - s
-        lr = "left" if d[0] < 0 else "right"
-        fb = "forward" if d[2] < 0 else "back"
-        text = f"walk {fb} and to the {lr} until you reach the goal"
-        # tiny fixed vocab tokenization
-        vocab = {w: i + 1 for i, w in enumerate(
-            "walk forward back and to the left right until you reach goal".split()
-        )}
-        toks = [vocab.get(w, 0) for w in text.replace(",", "").split()]
+        # decimeter-precise displacement instructions IN THE EPISODE-START
+        # FRAME (matching the episodic GPS sensor, reference nav.py:398): the
+        # text fully determines the goal to 5cm, so an agent that parses the
+        # instruction and reads its GPS can navigate without any goal sensor
+        # — the procedural stand-in for R2R path language
+        yaw0 = ep.start_yaw
+        cy, sy = np.cos(-yaw0), np.sin(-yaw0)
+        rel_x = cy * d[0] - sy * d[2]  # start-frame x (right)
+        rel_z = sy * d[0] + cy * d[2]  # start-frame z (forward = -z)
+        fwd, right = -float(rel_z), float(rel_x)
+
+        def words(v):
+            m = min(int(abs(v)), len(NUMBER_WORDS) - 1)
+            dm = min(int(round((abs(v) - int(abs(v))) * 10)), 9)
+            return f"{NUMBER_WORDS[m]} point {NUMBER_WORDS[dm]}"
+
+        fb = "forward" if fwd >= 0 else "back"
+        lr = "right" if right >= 0 else "left"
+        text = (
+            f"walk {words(fwd)} meters {fb} then "
+            f"{words(right)} meters {lr} to reach the goal"
+        )
+        toks = [VLN_VOCAB.get(w, 0) for w in text.replace(",", "").split()]
         episodes.append(
             VLNEpisode(
                 episode_id="vln_" + ep.episode_id,
@@ -146,7 +176,14 @@ def make_procedural_vln(
     return scenes, episodes, fields
 
 
-def make_vln_env(num_envs: int = 4, seed: int = 0, max_episode_steps: int = 200, **kw):
+def make_vln_env(
+    num_envs: int = 4,
+    seed: int = 0,
+    max_episode_steps: int = 200,
+    with_pointgoal: bool = True,
+    visual_specs: tuple = (),
+    **kw,
+):
     import dataclasses as _dc
 
     from habitat_tpu.core.batched_env import BatchedEnv, RewardSpec
@@ -166,10 +203,19 @@ def make_vln_env(num_envs: int = 4, seed: int = 0, max_episode_steps: int = 200,
         reg.get_task_action(n)(None)
         for n in ("StopAction", "MoveForwardAction", "TurnLeftAction", "TurnRightAction")
     ]
+    # a true VLN agent navigates from instruction + vision + odometry alone
+    # (reference R2R agents get no goal sensor); with_pointgoal keeps the
+    # oracle-goal variant for debugging; visual_specs adds rendered sensors
+    # (e.g. (("HabitatSimDepthSensor", {"height": 64, "width": 64}),))
     sensors = [
         InstructionSensor(None),
-        reg.get_sensor("PointGoalWithGPSCompassSensor")(None),
+        reg.get_sensor("GPSSensor")(None),
+        reg.get_sensor("CompassSensor")(None),
     ]
+    for name, cfg in visual_specs:
+        sensors.append(reg.get_sensor(name)(cfg))
+    if with_pointgoal:
+        sensors.append(reg.get_sensor("PointGoalWithGPSCompassSensor")(None))
     measures = [
         reg.get_measure(n)(None)
         for n in ("DistanceToGoal", "Success", "SPL", "DistanceToGoalReward", "NumSteps")

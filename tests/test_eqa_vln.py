@@ -165,3 +165,35 @@ def test_instance_image_goal_view_params():
     # both render, and the stored-params view differs from the default view
     assert imgs[0].std() > 0 and imgs[1].std() > 0
     assert np.abs(imgs[0].astype(int) - imgs[1].astype(int)).mean() > 1
+
+
+def test_vln_seq2seq_il():
+    """VLN agent: instruction LSTM + GPS/compass (no goal sensor) BC-trained
+    on the geodesic follower — the instruction fully determines the goal, so
+    teacher-matching accuracy must climb (reference R2R seq2seq baseline)."""
+    import jax
+    import numpy as np
+
+    from habitat_tpu.baselines.il.bc_trainer import BCConfig, BCLearner
+    from habitat_tpu.models.policy import make_pointnav_resnet_policy
+
+    env = make_vln_env(
+        num_envs=4, num_scenes=1, episodes_per_scene=8,
+        with_pointgoal=False, max_episode_steps=100,
+    )
+    assert "instruction" in env.reset(seed=0)[1]
+    policy = make_pointnav_resnet_policy(
+        len(env.actions), backbone="resnet18", hidden_size=128,
+        has_visual=False, goal_keys=(),
+    )
+    learner = BCLearner(env, policy, BCConfig(num_steps=16, lr=2e-3))
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0))
+    step = jax.jit(learner.train_step)
+    first = None
+    for i in range(25):
+        ts, m = step(ts)
+        if first is None:
+            first = float(m["losses/bc_loss"])
+    last = float(m["losses/bc_loss"])
+    assert np.isfinite(last)
+    assert last < first, (first, last)
