@@ -521,10 +521,7 @@ def render_batch(
         # (R,4)x(N,4,10) einsum against ray_feature_matrix(o, yaw, pitch)
         # instead of per-pixel-per-env trig + cross products (profiled at
         # ~25% of render time at N=256). dirs for shading = F[..., 0:3].
-        from habitat_tpu.ops.raycast_pallas import (
-            _gather_attrs,
-            raycast_pallas_index,
-        )
+        from habitat_tpu.ops.raycast_pallas import raycast_pallas_index_t
 
         d_cam = camera_rays(
             jnp.float32(0.0), jnp.float32(0.0), jnp.deg2rad(hfov_deg), height, width
@@ -533,12 +530,45 @@ def render_batch(
         d_aug = jnp.concatenate(
             [d_cam, jnp.ones((d_cam.shape[0], 1), jnp.float32)], axis=-1
         )
-        F = jnp.einsum(
-            "rk,nkf->nrf", d_aug, B, precision=jax.lax.Precision.HIGHEST
+        # v5: features are built TRANSPOSED, rays minor — (N,tiles,16,Rt) is
+        # lane-exact for the kernel block, killing the 10->128 lane-padding
+        # relayout copy that cost 114 ms/update in the v3 layout (r2 trace,
+        # copy.1995). Rows 10:16 are sublane padding.
+        R = d_aug.shape[0]
+        ray_tile = min(2048, R)
+        n_tiles = R // ray_tile
+        d_tiles = d_aug.reshape(n_tiles, ray_tile, 4)
+        Bp = jnp.pad(B, ((0, 0), (0, 0), (0, 6)))  # (N,4,16)
+        Ft = jnp.einsum(
+            "jrk,nkf->njfr", d_tiles, Bp, precision=jax.lax.Precision.HIGHEST
+        )  # (N, n_tiles, 16, Rt)
+        t, idx = raycast_pallas_index_t(
+            pack.tri_mat, sids, Ft, ray_tile=ray_tile
         )
-        t, idx = raycast_pallas_index(pack.tri_mat, sids, F)
-        attrs = _gather_attrs(pack.tri_attr, sids, idx)
+        # attribute extraction + shading, all CHANNEL-MAJOR (rays minor):
+        # the row-major one-hot dot (N,R,T)@(N,T,8) has lane dim 8 and XLA
+        # emits it as a 2.9 ms/step batch-in-lanes conv (r2 trace,
+        # fusion.2043); transposed, (N,8,T)@(N,T,R) rides the MXU with rays
+        # in lanes, and every shading op is a lane-major VPU sweep. Only the
+        # final u8 rgb pays a (N,3,R)->(N,R,3) relayout.
         hit = idx >= 0
+        T = pack.tri_attr.shape[1]
+        table_t = pack.tri_attr[sids].transpose(0, 2, 1)  # (N,8,T)
+        oh = (
+            jnp.arange(T, dtype=idx.dtype)[None, :, None] == idx[:, None, :]
+        ).astype(jnp.float32)  # (N,T,R)
+        attrs_t = jax.lax.dot_general(
+            table_t,
+            oh,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * hit[:, None, :].astype(jnp.float32)  # (N,8,R)
+        dirs_t = jnp.einsum(
+            "rk,nkf->nfr",
+            d_aug,
+            B[..., 0:3],
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (N, 3, R) world-space dirs (shading only)
         # planar depth: dirs . fwd = (R d_cam) . (R fwd_cam) = -d_cam_z,
         # constant per pixel
         z = t * (-d_cam[None, :, 2])
@@ -547,16 +577,19 @@ def render_batch(
         if normalize_depth:
             z = (z - min_depth) / (max_depth - min_depth)
         depth = z.reshape(N, height, width, 1).astype(jnp.float32)
-        lambert = jnp.abs(jnp.sum(attrs[..., 0:3] * F[..., 0:3], axis=-1))
+        lambert = jnp.abs(jnp.sum(attrs_t[:, 0:3] * dirs_t, axis=1))  # (N,R)
         shade = 0.35 + 0.65 * lambert
         sky = jnp.array([0.65, 0.75, 0.9], jnp.float32)
-        rgb = jnp.where(hit[..., None], attrs[..., 3:6] * shade[..., None], sky)
+        rgb_t = jnp.where(
+            hit[:, None, :], attrs_t[:, 3:6] * shade[:, None, :], sky[None, :, None]
+        )
         rgb_u8 = (
-            jnp.clip(rgb * 255.0, 0, 255)
+            jnp.clip(rgb_t * 255.0, 0, 255)
             .astype(jnp.uint8)
+            .transpose(0, 2, 1)
             .reshape(N, height, width, 3)
         )
-        sem = jnp.where(hit, jnp.round(attrs[..., 6]).astype(jnp.int32), 0)
+        sem = jnp.where(hit, jnp.round(attrs_t[:, 6]).astype(jnp.int32), 0)
         return {
             "rgb": rgb_u8,
             "depth": depth,

@@ -213,6 +213,258 @@ def raycast_pallas_batch(
     return t, _gather_attrs(tri_attr, sids, idx)
 
 
+def _kernel_t(
+    sids_ref,  # scalar-prefetch (N,)
+    f_ref,  # (1, 1, 16, ray_tile) VMEM — TRANSPOSED ray features (10 used)
+    m_ref,  # (1, 10, 4, T) VMEM — this env's scene matrix
+    t_out,  # (1, 1, 1, ray_tile) f32
+    i_out,  # (1, 1, 1, ray_tile) i32
+    *,
+    tri_chunk: int,
+):
+    """v5: feature-transposed kernel. The v3 layout (ray features with minor
+    dim 10) forced XLA to pad the lane dimension 10->128 — a 2.1 GB relayout
+    copy (114 ms/update, copy.1995 in the r2 trace) just to feed the kernel.
+    With rays minor, the features block is lane-exact; G comes out (4C, Rt)
+    so the epilogue sweeps lanes and min/argmin reduce over sublanes.
+    Measured alternatives at bench shape (scripts/_timing slope): this form
+    5.9 ms; contracting dim 0 of BOTH operands to get a (Rt, 4C) G forces a
+    Mosaic transpose of F and runs 17 ms; the v3 row-major-features kernel
+    runs 4.0 ms but costs a 114 ms/update lane-padding relayout copy
+    upstream."""
+    F = f_ref[0, 0, 0:10, :]  # (10, Rt)
+    T = m_ref.shape[3]
+    C = tri_chunk
+    Rt = F.shape[1]
+
+    def chunk_winner(M):
+        # (C', Rt) determinant rows: contract the 10-dim of both operands
+        G = jax.lax.dot_general(
+            M.reshape(10, 4 * C),
+            F,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (4C, Rt)
+        detA = G[0 * C : 1 * C]
+        tnum = G[1 * C : 2 * C]
+        unum = G[2 * C : 3 * C]
+        vnum = G[3 * C : 4 * C]
+        aa = detA * detA
+        p = unum * detA
+        q = vnum * detA
+        w = tnum * detA
+        m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
+        m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
+        hit = (m1 >= 0.0) & (m2 > 0.0)
+        t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
+        tmin = jnp.min(t, axis=0)  # (Rt,)
+        win = jnp.argmin(t, axis=0).astype(jnp.int32)
+        return tmin, win
+
+    def body(c, carry):
+        best_t, best_i = carry
+        tmin, win = chunk_winner(m_ref[0, :, :, pl.ds(c * C, C)])
+        better = tmin < best_t
+        return (
+            jnp.where(better, tmin, best_t),
+            jnp.where(better, c * C + win, best_i),
+        )
+
+    init = (
+        jnp.full((Rt,), _TMAX, jnp.float32),
+        jnp.full((Rt,), -1, jnp.int32),
+    )
+    best_t, best_i = lax.fori_loop(0, T // C, body, init)
+    miss = best_t >= _TMAX * 0.5
+    # outputs are (1, Rt) lane vectors — reshaping a lane vector into
+    # (8, Rt/8) sublane tiles is a relayout Mosaic refuses to infer
+    t_out[0, 0] = jnp.where(miss, _TMAX, best_t)[None, :]
+    i_out[0, 0] = jnp.where(miss, -1, best_i)[None, :]
+
+
+def raycast_pallas_index_t(
+    tri_mat: jnp.ndarray,  # (S, 10, 4, T)
+    sids: jnp.ndarray,  # (N,) int32
+    features_t: jnp.ndarray,  # (N, n_tiles, 16, ray_tile) — rows 0:10 used
+    ray_tile: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closest-hit core on transposed features. features_t rows 10:16 are
+    padding so the sublane dim is tile-exact (16 for f32)."""
+    N, n_tiles, K16, Rt = features_t.shape
+    assert K16 == 16 and Rt == ray_tile
+    S, _, _, T = tri_mat.shape
+    tri_chunk = min(128, T)
+    assert T % tri_chunk == 0, (T, tri_chunk)
+    R = n_tiles * ray_tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 16, ray_tile),
+                lambda i, j, sids: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 10, 4, T),
+                lambda i, j, sids: (sids[i], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, ray_tile), lambda i, j, sids: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, ray_tile), lambda i, j, sids: (i, j, 0, 0)),
+        ],
+    )
+    t, idx = pl.pallas_call(
+        functools.partial(_kernel_t, tri_chunk=tri_chunk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, n_tiles, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((N, n_tiles, 1, ray_tile), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * R * T * 10 * 4,
+            bytes_accessed=N * R * (64 + 8) + N * R * T * 10,
+            transcendentals=0,
+        ),
+    )(sids.astype(jnp.int32), features_t, tri_mat)
+    return t.reshape(N, R), idx.reshape(N, R)
+
+
+def _fused_kernel(
+    sids_ref,  # scalar-prefetch (N,)
+    d_ref,  # (1, ray_tile, 4) VMEM — camera-frame ray dirs (shared grid)
+    b_ref,  # (1, 4, 10) VMEM — this env's ray-feature matrix
+    m_ref,  # (1, 10, 4, T) VMEM — this env's scene matrix
+    a_ref,  # (1, T, 8) VMEM — its attribute table
+    t_out,  # (1, 1, 8, ray_tile//8) f32
+    attr_out,  # (1, 1, ray_tile, 8) f32
+    *,
+    tri_chunk: int,
+):
+    """v4 fast-path kernel: ray features AND attribute extraction in-kernel.
+
+    The v3 split (features via XLA einsum, attributes via XLA one-hot dot)
+    profiled at 3.6 + 2.9 ms/step at bench shape — XLA lays the (N,R,10)
+    feature tensor out for its conv emitter then pays a 114 ms relayout copy
+    into the kernel's layout, and emits the one-hot extraction on the VPU.
+    Here F_tile = d_aug @ B[i] is four VPU broadcast-FMAs (K=4 — exact f32,
+    matching the old einsum's Precision.HIGHEST; an MXU dot would truncate
+    the features to bf16) so no HBM feature tensor exists at all, and
+    extraction is a post-loop chunked one-hot matmul on the MXU."""
+    D = d_ref[0]  # (Rt, 4) f32
+    Bm = b_ref[0]  # (4, 10) f32
+    F = (
+        D[:, 0:1] * Bm[0:1, :]
+        + D[:, 1:2] * Bm[1:2, :]
+        + D[:, 2:3] * Bm[2:3, :]
+        + D[:, 3:4] * Bm[3:4, :]
+    )  # (Rt, 10)
+    T = m_ref.shape[3]
+    C = tri_chunk
+    Rt = F.shape[0]
+
+    def body(c, carry):
+        best_t, best_i = carry
+        tmin, win = _chunk_winner(F, m_ref[0, :, :, pl.ds(c * C, C)], C)
+        better = tmin < best_t
+        return (
+            jnp.where(better, tmin, best_t),
+            jnp.where(better, c * C + win, best_i),
+        )
+
+    init = (
+        jnp.full((Rt,), _TMAX, jnp.float32),
+        jnp.full((Rt,), -1, jnp.int32),
+    )
+    best_t, best_i = lax.fori_loop(0, T // C, body, init)
+    miss = best_t >= _TMAX * 0.5
+
+    def extract(c, acc):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Rt, C), 1)
+        oh = (lane == (best_i - c * C)[:, None]).astype(jnp.float32)
+        return acc + jax.lax.dot_general(
+            oh,
+            a_ref[0, pl.ds(c * C, C), :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    attrs = lax.fori_loop(0, T // C, extract, jnp.zeros((Rt, ATTR_CH), jnp.float32))
+    shp = (t_out.shape[2], t_out.shape[3])
+    t_out[0, 0] = jnp.where(miss, _TMAX, best_t).reshape(shp)
+    attr_out[0, 0] = jnp.where(miss[:, None], 0.0, attrs)
+
+
+def raycast_pallas_fused(
+    tri_mat: jnp.ndarray,  # (S, 10, 4, T)
+    tri_attr: jnp.ndarray,  # (S, T, 8)
+    sids: jnp.ndarray,  # (N,) int32
+    d_aug: jnp.ndarray,  # (R, 4) camera-frame dirs + homogeneous 1
+    B: jnp.ndarray,  # (N, 4, 10) per-env ray-feature matrices
+    ray_tile: int = 2048,
+    tri_chunk: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fast-path closest-hit + attributes with in-kernel ray features.
+    Returns (t (N,R) f32, attrs (N,R,8) f32); attrs[...,7]==0 marks a miss."""
+    N = sids.shape[0]
+    R = d_aug.shape[0]
+    S, _, _, T = tri_mat.shape
+    tri_chunk = min(tri_chunk, T)
+    assert T % tri_chunk == 0, (T, tri_chunk)
+    ray_tile = min(ray_tile, R)
+    assert R % ray_tile == 0, (R, ray_tile)
+    n_tiles = R // ray_tile
+    D = d_aug.reshape(n_tiles, ray_tile, 4)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ray_tile, 4),
+                lambda i, j, sids: (j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, 10),
+                lambda i, j, sids: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 10, 4, T),
+                lambda i, j, sids: (sids[i], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, T, ATTR_CH),
+                lambda i, j, sids: (sids[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 8, ray_tile // 8), lambda i, j, sids: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, ray_tile, ATTR_CH), lambda i, j, sids: (i, j, 0, 0)),
+        ],
+    )
+    t, attrs = pl.pallas_call(
+        functools.partial(_fused_kernel, tri_chunk=tri_chunk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, n_tiles, 8, ray_tile // 8), jnp.float32),
+            jax.ShapeDtypeStruct((N, n_tiles, ray_tile, ATTR_CH), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * R * T * (10 * 4 + ATTR_CH),
+            bytes_accessed=N * R * (16 + 4 + 32) + N * T * 192,
+            transcendentals=0,
+        ),
+    )(sids.astype(jnp.int32), D, B, tri_mat, tri_attr)
+    return t.reshape(N, R), attrs.reshape(N, R, ATTR_CH)
+
+
 def _culled_kernel(
     sids_ref,  # scalar-prefetch (N,)
     chunks_ref,  # scalar-prefetch (N, n_tiles, K) candidate chunk ids

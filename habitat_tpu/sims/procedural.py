@@ -32,6 +32,12 @@ OBJECT_CATEGORIES = (
     "cabinet", "counter", "shelf", "fridge",
 )
 
+# region category vocabulary (habitat-sim SemanticRegion categories)
+REGION_CATEGORIES = (
+    "living room", "kitchen", "bedroom", "bathroom",
+    "hallway", "office", "dining room", "closet",
+)
+
 
 def _quad(p0, p1, p2, p3) -> np.ndarray:
     """Two triangles for quad p0-p1-p2-p3 (ccw)."""
@@ -175,6 +181,20 @@ def generate_apartment(
             )
         )
 
+    # room-grid regions: the region layer of the SemanticScene hierarchy
+    # (habitat-sim SemanticScene levels>regions>objects; semantic_scene.py)
+    regions = []
+    for i in range(k):
+        for j in range(k):
+            regions.append(
+                dict(
+                    id=f"room_{i}_{j}",
+                    category=REGION_CATEGORIES[(i * k + j) % len(REGION_CATEGORIES)],
+                    lo=[e * i / k, 0.0, e * j / k],
+                    hi=[e * (i + 1) / k, wall_height, e * (j + 1) / k],
+                )
+            )
+
     scene = SceneData(
         scene_id=scene_id or f"procgen/apartment_{seed}",
         vertices=np.concatenate(tris, axis=0),
@@ -182,6 +202,7 @@ def generate_apartment(
         semantic_ids=np.concatenate(sems, axis=0),
     )
     scene.objects = objects
+    scene.regions = regions
     rasterize_occupancy(scene, res=nav_res, agent_radius=agent_radius)
     return scene
 

@@ -63,6 +63,10 @@ class SceneData:
     # semantic object annotations: list of dicts with semantic_id/category_id/
     # category/center/size (SemanticScene equivalent)
     objects: Optional[list] = None
+    # semantic region annotations: list of dicts with id/category/lo/hi —
+    # the region layer of the SemanticScene hierarchy (levels > regions >
+    # objects, habitat-sim SemanticScene; see sims/semantic_scene.py)
+    regions: Optional[list] = None
     # discrete level-of-detail: per-triangle lod id + per-lod (dmin, dmax)
     # render distance band (meters). None = single-LOD scene.
     tri_lod: Optional[np.ndarray] = None  # (T,) int32

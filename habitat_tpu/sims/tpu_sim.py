@@ -84,7 +84,22 @@ class TpuSim(Simulator):
         self._rng = np.random.default_rng(0)
         self._sensor_cfgs = self._collect_sensor_cfgs(config)
         self._field_cache: Dict[Any, np.ndarray] = {}
+        self._semantic_scene = None
         self.reset()
+
+    def semantic_annotations(self):
+        """SemanticScene hierarchy (levels > regions > objects) built from
+        the scene's annotations — reference habitat_simulator.py:249-257
+        returns habitat-sim's parsed .semantic.json/.house equivalent."""
+        if self._semantic_scene is None:
+            from habitat_tpu.sims.semantic_scene import build_semantic_scene
+
+            self._semantic_scene = build_semantic_scene(self._scene)
+        return self._semantic_scene
+
+    @property
+    def semantic_scene(self):
+        return self.semantic_annotations()
 
     # -- config ----------------------------------------------------------
     def _collect_sensor_cfgs(self, config):

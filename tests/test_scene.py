@@ -112,3 +112,42 @@ def test_obj_and_npz_loaders(tmp_path):
         f.write("v 0 0 0\nv 1 0 0\nv 0 0 1\nv 1 0 1\nf 1 2 3\nf 2 4 3\n")
     obj = load_scene(po)
     assert obj.num_triangles == 2
+
+
+def test_semantic_scene_hierarchy():
+    """SemanticScene levels > regions > objects (habitat-sim
+    semantic_annotations parity; reference habitat_simulator.py:249-257)."""
+    import numpy as np
+
+    from habitat_tpu.sims.procedural import generate_apartment
+    from habitat_tpu.sims.semantic_scene import build_semantic_scene
+    from habitat_tpu.sims.tpu_sim import TpuSim
+
+    scene = generate_apartment(seed=3, n_rooms_per_axis=2, n_clutter=5)
+    ss = build_semantic_scene(scene)
+    assert len(ss.levels) == 1
+    assert len(ss.regions) == 4  # 2x2 room grid
+    assert len(ss.objects) == 5
+    # every object is inside its region's bounds and carries a category
+    for o in ss.objects:
+        assert o.region is not None
+        assert o.region.aabb.contains(o.aabb.center)
+        assert o.category.name()
+        assert o.id.startswith(o.region.id)
+    # id lookup used by the semantic sensor
+    o0 = ss.objects[0]
+    assert ss.get_object(o0.semantic_id) is o0
+    # region point query
+    rs = ss.get_regions_for_point(ss.objects[0].aabb.center)
+    assert o0.region in rs
+    # level rollup + region categories
+    assert len(ss.levels[0].objects) == 5
+    assert ss.regions[0].category.name() in (
+        "living room", "kitchen", "bedroom", "bathroom",
+        "hallway", "office", "dining room", "closet",
+    )
+
+    # exposed through the Simulator API
+    sim = TpuSim(None, scene=scene)
+    assert sim.semantic_annotations() is sim.semantic_scene
+    assert len(sim.semantic_scene.objects) == 5
