@@ -163,6 +163,27 @@ def ray_features(origins: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([dirs, origins, oxd, ones], axis=-1).astype(jnp.float32)
 
 
+def ray_features_t(origins: jnp.ndarray, dirs: jnp.ndarray, ray_tile: int) -> jnp.ndarray:
+    """(N,R,3),(N,R,3) -> (N, R/ray_tile, 16, ray_tile) TRANSPOSED features
+    for raycast_pallas_index_t (rays minor = lane-exact kernel blocks; the
+    row-major (N,R,10) form costs a 10->128 lane-padding relayout copy at the
+    kernel boundary — 114 ms/update at bench shape, r2 trace). Rows 10:16 are
+    sublane padding; channel order matches ray_features: [d, o, o x d, 1]."""
+    oxd = jnp.cross(origins, dirs)
+    N, R, _ = origins.shape
+    F = jnp.stack(
+        [
+            dirs[..., 0], dirs[..., 1], dirs[..., 2],
+            origins[..., 0], origins[..., 1], origins[..., 2],
+            oxd[..., 0], oxd[..., 1], oxd[..., 2],
+            jnp.ones((N, R), jnp.float32),
+        ],
+        axis=1,
+    ).astype(jnp.float32)  # (N, 10, R)
+    F = jnp.pad(F, ((0, 0), (0, 6), (0, 0)))
+    return F.reshape(N, 16, R // ray_tile, ray_tile).transpose(0, 2, 1, 3)
+
+
 def ray_feature_matrix(cam_pos, yaw, pitch) -> jnp.ndarray:
     """(N,3),(N,),(N,) -> (N,4,10) B with ray_features = [d_cam, 1] @ B.
 
@@ -611,7 +632,7 @@ def render_batch(
         from habitat_tpu.ops.raycast_pallas import (
             _gather_attrs,
             raycast_pallas_culled,
-            raycast_pallas_index,
+            raycast_pallas_index_t,
         )
 
         n_chunks = pack.tri_mat.shape[3] // 128
@@ -658,8 +679,9 @@ def render_batch(
                 attrs = from_blocks(attrs)
             hit = attrs[..., 7] > 0.5
         else:
-            t, idx = raycast_pallas_index(
-                pack.tri_mat, sids, ray_features(origins, dirs)
+            rt = 2048 if R % 2048 == 0 else R
+            t, idx = raycast_pallas_index_t(
+                pack.tri_mat, sids, ray_features_t(origins, dirs, rt), ray_tile=rt
             )
             attrs = _gather_attrs(pack.tri_attr, sids, idx)
             hit = idx >= 0
@@ -689,14 +711,18 @@ def render_batch(
         if be == "pallas":
             # per-env dynamic geometry = per-env "scenes": reuse the fused
             # index kernel with sids = arange(N), gather attributes in-jit
-            from habitat_tpu.ops.raycast_pallas import raycast_pallas_index
+            from habitat_tpu.ops.raycast_pallas import raycast_pallas_index_t
 
             nrm = jnp.cross(e1d, e2d)
             nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-9)
             cold = jnp.pad(dynamic["color"], ((0, 0), (0, pad), (0, 0)))
             semd = jnp.pad(dynamic["sem"], ((0, 0), (0, pad))).astype(jnp.float32)
-            t2, idx2 = raycast_pallas_index(
-                dmat, jnp.arange(N, dtype=jnp.int32), ray_features(origins, dirs)
+            rt2 = 2048 if R % 2048 == 0 else R
+            t2, idx2 = raycast_pallas_index_t(
+                dmat,
+                jnp.arange(N, dtype=jnp.int32),
+                ray_features_t(origins, dirs, rt2),
+                ray_tile=rt2,
             )
             si2 = jnp.maximum(idx2, 0)[..., None]
             nrm2 = jnp.take_along_axis(nrm, si2, axis=1)
