@@ -35,14 +35,23 @@ class InstanceImageGoal(NavigationGoal):
 @dataclasses.dataclass
 class InstanceImageGoalNavEpisode(Episode):
     object_category: Optional[str] = None
+    goal_object_id: str = ""
     goal_image_id: int = 0
     goals: list = dataclasses.field(default_factory=list)
 
     @property
     def goal_key(self) -> str:
+        """reference instance_image_nav_task.py:53 — '<scene-basename minus
+        .glb/.basis>_<goal_object_id>'."""
         import os
 
-        return f"{os.path.basename(self.scene_id)}_{self.goals[0].object_id if self.goals else ''}"
+        sid = os.path.basename(self.scene_id)
+        for x in (".glb", ".basis"):
+            sid = sid[: -len(x)] if sid.endswith(x) else sid
+        oid = self.goal_object_id or (
+            self.goals[0].object_id if self.goals else ""
+        )
+        return f"{sid}_{oid}"
 
 
 @registry.register_dataset(name="InstanceImageNav-v1")
@@ -61,6 +70,11 @@ class InstanceImageNavDatasetV1(Dataset):
         data = json.loads(json_str)
         goals_by_key = {}
         for key, goals in data.get("goals", data.get("goals_by_category", {})).items():
+            # reference schema maps goal_key -> ONE goal dict
+            # (instance_image_nav_dataset.py:76-78); earlier repo episodes
+            # used a list — accept both
+            if isinstance(goals, dict):
+                goals = [goals]
             goals_by_key[key] = [
                 InstanceImageGoal(
                     position=list(g.get("position", [])),
@@ -90,6 +104,7 @@ class InstanceImageNavDatasetV1(Dataset):
                 start_rotation=list(ep["start_rotation"]),
                 info=ep.get("info", {}),
                 object_category=ep.get("object_category"),
+                goal_object_id=str(ep.get("goal_object_id", "")),
                 goal_image_id=int(ep.get("goal_image_id", 0)),
             )
             key = ep.get("goal_key") or episode.goal_key

@@ -197,3 +197,71 @@ def test_vln_seq2seq_il():
     last = float(m["losses/bc_loss"])
     assert np.isfinite(last)
     assert last < first, (first, last)
+
+
+def test_instance_imagenav_reference_schema():
+    """Load an episode JSON written in the EXACT reference schema —
+    goals maps goal_key -> ONE goal dict, episodes carry goal_object_id,
+    goal_key strips .glb/.basis (reference
+    instance_image_nav_dataset.py:67-93, instance_image_nav_task.py:53)."""
+    import json
+
+    from habitat_tpu.datasets.image_nav import InstanceImageNavDatasetV1
+
+    data = {
+        "goals": {
+            "scene1_42": {
+                "position": [2.0, 0.1, 3.0],
+                "radius": 0.5,
+                "object_id": "42",
+                "object_category": "chair",
+                "view_points": [
+                    {
+                        "agent_state": {
+                            "position": [1.5, 0.0, 2.5],
+                            "rotation": [0, 0.707, 0, 0.707],
+                        },
+                        "iou": 0.8,
+                    }
+                ],
+                "image_goals": [
+                    {
+                        "position": [1.0, 1.2, 2.0],
+                        "rotation": [0.0, 0.3826834, 0.0, 0.9238795],
+                        "hfov": 79.0,
+                        "image_dimensions": [512, 512],
+                    },
+                    {
+                        "position": [3.0, 1.4, 4.0],
+                        "rotation": [0, 0, 0, 1],
+                        "hfov": 90.0,
+                        "image_dimensions": [256, 256],
+                    },
+                ],
+            }
+        },
+        "episodes": [
+            {
+                "episode_id": "0",
+                "scene_id": "data/scene_datasets/hm3d/scene1.glb",
+                "start_position": [0.0, 0.0, 0.0],
+                "start_rotation": [0, 0, 0, 1],
+                "goal_object_id": "42",
+                "goal_image_id": 1,
+                "object_category": "chair",
+                "info": {"geodesic_distance": 4.2},
+            }
+        ],
+    }
+    ds = InstanceImageNavDatasetV1()
+    ds.from_json(json.dumps(data))
+    assert len(ds.episodes) == 1
+    ep = ds.episodes[0]
+    assert ep.goal_key == "scene1_42"
+    assert len(ep.goals) == 1
+    g = ep.goals[0]
+    assert g.object_category == "chair" and g.object_id == "42"
+    assert len(g.image_goals) == 2
+    ig = g.image_goals[ep.goal_image_id]
+    assert ig.hfov == 90.0 and tuple(ig.image_dimensions) == (256, 256)
+    assert g.view_points[0]["agent_state"]["position"] == [1.5, 0.0, 2.5]
