@@ -154,6 +154,8 @@ def make_procedural_rearrange(
     from habitat_tpu.sims.procedural import generate_apartment
 
     rng = np.random.default_rng(seed)
+    ao_state_sampler = kw.pop("ao_state_sampler", None)
+    art_objs = kw.pop("art_objs", None)
     scenes, episodes = [], []
     for s in range(num_scenes):
         scene = generate_apartment(
@@ -168,6 +170,11 @@ def make_procedural_rearrange(
                 scene, f"re_{s}_{e}", rng, num_objects=num_objects, **kw
             )
             if ep is not None:
+                if ao_state_sampler is not None:
+                    from habitat_tpu.tasks.rearrange.samplers import ArtObjSpec
+
+                    aos = art_objs or [ArtObjSpec(handle=f"drawer_{s}")]
+                    ep.ao_states = ao_state_sampler.sample(aos, rng)
                 episodes.append(ep)
     return scenes, episodes
 
@@ -277,6 +284,12 @@ def build_rearrange_table(
             art_init_q[i], art_goal_q[i] = open_q, 0.0
         else:
             art_init_q[i], art_goal_q[i] = 0.0, open_q
+        # episode-declared AO states override the task default (reference
+        # ArticulatedObjectStateSampler writes ao_states into the episode,
+        # rearrange_sim applies them at reset; samplers.py produces them)
+        if ep.ao_states:
+            q0 = next(iter(next(iter(ep.ao_states.values())).values()))
+            art_init_q[i] = float(q0)
         # nav goal = pick-target object start (NavToObj semantics)
         nav_episodes.append(
             NavigationEpisode(
