@@ -631,7 +631,6 @@ def render_batch(
     if be == "pallas":
         from habitat_tpu.ops.raycast_pallas import (
             _gather_attrs,
-            raycast_pallas_culled,
             raycast_pallas_index_t,
         )
 
@@ -670,10 +669,17 @@ def render_batch(
                 pack.tri_mat, pack.chunk_bounds[sids], sids, origins_c, dirs_c,
                 1024, cull_k,
             )
-            t, attrs = raycast_pallas_culled(
-                pack.tri_mat, pack.tri_attr, ids, sids,
-                features=ray_features(origins_c, dirs_c), ray_tile=1024,
+            from habitat_tpu.ops.raycast_pallas import raycast_pallas_culled_t
+
+            t, attrs_t = raycast_pallas_culled_t(
+                pack.tri_mat,
+                jnp.swapaxes(pack.tri_attr, 1, 2),
+                ids,
+                sids,
+                ray_features_t(origins_c, dirs_c, 1024),
+                ray_tile=1024,
             )
+            attrs = jnp.swapaxes(attrs_t, 1, 2)  # (N,R,8) for the epilogue
             if blocked:
                 t = from_blocks(t)
                 attrs = from_blocks(attrs)

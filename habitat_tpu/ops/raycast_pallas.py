@@ -465,6 +465,143 @@ def raycast_pallas_fused(
     return t.reshape(N, R), attrs.reshape(N, R, ATTR_CH)
 
 
+def _culled_kernel_t(
+    sids_ref,  # scalar-prefetch (N,)
+    chunks_ref,  # scalar-prefetch (N, n_tiles, K)
+    f_ref,  # (1, 1, 16, ray_tile) — TRANSPOSED features (rows 0:10)
+    m_ref,  # (1, 10, 4, C) — this grid step's candidate chunk
+    a_ref,  # (1, 8, C) — its TRANSPOSED attribute columns
+    t_out,  # (1, 1, 1, ray_tile) f32 — revisited across the K axis
+    attr_out,  # (1, 1, 8, ray_tile) f32
+    *,
+    tri_chunk: int,
+):
+    """v5-layout culled kernel: features and attributes ride rays-minor
+    blocks (the row-major feature block costs a 10->128 lane-padding
+    relayout copy; the (Rt, 8) attribute output is lane-8-padded). G comes
+    out (4C, Rt); extraction is attrT (8,C) @ one-hot (C,Rt) on the MXU."""
+    k = pl.program_id(2)
+    C = tri_chunk
+    F = f_ref[0, 0, 0:10, :]  # (10, Rt)
+    Rt = F.shape[1]
+
+    @pl.when(k == 0)
+    def _():
+        t_out[0, 0] = jnp.full((1, Rt), _TMAX, jnp.float32)
+        attr_out[0, 0] = jnp.zeros((ATTR_CH, Rt), jnp.float32)
+
+    G = jax.lax.dot_general(
+        m_ref[0].reshape(10, 4 * C),
+        F,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (4C, Rt)
+    detA = G[0 * C : 1 * C]
+    tnum = G[1 * C : 2 * C]
+    unum = G[2 * C : 3 * C]
+    vnum = G[3 * C : 4 * C]
+    aa = detA * detA
+    p = unum * detA
+    q = vnum * detA
+    w = tnum * detA
+    m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
+    m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
+    hit = (m1 >= 0.0) & (m2 > 0.0)
+    t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
+    tmin = jnp.min(t, axis=0)  # (Rt,)
+    win = jnp.argmin(t, axis=0).astype(jnp.int32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (C, Rt), 0)
+    oh = ((row == win[None, :]) & (tmin < _TMAX)[None, :]).astype(jnp.float32)
+    attrs = jax.lax.dot_general(
+        a_ref[0],
+        oh,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (8, Rt)
+
+    best_t = t_out[0, 0, 0, :]
+    better = tmin < best_t
+    t_out[0, 0] = jnp.where(better, tmin, best_t)[None, :]
+    attr_out[0, 0] = jnp.where(better[None, :], attrs, attr_out[0, 0])
+
+
+def raycast_pallas_culled_t(
+    tri_mat: jnp.ndarray,  # (S, 10, 4, T)
+    tri_attr_t: jnp.ndarray,  # (S, 8, T) TRANSPOSED attribute tables
+    chunk_ids: jnp.ndarray,  # (N, n_tiles, K) int32
+    sids: jnp.ndarray,  # (N,)
+    features_t: jnp.ndarray,  # (N, n_tiles, 16, ray_tile)
+    ray_tile: int = 1024,
+    tri_chunk: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Culled closest-hit + attributes with rays-minor layouts throughout.
+    Returns (t (N,R) f32, attrs_t (N,8,R) f32); attrs_t[:,7]==0 marks miss."""
+    N, n_tiles, K16, Rt = features_t.shape
+    assert K16 == 16 and Rt == ray_tile
+    R = n_tiles * ray_tile
+    ids_bytes = int(np.prod(chunk_ids.shape)) * 4
+    if ids_bytes > 96 * 1024 and N % 2 == 0:
+        h = N // 2
+        t0, a0 = raycast_pallas_culled_t(
+            tri_mat, tri_attr_t, chunk_ids[:h], sids[:h], features_t[:h],
+            ray_tile=ray_tile, tri_chunk=tri_chunk,
+        )
+        t1, a1 = raycast_pallas_culled_t(
+            tri_mat, tri_attr_t, chunk_ids[h:], sids[h:], features_t[h:],
+            ray_tile=ray_tile, tri_chunk=tri_chunk,
+        )
+        return jnp.concatenate([t0, t1]), jnp.concatenate([a0, a1])
+    K = chunk_ids.shape[-1]
+    assert chunk_ids.shape == (N, n_tiles, K)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N, n_tiles, K),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 16, ray_tile),
+                lambda i, j, k, sids, ch: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 10, 4, tri_chunk),
+                lambda i, j, k, sids, ch: (sids[i], 0, 0, ch[i, j, k]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, ATTR_CH, tri_chunk),
+                lambda i, j, k, sids, ch: (sids[i], 0, ch[i, j, k]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, ray_tile), lambda i, j, k, sids, ch: (i, j, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, ATTR_CH, ray_tile),
+                lambda i, j, k, sids, ch: (i, j, 0, 0),
+            ),
+        ],
+    )
+    t, attrs = pl.pallas_call(
+        functools.partial(_culled_kernel_t, tri_chunk=tri_chunk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, n_tiles, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((N, n_tiles, ATTR_CH, ray_tile), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * R * K * tri_chunk * (10 * 4 + ATTR_CH),
+            bytes_accessed=N * R * 48 + N * n_tiles * K * tri_chunk * 192,
+            transcendentals=0,
+        ),
+    )(sids.astype(jnp.int32), chunk_ids.astype(jnp.int32), features_t, tri_mat, tri_attr_t)
+    # (N, n_tiles, 8, Rt) -> (N, 8, R)
+    attrs = attrs.transpose(0, 2, 1, 3).reshape(N, ATTR_CH, R)
+    return t.reshape(N, R), attrs
+
+
 def _culled_kernel(
     sids_ref,  # scalar-prefetch (N,)
     chunks_ref,  # scalar-prefetch (N, n_tiles, K) candidate chunk ids
