@@ -169,22 +169,24 @@ def _gather_attrs(tri_attr, sids, idx):
 
     XLA:TPU scalarizes row gathers (measured 29ms for 4.2M rows vs 9.2ms for
     the whole raycast kernel), so for small tables the lookup is a one-hot
-    MATMUL instead: onehot(idx) @ table rides the MXU and XLA fuses the
-    iota/eq construction into the dot operand. Beyond the threshold the
+    MATMUL instead. The dot runs TRANSPOSED — (N,8,T)@(N,T,R) with rays in
+    lanes — which the emitter handles 12x faster than the row-major
+    (N,R,T)@(N,T,8) form (0.27 vs 3.26 ms at bench shape); one (N,8,R) ->
+    (N,R,8) relayout converts back. Beyond the table-size threshold the
     one-hot flops blow up and the true gather wins."""
     T = tri_attr.shape[1]
     safe = jnp.maximum(idx, 0)
     if T <= 4096:
-        table = tri_attr[sids]  # (N,T,8)
-        oh = (safe[..., None] == jnp.arange(T, dtype=idx.dtype)).astype(
-            jnp.float32
-        )  # (N,R,T)
+        table_t = tri_attr[sids].transpose(0, 2, 1)  # (N,8,T)
+        oh = (
+            jnp.arange(T, dtype=idx.dtype)[None, :, None] == safe[:, None, :]
+        ).astype(jnp.float32)  # (N,T,R)
         attrs = jax.lax.dot_general(
+            table_t,
             oh,
-            table,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        ).transpose(0, 2, 1)  # (N,R,8)
     else:
         attrs = tri_attr[sids[:, None], safe]
     return attrs * (idx >= 0).astype(jnp.float32)[..., None]
