@@ -51,7 +51,10 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        gn = _gn(self.ngroups)
+        # GN in the conv dtype (bf16): flax computes the group statistics in
+        # f32 internally regardless, so this only moves the normalize/affine
+        # arithmetic to bf16 and deletes the cast pair around every conv
+        gn = _gn(self.ngroups, dtype=self.dtype)
         y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride), use_bias=False, dtype=self.dtype)(x)
         y = gn()(y)
         y = nn.relu(y)
@@ -78,7 +81,7 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        gn = _gn(self.ngroups)
+        gn = _gn(self.ngroups, dtype=self.dtype)
         out_ch = self.planes * self.expansion
         y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = gn()(y)
@@ -144,7 +147,7 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x):  # (N,H,W,C) float
         s = self.spec
-        gn = _gn(s.ngroups)
+        gn = _gn(s.ngroups, dtype=self.dtype)
         x = x.astype(self.dtype)
         x = nn.Conv(s.base_planes, (7, 7), (2, 2), use_bias=False, dtype=self.dtype)(x)
         x = gn()(x)
