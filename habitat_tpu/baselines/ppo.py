@@ -461,7 +461,34 @@ class PPOLearner:
             def mb_body(carry, i):
                 params, opt_state = carry
                 idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
-                mb = jax.tree.map(lambda x: jnp.take(x, idx, axis=1), data)
+                # big leaves (obs frames) ride the MXU as a one-hot dot:
+                # XLA's row gather over axis 1 of (T,N,H,W,C) scalarizes
+                # (~17 ms/update at bench shape, r2 trace ppo.py:464-465);
+                # (mb,N)@(T,N,F) with exactly one 1 per row is bit-exact for
+                # bf16/u8 values (ints <= 256 are representable) and runs in
+                # ~2 ms. Small leaves keep the plain take.
+                oh = (idx[:, None] == jnp.arange(n)[None, :]).astype(jnp.bfloat16)
+
+                def take_mb(x):
+                    if x.ndim >= 3 and x.size >= (1 << 21):
+                        if jnp.issubdtype(x.dtype, jnp.integer):
+                            ohx, xf = oh, x.astype(jnp.bfloat16)
+                        else:
+                            # float leaves: dot in the leaf's own dtype (an
+                            # f32 dot runs as bf16x3 passes and stays exact
+                            # for a single-term one-hot sum)
+                            ohx, xf = oh.astype(x.dtype), x
+                        out = jnp.einsum(
+                            "mn,tnf->tmf", ohx, xf.reshape(x.shape[0], n, -1)
+                        )
+                        if jnp.issubdtype(x.dtype, jnp.integer):
+                            out = jnp.round(out)
+                        return out.astype(x.dtype).reshape(
+                            (x.shape[0], mb_size) + x.shape[2:]
+                        )
+                    return jnp.take(x, idx, axis=1)
+
+                mb = jax.tree.map(take_mb, data)
                 h0_mb = jnp.take(h0, idx, axis=0)
                 (loss, aux), grads = jax.value_and_grad(
                     self._loss_fn, has_aux=True

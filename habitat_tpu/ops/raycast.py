@@ -542,7 +542,10 @@ def render_batch(
         # (R,4)x(N,4,10) einsum against ray_feature_matrix(o, yaw, pitch)
         # instead of per-pixel-per-env trig + cross products (profiled at
         # ~25% of render time at N=256). dirs for shading = F[..., 0:3].
-        from habitat_tpu.ops.raycast_pallas import raycast_pallas_index_t
+        from habitat_tpu.ops.raycast_pallas import (
+            group_tri_mat,
+            raycast_pallas_fused_t,
+        )
 
         d_cam = camera_rays(
             jnp.float32(0.0), jnp.float32(0.0), jnp.deg2rad(hfov_deg), height, width
@@ -551,27 +554,28 @@ def render_batch(
         d_aug = jnp.concatenate(
             [d_cam, jnp.ones((d_cam.shape[0], 1), jnp.float32)], axis=-1
         )
-        # v5: features are built TRANSPOSED, rays minor — (N,tiles,16,Rt) is
-        # lane-exact for the kernel block, killing the 10->128 lane-padding
-        # relayout copy that cost 114 ms/update in the v3 layout (r2 trace,
-        # copy.1995). Rows 10:16 are sublane padding.
+        # v7: the kernel builds the transposed ray features F = B^T @ [d,1]^T
+        # in-kernel from SMEM scalars (the v5 HBM feature tensor + its einsum
+        # cost 20 ms/update, r2 trace raycast.py:563). Attribute extraction
+        # stays in XLA as a transposed one-hot dot — (N,8,T)@(N,T,R) with
+        # rays in lanes (the in-kernel per-chunk variant measured slower,
+        # see _fused_kernel_t docstring). Shading is CHANNEL-MAJOR; only the
+        # final u8 rgb pays a (N,3,R)->(N,R,3) relayout.
         R = d_aug.shape[0]
         ray_tile = min(2048, R)
         n_tiles = R // ray_tile
-        d_tiles = d_aug.reshape(n_tiles, ray_tile, 4)
-        Bp = jnp.pad(B, ((0, 0), (0, 0), (0, 6)))  # (N,4,16)
-        Ft = jnp.einsum(
-            "jrk,nkf->njfr", d_tiles, Bp, precision=jax.lax.Precision.HIGHEST
-        )  # (N, n_tiles, 16, Rt)
-        t, idx = raycast_pallas_index_t(
-            pack.tri_mat, sids, Ft, ray_tile=ray_tile
+        d_t = jnp.pad(
+            d_aug.reshape(n_tiles, ray_tile, 4).transpose(0, 2, 1),
+            ((0, 0), (0, 4), (0, 0)),
+        )  # (n_tiles, 8, Rt)
+        Bt = jnp.pad(B.transpose(0, 2, 1), ((0, 0), (0, 6), (0, 0)))  # (N,16,4)
+        t, idx = raycast_pallas_fused_t(
+            group_tri_mat(pack.tri_mat),
+            sids,
+            d_t,
+            Bt,
+            ray_tile=ray_tile,
         )
-        # attribute extraction + shading, all CHANNEL-MAJOR (rays minor):
-        # the row-major one-hot dot (N,R,T)@(N,T,8) has lane dim 8 and XLA
-        # emits it as a 2.9 ms/step batch-in-lanes conv (r2 trace,
-        # fusion.2043); transposed, (N,8,T)@(N,T,R) rides the MXU with rays
-        # in lanes, and every shading op is a lane-major VPU sweep. Only the
-        # final u8 rgb pays a (N,3,R)->(N,R,3) relayout.
         hit = idx >= 0
         T = pack.tri_attr.shape[1]
         table_t = pack.tri_attr[sids].transpose(0, 2, 1)  # (N,8,T)

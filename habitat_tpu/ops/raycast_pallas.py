@@ -335,42 +335,67 @@ def raycast_pallas_index_t(
     return t.reshape(N, R), idx.reshape(N, R)
 
 
-def _fused_kernel(
+def _fused_kernel_t(
     sids_ref,  # scalar-prefetch (N,)
-    d_ref,  # (1, ray_tile, 4) VMEM — camera-frame ray dirs (shared grid)
-    b_ref,  # (1, 4, 10) VMEM — this env's ray-feature matrix
-    m_ref,  # (1, 10, 4, T) VMEM — this env's scene matrix
-    a_ref,  # (1, T, 8) VMEM — its attribute table
-    t_out,  # (1, 1, 8, ray_tile//8) f32
-    attr_out,  # (1, 1, ray_tile, 8) f32
+    b_ref,  # (1, 16, 4) SMEM — B[env]^T (feature rows x k), rows 10:16 pad
+    d_ref,  # (1, 8, ray_tile) VMEM — camera-frame [d, 1] transposed (rows 0:4)
+    m_ref,  # (1, 10, 4T) VMEM — CHUNK-GROUPED scene matrix (see group_tri_mat)
+    t_out,  # (1, 1, 1, ray_tile) f32
+    i_out,  # (1, 1, 1, ray_tile) i32 — global tri index, -1 = miss
     *,
     tri_chunk: int,
 ):
-    """v4 fast-path kernel: ray features AND attribute extraction in-kernel.
+    """v7 fast-path kernel: ray features AND attribute extraction in-kernel.
 
-    The v3 split (features via XLA einsum, attributes via XLA one-hot dot)
-    profiled at 3.6 + 2.9 ms/step at bench shape — XLA lays the (N,R,10)
-    feature tensor out for its conv emitter then pays a 114 ms relayout copy
-    into the kernel's layout, and emits the one-hot extraction on the VPU.
-    Here F_tile = d_aug @ B[i] is four VPU broadcast-FMAs (K=4 — exact f32,
-    matching the old einsum's Precision.HIGHEST; an MXU dot would truncate
-    the features to bf16) so no HBM feature tensor exists at all, and
-    extraction is a post-loop chunked one-hot matmul on the MXU."""
-    D = d_ref[0]  # (Rt, 4) f32
-    Bm = b_ref[0]  # (4, 10) f32
-    F = (
-        D[:, 0:1] * Bm[0:1, :]
-        + D[:, 1:2] * Bm[1:2, :]
-        + D[:, 2:3] * Bm[2:3, :]
-        + D[:, 3:4] * Bm[3:4, :]
-    )  # (Rt, 10)
-    T = m_ref.shape[3]
+    v5 shipped a (N, tiles, 16, Rt) feature tensor through HBM (einsum +
+    64 MB round trip, raycast.py:563 = 20 ms/update in the r2 trace). Here F
+    is built from SMEM scalars of the per-env (4,10) ray-feature matrix times
+    the shared camera-dir tile — 40 scalar-vector FMAs, exact f32 like the
+    HIGHEST-precision einsum. Attribute extraction deliberately STAYS in XLA:
+    the in-kernel per-chunk (8,128)@(128,Rt) one-hot variant measured +21 ms/
+    update of kernel time plus a 12.9 ms (N,nt,8,Rt)->(N,8,R) relayout — more
+    than the 14.4 ms XLA extraction it replaced (r2 traces). C=32
+    sub-chunking also measured slower (7.63 vs 6.63 ms/step): fori_loop
+    overhead beats the 25% G-traffic saving, so C stays 128.
+
+    m_ref must be the group_tri_mat() layout: chunk c occupies lane columns
+    [c*4C, (c+1)*4C) as [detA(C)|tnum(C)|unum(C)|vnum(C)] so every dynamic
+    lane slice is 128-aligned (Mosaic requirement)."""
     C = tri_chunk
-    Rt = F.shape[0]
+    D = d_ref[0]  # (8, Rt)
+    Rt = D.shape[1]
+    rows = []
+    for f in range(10):
+        acc = b_ref[0, f, 0] * D[0:1, :]
+        for k in range(1, 4):
+            acc = acc + b_ref[0, f, k] * D[k : k + 1, :]
+        rows.append(acc)
+    F = jnp.concatenate(rows, axis=0)  # (10, Rt) f32
+
+    T4 = m_ref.shape[2]
 
     def body(c, carry):
         best_t, best_i = carry
-        tmin, win = _chunk_winner(F, m_ref[0, :, :, pl.ds(c * C, C)], C)
+        G = jax.lax.dot_general(
+            m_ref[0, :, pl.ds(c * 4 * C, 4 * C)],
+            F,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (4C, Rt)
+        detA = G[0 * C : 1 * C]
+        tnum = G[1 * C : 2 * C]
+        unum = G[2 * C : 3 * C]
+        vnum = G[3 * C : 4 * C]
+        aa = detA * detA
+        p = unum * detA
+        q = vnum * detA
+        w = tnum * detA
+        m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
+        m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
+        hit = (m1 >= 0.0) & (m2 > 0.0)
+        t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
+        tmin = jnp.min(t, axis=0)  # (Rt,)
+        win = jnp.argmin(t, axis=0).astype(jnp.int32)
         better = tmin < best_t
         return (
             jnp.where(better, tmin, best_t),
@@ -381,90 +406,74 @@ def _fused_kernel(
         jnp.full((Rt,), _TMAX, jnp.float32),
         jnp.full((Rt,), -1, jnp.int32),
     )
-    best_t, best_i = lax.fori_loop(0, T // C, body, init)
+    best_t, best_i = lax.fori_loop(0, T4 // (4 * C), body, init)
     miss = best_t >= _TMAX * 0.5
-
-    def extract(c, acc):
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Rt, C), 1)
-        oh = (lane == (best_i - c * C)[:, None]).astype(jnp.float32)
-        return acc + jax.lax.dot_general(
-            oh,
-            a_ref[0, pl.ds(c * C, C), :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    attrs = lax.fori_loop(0, T // C, extract, jnp.zeros((Rt, ATTR_CH), jnp.float32))
-    shp = (t_out.shape[2], t_out.shape[3])
-    t_out[0, 0] = jnp.where(miss, _TMAX, best_t).reshape(shp)
-    attr_out[0, 0] = jnp.where(miss[:, None], 0.0, attrs)
+    t_out[0, 0] = jnp.where(miss, _TMAX, best_t)[None, :]
+    i_out[0, 0] = jnp.where(miss, -1, best_i)[None, :]
 
 
-def raycast_pallas_fused(
-    tri_mat: jnp.ndarray,  # (S, 10, 4, T)
-    tri_attr: jnp.ndarray,  # (S, T, 8)
+def group_tri_mat(tri_mat: jnp.ndarray, tri_chunk: int = 128) -> jnp.ndarray:
+    """(S,10,4,T) -> (S,10,4T) with chunk c in lane cols [c*4C, (c+1)*4C)
+    as [detA(C)|tnum(C)|unum(C)|vnum(C)] — the raycast_pallas_fused_t layout
+    (128-aligned dynamic lane slices)."""
+    S, _, _, T = tri_mat.shape
+    C = tri_chunk
+    return (
+        tri_mat.reshape(S, 10, 4, T // C, C)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(S, 10, 4 * T)
+    )
+
+
+def raycast_pallas_fused_t(
+    tri_mat_c: jnp.ndarray,  # (S, 10, 4T) from group_tri_mat
     sids: jnp.ndarray,  # (N,) int32
-    d_aug: jnp.ndarray,  # (R, 4) camera-frame dirs + homogeneous 1
-    B: jnp.ndarray,  # (N, 4, 10) per-env ray-feature matrices
+    d_t: jnp.ndarray,  # (n_tiles, 8, ray_tile) camera [d,1] transposed
+    Bt: jnp.ndarray,  # (N, 16, 4) ray-feature matrices (B^T, rows 10:16 pad)
     ray_tile: int = 2048,
     tri_chunk: int = 128,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fast-path closest-hit + attributes with in-kernel ray features.
-    Returns (t (N,R) f32, attrs (N,R,8) f32); attrs[...,7]==0 marks a miss."""
+    """Fast-path closest-hit with in-kernel ray features. Returns
+    (t (N,R) f32, idx (N,R) i32, -1 on miss); gather attributes in XLA
+    (the transposed one-hot dot in _gather_attrs / render_batch)."""
     N = sids.shape[0]
-    R = d_aug.shape[0]
-    S, _, _, T = tri_mat.shape
-    tri_chunk = min(tri_chunk, T)
+    n_tiles, K8, Rt = d_t.shape
+    assert K8 == 8 and Rt == ray_tile
+    S, _, T4 = tri_mat_c.shape
+    T = T4 // 4
     assert T % tri_chunk == 0, (T, tri_chunk)
-    ray_tile = min(ray_tile, R)
-    assert R % ray_tile == 0, (R, ray_tile)
-    n_tiles = R // ray_tile
-    D = d_aug.reshape(n_tiles, ray_tile, 4)
+    R = n_tiles * ray_tile
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N, n_tiles),
         in_specs=[
-            pl.BlockSpec(
-                (1, ray_tile, 4),
-                lambda i, j, sids: (j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 4, 10),
-                lambda i, j, sids: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 10, 4, T),
-                lambda i, j, sids: (sids[i], 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, T, ATTR_CH),
-                lambda i, j, sids: (sids[i], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, 16, 4), lambda i, j, sids: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, ray_tile), lambda i, j, sids: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 10, T4), lambda i, j, sids: (sids[i], 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 8, ray_tile // 8), lambda i, j, sids: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, ray_tile, ATTR_CH), lambda i, j, sids: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, ray_tile), lambda i, j, sids: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, ray_tile), lambda i, j, sids: (i, j, 0, 0)),
         ],
     )
-    t, attrs = pl.pallas_call(
-        functools.partial(_fused_kernel, tri_chunk=tri_chunk),
+    t, idx = pl.pallas_call(
+        functools.partial(_fused_kernel_t, tri_chunk=tri_chunk),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((N, n_tiles, 8, ray_tile // 8), jnp.float32),
-            jax.ShapeDtypeStruct((N, n_tiles, ray_tile, ATTR_CH), jnp.float32),
+            jax.ShapeDtypeStruct((N, n_tiles, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((N, n_tiles, 1, ray_tile), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * R * T * (10 * 4 + ATTR_CH),
-            bytes_accessed=N * R * (16 + 4 + 32) + N * T * 192,
+            flops=2 * N * R * T * 10 * 4,
+            bytes_accessed=N * R * 44 + N * T * 160,
             transcendentals=0,
         ),
-    )(sids.astype(jnp.int32), D, B, tri_mat, tri_attr)
-    return t.reshape(N, R), attrs.reshape(N, R, ATTR_CH)
+    )(sids.astype(jnp.int32), Bt.astype(jnp.float32), d_t, tri_mat_c)
+    return t.reshape(N, R), idx.reshape(N, R)
 
 
 def _culled_kernel_t(
