@@ -60,3 +60,86 @@ def test_hitl_minimal_example_app():
     driver = mod.main(max_steps=8)
     assert driver._step >= 1
     assert len(driver.keyframes) == driver._step
+
+
+def test_gui_robot_controller_drives_env():
+    """GuiRobotController + ControllerHelper drive the continuous rearrange
+    env: W moves the base forward, A turns (reference gui_controller.py:105
+    act() semantics on our [fwd, turn, grip] layout)."""
+    import jax
+
+    from habitat_tpu.hitl.app_states import GuiInput
+    from habitat_tpu.hitl.controllers import ControllerHelper, GuiRobotController
+    from habitat_tpu.tasks.rearrange.generator import make_rearrange_env
+
+    env = make_rearrange_env(
+        num_envs=1, task="empty", with_visual=False, control="continuous",
+        n_rooms_per_axis=1, n_clutter=0, seed=0,
+    )
+    state, obs = env.reset_fn(jax.random.PRNGKey(0))
+    gui = GuiInput()
+    helper = ControllerHelper(env, gui, n_agents=1, agent_action_dims=[3])
+    assert isinstance(helper.get_gui_agent_controller(), GuiRobotController)
+
+    p0 = np.asarray(state.pos[0]).copy()
+    gui.press("w")
+    for _ in range(5):
+        a = helper.update(obs)
+        assert a.shape == (3,)
+        state, obs, *_ = env.step_fn(state, np.asarray(a)[None])
+        gui.on_frame_end()
+    p1 = np.asarray(state.pos[0])
+    assert np.linalg.norm(p1 - p0) > 0.05  # walked forward
+
+    gui.release("w")
+    gui.press("a")
+    y0 = float(np.asarray(state.yaw[0]))
+    for _ in range(3):
+        a = helper.update(obs)
+        state, obs, *_ = env.step_fn(state, np.asarray(a)[None])
+        gui.on_frame_end()
+    assert float(np.asarray(state.yaw[0])) != y0  # turned
+
+
+def test_gui_humanoid_controller_hints():
+    """Hint-driven humanoid: walk_dir servo + grasp/drop state machine
+    (reference gui_controller.py:146,256-354 surface)."""
+    from habitat_tpu.hitl.app_states import GuiInput
+    from habitat_tpu.hitl.controllers import GuiHumanoidController
+
+    gui = GuiInput()
+    c = GuiHumanoidController(0, False, gui, num_actions=3)
+    # walk toward +x with no env state: yaw defaults 0 -> aligned, no turn
+    c.set_act_hints(np.array([1.0, 0.0, 0.0]), 1.0, None, None)
+    a = c.act({}, object())
+    assert a[0] == 1.0 and abs(a[1]) < 1e-3  # arccos eps near-parallel
+
+    # grasp hint latches grip high until a drop hint releases it
+    c.set_act_hints(None, 0.0, 3, None)
+    a = c.act({}, object())
+    assert a[2] == 1.0 and c.is_grasped
+    a = c.act({}, object())
+    assert a[2] == 1.0  # held
+    c.set_act_hints(None, 0.0, None, np.zeros(3))
+    a = c.act({}, object())
+    assert a[2] == -1.0 and not c.is_grasped
+    c.on_environment_reset()
+    assert not c.is_grasped
+
+
+def test_controller_helper_multi_agent():
+    """Multi-agent composition: gui humanoid + idle filler -> action dict
+    (reference controller_helper.py update path)."""
+    from habitat_tpu.hitl.app_states import GuiInput
+    from habitat_tpu.hitl.controllers import ControllerHelper, GuiHumanoidController
+
+    gui = GuiInput()
+    helper = ControllerHelper(
+        object(), gui, n_agents=2, gui_controlled_agent_index=1,
+        agent_action_dims=[3, 3], humanoid_agent_indices=[1],
+    )
+    assert isinstance(helper.controllers[1], GuiHumanoidController)
+    acts = helper.update({})
+    assert set(acts.keys()) == {"agent_0", "agent_1"}
+    assert acts["agent_0"].shape == (3,)
+    helper.on_environment_reset()
