@@ -152,9 +152,11 @@ class ResNet(nn.Module):
         x = nn.Conv(s.base_planes, (7, 7), (2, 2), use_bias=False, dtype=self.dtype)(x)
         x = gn()(x)
         x = nn.relu(x)
-        # maxpool bwd stays on XLA's select-and-scatter: a hand-written
-        # 9-offset strided-scatter VJP measured 3x SLOWER (36 vs 12 ms at the
-        # bench minibatch) — strided scatter-adds don't vectorize on TPU
+        # maxpool bwd stays on XLA's select-and-scatter: every custom-VJP
+        # formulation measured SLOWER at the bench minibatch (9-offset
+        # strided-scatter 36 ms, gather-form 34 ms, Pallas (H,W,C,B) kernel
+        # 13.9 vs XLA's 10.5 ms fwd+bwd — the B<->HWC transposes around the
+        # kernel eat the win; see ops/pool.py and PROGRESS.md)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         planes = s.base_planes
         for i, n_blocks in enumerate(s.layers):

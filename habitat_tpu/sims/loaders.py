@@ -3,7 +3,9 @@
 Counterpart of habitat-sim's scene/asset managers (SURVEY §2.9: glb/URDF/json
 scene dataset configs). Supports:
 - .obj (wavefront, triangulated on load)
-- .glb / .gltf (minimal embedded-buffer glTF triangle extraction)
+- .glb / .gltf (embedded-BIN + external-buffer + data-URI glTF: positions,
+  indices, node transforms, COLOR_0, baseColorFactor, and baseColorTexture
+  baked to per-triangle colors at centroid UVs via PIL)
 - .npz (this framework's packed scene format: vertices (T,3,3), colors (T,3),
   semantic_ids (T,))
 
@@ -135,6 +137,64 @@ def _load_glb(path: str) -> SceneData:
             out = out.astype(np.float32) / np.iinfo(out.dtype).max
         return out
 
+    _image_cache: dict = {}
+
+    def read_image(img_idx: int) -> Optional[np.ndarray]:
+        """Decode gltf image img_idx to a float (H,W,3) array in [0,1].
+        Source may be a bufferView (GLB-embedded PNG/JPEG) or an external /
+        data URI. Returns None when no decoder is available."""
+        if img_idx in _image_cache:
+            return _image_cache[img_idx]
+        img = gltf["images"][img_idx]
+        raw = None
+        if "bufferView" in img:
+            bv = gltf["bufferViews"][img["bufferView"]]
+            buf = buffers[bv.get("buffer", 0)]
+            off = bv.get("byteOffset", 0)
+            raw = bytes(buf[off : off + bv["byteLength"]])
+        elif "uri" in img:
+            uri = img["uri"]
+            if uri.startswith("data:"):
+                import base64
+
+                raw = base64.b64decode(uri.split(",", 1)[1])
+            else:
+                from urllib.parse import unquote
+
+                p = os.path.join(os.path.dirname(path), unquote(uri))
+                if os.path.exists(p):
+                    with open(p, "rb") as f:
+                        raw = f.read()
+        arr = None
+        if raw is not None:
+            try:
+                import io
+
+                from PIL import Image
+
+                with Image.open(io.BytesIO(raw)) as im:
+                    arr = np.asarray(im.convert("RGB"), np.float32) / 255.0
+            except Exception:
+                arr = None
+        _image_cache[img_idx] = arr
+        return arr
+
+    def sample_texture(tex_idx: int, uv: np.ndarray) -> Optional[np.ndarray]:
+        """Nearest-texel sample of texture tex_idx at (M,2) UVs (REPEAT wrap,
+        the glTF default; scan assets tile their atlases)."""
+        tex = gltf.get("textures", [])[tex_idx]
+        if "source" not in tex:
+            return None
+        img = read_image(tex["source"])
+        if img is None:
+            return None
+        h, w = img.shape[:2]
+        u = np.mod(uv[:, 0], 1.0)
+        v = np.mod(uv[:, 1], 1.0)
+        xi = np.clip((u * w).astype(np.int64), 0, w - 1)
+        yi = np.clip((v * h).astype(np.int64), 0, h - 1)
+        return img[yi, xi]
+
     def node_transform(node) -> np.ndarray:
         if "matrix" in node:
             return np.asarray(node["matrix"], np.float64).reshape(4, 4).T
@@ -181,11 +241,30 @@ def _load_glb(path: str) -> SceneData:
                 mat_idx = prim.get("material")
                 if mat_idx is not None:
                     mat = gltf["materials"][mat_idx]
-                    base = (
-                        mat.get("pbrMetallicRoughness", {}).get("baseColorFactor")
-                    )
+                    pbr = mat.get("pbrMetallicRoughness", {})
+                    base = pbr.get("baseColorFactor")
                     if base:
                         color[:] = base[:3]
+                    tex = pbr.get("baseColorTexture")
+                    if tex is not None and "TEXCOORD_0" in prim["attributes"]:
+                        # bake the texture to per-tri flat color: sample at
+                        # the triangle-centroid UV (the renderer shades one
+                        # color per triangle — habitat-sim's textured draw
+                        # collapses to this under our flat-shaded kernel)
+                        uv_set = tex.get("texCoord", 0)
+                        attr = f"TEXCOORD_{uv_set}"
+                        if attr in prim["attributes"]:
+                            uvs = read_accessor(prim["attributes"][attr]).astype(
+                                np.float32
+                            )
+                            tri_uv = uvs[idx, :2].reshape(-1, 3, 2).mean(axis=1)
+                            sampled = sample_texture(tex["index"], tri_uv)
+                            if sampled is not None:
+                                color = sampled.astype(np.float32)
+                                if base:
+                                    color = color * np.asarray(
+                                        base[:3], np.float32
+                                    )
             all_tris.append(tris)
             all_colors.append(color)
             all_sems.append(np.full((len(tris),), sem, np.int32))

@@ -114,6 +114,75 @@ def test_obj_and_npz_loaders(tmp_path):
     assert obj.num_triangles == 2
 
 
+def test_gltf_texture_bake(tmp_path):
+    """A textured glTF primitive (TEXCOORD_0 + baseColorTexture, external
+    .bin + PNG — the real-scan asset layout) bakes to per-triangle colors
+    sampled at centroid UVs."""
+    import json as _json
+
+    from PIL import Image
+
+    from habitat_tpu.sims.loaders import load_scene
+
+    # texture: left half red, right half green
+    tex = np.zeros((8, 8, 3), np.uint8)
+    tex[:, :4, 0] = 255
+    tex[:, 4:, 1] = 255
+    Image.fromarray(tex).save(str(tmp_path / "atlas.png"))
+
+    # two triangles: one with centroid UV in the left half, one in the right
+    pos = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 0, 1], [2, 0, 0], [3, 0, 0], [2, 0, 1]],
+        np.float32,
+    )
+    uv = np.array(
+        [[0.0, 0.5], [0.2, 0.5], [0.1, 0.4], [0.8, 0.5], [0.9, 0.5], [0.85, 0.4]],
+        np.float32,
+    )
+    blob = pos.tobytes() + uv.tobytes()
+    with open(tmp_path / "mesh.bin", "wb") as f:
+        f.write(blob)
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [
+            {
+                "primitives": [
+                    {
+                        "attributes": {"POSITION": 0, "TEXCOORD_0": 1},
+                        "material": 0,
+                        "mode": 4,
+                    }
+                ]
+            }
+        ],
+        "materials": [
+            {"pbrMetallicRoughness": {"baseColorTexture": {"index": 0}}}
+        ],
+        "textures": [{"source": 0}],
+        "images": [{"uri": "atlas.png"}],
+        "buffers": [{"uri": "mesh.bin", "byteLength": len(blob)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes},
+            {"buffer": 0, "byteOffset": pos.nbytes, "byteLength": uv.nbytes},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 6, "type": "VEC3",
+             "min": [0, 0, 0], "max": [3, 0, 1]},
+            {"bufferView": 1, "componentType": 5126, "count": 6, "type": "VEC2"},
+        ],
+    }
+    with open(tmp_path / "mesh.gltf", "w") as f:
+        _json.dump(gltf, f)
+
+    scene = load_scene(str(tmp_path / "mesh.gltf"))
+    assert scene.num_triangles == 2
+    np.testing.assert_allclose(scene.colors[0], [1.0, 0.0, 0.0], atol=1e-2)
+    np.testing.assert_allclose(scene.colors[1], [0.0, 1.0, 0.0], atol=1e-2)
+
+
 def test_semantic_scene_hierarchy():
     """SemanticScene levels > regions > objects (habitat-sim
     semantic_annotations parity; reference habitat_simulator.py:249-257)."""
