@@ -116,26 +116,27 @@ def contact_step(
     dt: float = 0.1,
     g: float = 9.8,
     n_substeps: int = 4,
-    radius: float = OBJ_HALF,
+    half: float = OBJ_HALF,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Impulse/projection contact dynamics v1 (reference: Bullet step_world,
-    tasks/rearrange/rearrange_sim.py:1017-1028). Objects are contact spheres
-    of ``radius`` (boxes for rendering): semi-implicit Euler + pairwise
-    sphere-sphere positional projection with zero restitution, floor support
-    with ground friction, and robot-cylinder pushout whose penetration
-    integrates into a pseudo contact force (reference RobotForce,
-    rearrange_sensors.py:814). Returns (obj_pos, obj_vel, robot_force).
-
-    A dropped object comes to rest ON another object (stacked sphere kiss
-    contact), not inside it — the round-1 gravity mode let objects
-    interpenetrate."""
+    """Impulse/projection contact dynamics v2: AABB box-box (reference:
+    Bullet step_world, tasks/rearrange/rearrange_sim.py:1017-1028). The
+    contact shapes are the RENDERED geometry — axis-aligned ``half``-boxes
+    (objects don't spin in this kinematic world): semi-implicit Euler,
+    pairwise minimum-translation-vector projection along the least-
+    penetrated axis with zero restitution, flush stacking support (a box
+    dropped on a box rests face-on-face even at a lateral offset — the v1
+    sphere model kiss-contacted and slid off), floor support with ground
+    friction, and robot-cylinder pushout against the box's nearest surface
+    point whose penetration integrates into a pseudo contact force
+    (reference RobotForce, rearrange_sensors.py:814).
+    Returns (obj_pos, obj_vel, robot_force)."""
     N, O, _ = obj_pos.shape
     sdt = dt / n_substeps
     eye = jnp.eye(O, dtype=bool)[None]
     freem = free[..., None]
     force = jnp.zeros((N,), jnp.float32)
-    # contact positions are sphere CENTERS: bottom + radius
-    center_off = jnp.array([0.0, radius, 0.0])
+    # contact positions are box CENTERS: bottom + half
+    center_off = jnp.array([0.0, half, 0.0])
     p = obj_pos + center_off
     v = obj_vel
 
@@ -144,20 +145,32 @@ def contact_step(
         v = jnp.where(freem, v.at[..., 1].add(-g * sdt), 0.0)
         p = jnp.where(freem, p + v * sdt, p)
 
-        # sphere-sphere: positional projection + kill approaching normal vel
+        # AABB-AABB: contact iff overlapped on ALL axes; resolve along the
+        # minimum-translation axis
         d = p[:, :, None, :] - p[:, None, :, :]  # (N,O,O,3) i<-j
-        dist = jnp.linalg.norm(d, axis=-1)
+        pen3 = 2 * half - jnp.abs(d)  # per-axis penetration
         pair = free[:, :, None] & free[:, None, :] & ~eye
-        pen = jnp.where(pair, 2 * radius - dist, 0.0)
-        active = pen > 0.0
-        nrm = d / jnp.maximum(dist, 1e-6)[..., None]
+        active = pair & jnp.all(pen3 > 0.0, axis=-1)
+        axis = jnp.argmin(pen3, axis=-1)  # (N,O,O) MTV axis
+        pen = jnp.min(pen3, axis=-1)
+        nrm = jax.nn.one_hot(axis, 3, dtype=p.dtype) * jnp.where(
+            d >= 0, 1.0, -1.0
+        )  # signed unit MTV normal pushing i away from j
         # separation split: grounded (or held) bodies act kinematic — the
         # free body takes the FULL correction (a half-correction pushed into
         # a grounded support gets undone by the floor clamp, leaving a
-        # steady-state penetration of one gravity substep)
-        anchored = ~free | (p[..., 1] <= fy_c + radius + 1e-3)
-        ai = anchored[:, :, None]
-        aj = anchored[:, None, :]
+        # steady-state penetration of one gravity substep). One propagation
+        # pass also anchors boxes resting ON an anchored box, so short
+        # stacks are stable supports.
+        base = ~free | (p[..., 1] <= fy_c + half + 1e-3)  # held / on floor
+        support = active & (axis == 1) & (d[..., 1] > 0)  # j supports i
+        sup_anchored = base | jnp.any(support & base[:, None, :], axis=2)
+        # receiving side uses BASE anchoring only (a box resting on a stack
+        # must still take the full correction or gravity sag accumulates);
+        # supporting side uses the propagated form so short stacks are
+        # stable supports
+        ai = base[:, :, None]
+        aj = sup_anchored[:, None, :]
         w = jnp.where(aj & ~ai, 1.0, jnp.where(ai & ~aj, 0.0, 0.5))
         corr = jnp.sum(
             jnp.where(active[..., None], (w * pen)[..., None] * nrm, 0.0), axis=2
@@ -169,24 +182,28 @@ def contact_step(
         imp = jnp.where(active & (vn < 0), -0.5 * vn, 0.0)
         v = v + jnp.sum(imp[..., None] * nrm, axis=2)
 
-        # floor: support + ground friction kills horizontal motion
-        fy = floor_y[:, None] + radius
+        # floor/support: ground clamp; friction kills horizontal motion on
+        # the floor AND on top of a supporting box
+        fy = fy_c + half
         on_ground = p[..., 1] <= fy + 1e-4
+        supported = jnp.any(support, axis=2)
         p = p.at[..., 1].set(jnp.maximum(p[..., 1], fy))
         v = jnp.where(
-            on_ground[..., None],
+            (on_ground | supported)[..., None],
             v * jnp.array([0.2, 0.0, 0.2]),  # friction + no bounce
             v,
         )
 
-        # robot cylinder pushout (xz) -> pseudo force
+        # robot cylinder vs box nearest-surface-point (xz) -> pseudo force
         da = p - agent_pos[:, None, :]
-        da_xz = jnp.sqrt(da[..., 0] ** 2 + da[..., 2] ** 2)
         in_h = jnp.abs(da[..., 1]) < 1.2
-        pen_a = jnp.where(
-            free & in_h, AGENT_RADIUS + radius - da_xz, 0.0
-        )
+        near = jnp.clip(da[..., [0, 2]], -half, half)  # agent rel to box
+        gap = jnp.sqrt(jnp.sum((da[..., [0, 2]] - near) ** 2, axis=-1))
+        pen_a = jnp.where(free & in_h, AGENT_RADIUS - gap, 0.0)
         hit_a = pen_a > 0.0
+        # push direction: box center away from agent axis (robust when the
+        # agent axis is inside the box footprint, where gap = 0)
+        da_xz = jnp.sqrt(da[..., 0] ** 2 + da[..., 2] ** 2)
         nx = da[..., 0] / jnp.maximum(da_xz, 1e-6)
         nz = da[..., 2] / jnp.maximum(da_xz, 1e-6)
         p = p.at[..., 0].add(jnp.where(hit_a, pen_a * nx, 0.0))

@@ -44,6 +44,21 @@ def test_dropped_object_rests_on_another_not_inside():
     assert pa[1] > pb[1] + OBJ_HALF, (pa, pb)  # A is ON TOP of B
 
 
+def test_offset_drop_rests_flush_on_top():
+    """Box-box (v2) behavior: a box dropped at a lateral offset that still
+    overlaps the support box in xz rests FLUSH face-on-face at exactly
+    2*OBJ_HALF above it — the v1 sphere model kiss-contacted and slid off."""
+    p = jnp.array([[[0.0, 0.0, 0.0], [0.1, 1.0, 0.05]]])  # B on floor, A above
+    v = jnp.zeros_like(p)
+    free = jnp.ones((1, 2), bool)
+    p, v = _run(p, v, free, jnp.zeros((1,)), jnp.full((1, 3), 1e6), 60)
+    pa, pb = np.asarray(p[0, 1]), np.asarray(p[0, 0])
+    assert abs(pa[1] - (pb[1] + 2 * OBJ_HALF)) < 1e-2, (pa, pb)  # flush
+    # kept its lateral offset (support friction, no slide-off)
+    assert abs(pa[0] - 0.1) < 0.06 and abs(pa[2] - 0.05) < 0.06, pa
+    assert float(jnp.abs(v).max()) < 1e-2
+
+
 def test_overlapping_spawn_separates():
     p = jnp.array([[[0.0, 0.0, 0.0], [0.05, 0.0, 0.0]]])  # overlapping
     v = jnp.zeros_like(p)
