@@ -322,4 +322,12 @@ def rearrange_env_from_config(config: Config, num_envs: Optional[int] = None):
         slack_reward=float(config.habitat.task.get("slack_reward", -0.01)),
         control=control,
         robot=robot,
+        # reference RearrangeTask grasp-constraint flags
+        # (default_structured_configs.py:1489-1490)
+        constraint_violation_ends_episode=bool(
+            config.habitat.task.get("constraint_violation_ends_episode", False)
+        ),
+        constraint_violation_drops_object=bool(
+            config.habitat.task.get("constraint_violation_drops_object", False)
+        ),
     )

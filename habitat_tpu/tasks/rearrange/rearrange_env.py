@@ -251,6 +251,12 @@ class RearrangeBatchedEnv:
         ee_delta: float = 0.06,  # m per step (ArmEEAction scale)
         arm_grasp_distance: float = 0.25,
         max_accum_force: float = -1.0,  # >0 enables ForceTerminate semantics
+        # reference RearrangeTask flags (default_structured_configs.py:
+        # 1489-1490; defaults True/False there). Off by default here so the
+        # kinematic abstract-grasp tasks keep their semantics unless a
+        # config asks for constraint physics.
+        constraint_violation_ends_episode: bool = False,
+        constraint_violation_drops_object: bool = False,
     ):
         self.pack = pack
         self.table = table
@@ -260,6 +266,8 @@ class RearrangeBatchedEnv:
         self.task = task
         self.dynamics = dynamics
         self.max_accum_force = max_accum_force
+        self.cv_ends_episode = constraint_violation_ends_episode
+        self.cv_drops_object = constraint_violation_drops_object
         self.max_episode_steps = max_episode_steps
         self.grasp_distance = grasp_distance
         self.at_goal_thresh = at_goal_thresh
@@ -939,6 +947,42 @@ class RearrangeBatchedEnv:
                 self.pack.floor_y[sid],
                 state.pos,
             )
+
+        # -- grasp constraint violation ----------------------------------
+        # The kinematic hold stands in for the reference's rigid p2p
+        # constraint (RearrangeGraspManager); penetration of the held box
+        # against the floor or another box is a constraint violation: it
+        # generates force (-> accum_force / ForceTerminate) and, per the
+        # reference task flags, can break the grasp or end the episode
+        # (default_structured_configs.py:1489-1490).
+        carried = ee  # held box hangs bottom-anchored at the EE
+        pen_floor = jnp.maximum(self.pack.floor_y[sid] - carried[:, 1], 0.0)
+        c_held = carried + jnp.array([0.0, OBJ_HALF, 0.0])
+        centers = obj_pos + jnp.array([0.0, OBJ_HALF, 0.0])
+        o_lane = jnp.arange(self.num_objects)[None]
+        o_other = self.table.obj_valid[state.ep_idx] & (
+            o_lane != jnp.where(held < 0, -1, held)[:, None]
+        )
+        pen3 = 2 * OBJ_HALF - jnp.abs(c_held[:, None, :] - centers)
+        pen_obj = jnp.max(
+            jnp.where(
+                o_other & jnp.all(pen3 > 0, axis=-1),
+                jnp.min(pen3, axis=-1),
+                0.0,
+            ),
+            axis=1,
+        )
+        violation = jnp.where(held >= 0, pen_floor + pen_obj, 0.0)
+        step_force = step_force + FORCE_K * violation
+        if self.cv_drops_object:
+            broke = violation > 0.0
+            obj_pos = jnp.where(
+                (broke[:, None] & (o_lane == held[:, None]))[..., None],
+                carried[:, None, :],
+                obj_pos,
+            )
+            held = jnp.where(broke, -1, held)
+
         state = dataclasses.replace(
             state,
             obj_pos=obj_pos,
@@ -949,10 +993,13 @@ class RearrangeBatchedEnv:
         )
 
         m = self._measures(state)
+        m["constraint_violation"] = (violation > 0.0).astype(jnp.float32)
         episode_over = stop | (state.step >= self.max_episode_steps)
         if self.max_accum_force > 0:
             # reference ForceTerminate (rearrange_sensors.py:918)
             episode_over = episode_over | (m["force_terminate"] > 0)
+        if self.cv_ends_episode:
+            episode_over = episode_over | (violation > 0.0)
         # pick/place end on success (reference end_on_success for skills)
         done = episode_over | (m["success"] > 0)
         reward = self._reward(state, prev_m, m)

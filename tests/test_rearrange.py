@@ -404,3 +404,43 @@ def test_nav_to_obj_task():
             got = True
             break
     assert got, "no env reached + faced + stopped at its object"
+
+
+def test_constraint_violation_grasp():
+    """Grasp-constraint violation (reference RearrangeGraspManager rigid
+    constraint + task flags, default_structured_configs.py:1489-1490): a held
+    box penetrating another box generates force, is reported as a measure,
+    and with constraint_violation_drops_object the grasp breaks."""
+    import dataclasses
+
+    env = make_rearrange_env(
+        num_envs=2, task="empty", with_visual=False, seed=5,
+        n_rooms_per_axis=1, n_clutter=0, num_objects=3,
+        constraint_violation_drops_object=True,
+    )
+    state, obs = env.reset(seed=0)
+    # hold object 0 and park object 1 exactly at the EE -> AABB overlap
+    ee = np.asarray(env._ee_pos(state))
+    obj_pos = np.array(state.obj_pos)
+    obj_pos[:, 1] = ee
+    state = dataclasses.replace(
+        state,
+        held=jnp.zeros((2,), jnp.int32),
+        obj_pos=jnp.asarray(obj_pos),
+    )
+    f0 = np.asarray(state.accum_force).copy()
+    state, obs, r, done, info = env.step(state, jnp.full((2,), A_LEFT))
+    assert np.all(np.asarray(info["constraint_violation"]) == 1.0)
+    assert np.all(np.asarray(state.accum_force) > f0)
+    assert np.all(np.asarray(state.held) == -1)  # grasp broke
+
+    # control: no overlap -> no violation, grasp holds
+    state2, _ = env.reset(seed=1)
+    state2 = dataclasses.replace(state2, held=jnp.zeros((2,), jnp.int32))
+    # park other objects far away
+    far = np.array(state2.obj_pos)
+    far[:, 1:] = 50.0
+    state2 = dataclasses.replace(state2, obj_pos=jnp.asarray(far))
+    state2, obs, r, done, info = env.step(state2, jnp.full((2,), A_LEFT))
+    assert np.all(np.asarray(info["constraint_violation"]) == 0.0)
+    assert np.all(np.asarray(state2.held) == 0)
