@@ -20,7 +20,7 @@ import jax
 def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/habitat_tpu_jax_cache")
 
-    import numpy as np
+    import jax.numpy as jnp
     from habitat_tpu.baselines.ppo import PPOConfig, PPOLearner
     from habitat_tpu.core.env_factory import make_nav_env
     from habitat_tpu.datasets.pointnav import make_procedural_pointnav
@@ -54,16 +54,39 @@ def main() -> None:
     data = env.env_data  # tables as jit arguments, not embedded constants
     ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0), data)
     jax.block_until_ready(ts.params)
-    step = jax.jit(learner.train_step, donate_argnums=(0,))
-    ts, m = step(ts, data)  # compile + warmup
-    jax.block_until_ready(m["losses/learner_loss"])
 
-    iters = 5
-    t0 = time.time()
-    for _ in range(iters):
-        ts, m = step(ts, data)
-    jax.block_until_ready(m["losses/learner_loss"])
-    dt = (time.time() - t0) / iters
+    # Slope timing (scripts/_timing.py): k updates chained by data
+    # dependency inside ONE jit via fori_loop, timed at two chain lengths;
+    # per-update cost = slope. On this image the host<->device tunnel makes
+    # naive wall-timing unreliable both ways (block_until_ready can return
+    # early for plain XLA ops; a sync scalar pull costs a 0.03-1.6s RTT),
+    # and the slope cancels RTT + dispatch exactly. Chain lengths 2/10
+    # amortize 8 real updates per measurement.
+    def one_update(carry):
+        return learner.train_step(carry, data)[0]
+
+    def chain(k):
+        def run(x):
+            out = jax.lax.fori_loop(0, k, lambda i, c: one_update(c), x)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.sum(leaf.astype(jnp.float32).ravel()[:1])
+
+        return jax.jit(run)
+
+    k1, k2 = 2, 10
+    c1, c2 = chain(k1), chain(k2)
+    for c in (c1, c2):  # compile both before timing
+        float(c(ts))
+
+    def timed(c, repeats=3):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            float(c(ts))  # () scalar -> host: one tunnel RTT
+            best = min(best, time.time() - t0)
+        return best
+
+    dt = (timed(c2) - timed(c1)) / (k2 - k1)
     sps = num_envs * num_steps / dt
 
     print(
