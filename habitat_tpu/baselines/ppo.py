@@ -66,6 +66,12 @@ class PPOConfig:
     use_clipped_value_loss: bool = True
     use_normalized_advantage: bool = False
     reward_window_size: int = 50
+    # Lagrangian-adaptive entropy coefficient (reference rl/ppo/ppo.py:87-101
+    # + LagrangeInequalityCoefficient, utils/common.py:749): gaussian
+    # policies only; alpha keeps mean entropy above
+    # -entropy_target_factor * num_actions, clamped to [1e-4, 1.0]
+    use_adaptive_entropy_pen: bool = False
+    entropy_target_factor: float = 0.0
     # store float visual observations (rank>=4 leaves) in the rollout as
     # bfloat16 — the policy consumes them in bf16 anyway, and the (T,N,H,W,C)
     # depth tensor dominates rollout HBM traffic (no reference counterpart;
@@ -114,6 +120,9 @@ class TrainState(NamedTuple):
     # ppo_trainer._coalesce_post_step :524)
     ep_return_acc: jnp.ndarray  # (N,) running return of current episode
     ep_len_acc: jnp.ndarray  # (N,)
+    # Lagrangian-adaptive entropy coefficient state (log alpha; only read
+    # when use_adaptive_entropy_pen, see PPOConfig)
+    log_alpha: Any = 0.0
 
 
 def compute_gae(rewards, values, dones, last_value, gamma, tau):
@@ -183,6 +192,15 @@ class PPOLearner:
         self.aux_loss_coef = aux_loss_coef
         n = env.num_envs
         assert n % cfg.num_mini_batch == 0, (n, cfg.num_mini_batch)
+        # adaptive entropy: gaussian-only, like the reference gate
+        self.adaptive_ent = (
+            cfg.use_adaptive_entropy_pen and action_type == "gaussian"
+        )
+        if self.adaptive_ent:
+            import numpy as _np
+
+            num_actions = int(_np.prod(env.action_space.shape))
+            self.ent_threshold = -float(cfg.entropy_target_factor) * num_actions
 
     def _apply_policy(self, params, *args, with_feats: bool = False):
         p = params["policy"] if self.aux_loss is not None else params
@@ -252,6 +270,7 @@ class PPOLearner:
             update_idx=jnp.int32(0),
             ep_return_acc=jnp.zeros((n,), jnp.float32),
             ep_len_acc=jnp.zeros((n,), jnp.float32),
+            log_alpha=jnp.float32(np.log(self.cfg.entropy_coef)),
         )
 
     # -- rollout ------------------------------------------------------
@@ -358,8 +377,10 @@ class PPOLearner:
         return new_ts, batch, last_value, ts.hidden, rollout_stats
 
     # -- update -------------------------------------------------------
-    def _loss_fn(self, params, mb, h0_mb, clip_param, key):
+    def _loss_fn(self, params, mb, h0_mb, clip_param, key, ent_coef=None):
         cfg = self.cfg
+        if ent_coef is None:
+            ent_coef = cfg.entropy_coef
         if self.aux_loss is not None:
             dist_params, values, _, visual_feats, beliefs = self._apply_policy(
                 params, mb["obs"], h0_mb, mb["prev_actions"], mb["masks"],
@@ -389,7 +410,7 @@ class PPOLearner:
         total = (
             action_loss
             + cfg.value_loss_coef * value_loss
-            - cfg.entropy_coef * ent
+            - ent_coef * ent
         )
         aux = {
             "losses/learner_loss": total,
@@ -448,7 +469,7 @@ class PPOLearner:
         }
 
         def epoch_body(carry, ep_i):
-            params, opt_state = carry
+            params, opt_state, log_alpha = carry
             # per-epoch env-index permutation (reference randomizes env order
             # in data_generator, rollout_storage.py:207-257); key derives from
             # the train-state key + update/epoch counters so single-device and
@@ -459,7 +480,7 @@ class PPOLearner:
             perm = jax.random.permutation(kperm, n)
 
             def mb_body(carry, i):
-                params, opt_state = carry
+                params, opt_state, log_alpha = carry
                 idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
                 # big leaves (obs frames) ride the MXU as a one-hot dot:
                 # XLA's row gather over axis 1 of (T,N,H,W,C) scalarizes
@@ -490,6 +511,9 @@ class PPOLearner:
 
                 mb = jax.tree.map(take_mb, data)
                 h0_mb = jnp.take(h0, idx, axis=0)
+                ent_coef = (
+                    jnp.exp(log_alpha) if self.adaptive_ent else cfg.entropy_coef
+                )
                 (loss, aux), grads = jax.value_and_grad(
                     self._loss_fn, has_aux=True
                 )(
@@ -498,25 +522,43 @@ class PPOLearner:
                     h0_mb,
                     cfg.clip_param,
                     jax.random.fold_in(kperm, i),
+                    ent_coef,
                 )
                 updates, opt_state = self.optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 aux["grad_norm"] = optax.global_norm(grads)
-                return (params, opt_state), aux
+                if self.adaptive_ent:
+                    # dual ascent (reference lagrangian_loss over
+                    # LagrangeInequalityCoefficient, greater_than=True: keep
+                    # entropy >= threshold), same lr as the main optimizer,
+                    # log-alpha clamped to the reference bounds [1e-4, 1.0]
+                    log_alpha = jnp.clip(
+                        log_alpha
+                        + cfg.lr * (self.ent_threshold - aux["losses/entropy"]),
+                        np.log(1e-4),
+                        0.0,
+                    )
+                    aux["losses/entropy_coef"] = ent_coef
+                return (params, opt_state, log_alpha), aux
 
-            (params, opt_state), auxs = jax.lax.scan(
-                mb_body, (params, opt_state), jnp.arange(cfg.num_mini_batch)
+            (params, opt_state, log_alpha), auxs = jax.lax.scan(
+                mb_body,
+                (params, opt_state, log_alpha),
+                jnp.arange(cfg.num_mini_batch),
             )
-            return (params, opt_state), jax.tree.map(jnp.mean, auxs)
+            return (params, opt_state, log_alpha), jax.tree.map(jnp.mean, auxs)
 
-        (params, opt_state), auxs = jax.lax.scan(
+        (params, opt_state, log_alpha), auxs = jax.lax.scan(
             epoch_body,
-            (ts.params, ts.opt_state),
+            (ts.params, ts.opt_state, ts.log_alpha),
             jnp.arange(cfg.ppo_epoch),
         )
         metrics = jax.tree.map(jnp.mean, auxs)
         return ts._replace(
-            params=params, opt_state=opt_state, update_idx=ts.update_idx + 1
+            params=params,
+            opt_state=opt_state,
+            update_idx=ts.update_idx + 1,
+            log_alpha=log_alpha,
         ), metrics
 
     # -- full step ------------------------------------------------------

@@ -246,6 +246,8 @@ def trainer_from_config(config: Config):
         use_clipped_value_loss=bool(p.get("use_clipped_value_loss", True)),
         use_normalized_advantage=bool(p.get("use_normalized_advantage", False)),
         reward_window_size=int(p.get("reward_window_size", 50)),
+        use_adaptive_entropy_pen=bool(p.get("use_adaptive_entropy_pen", False)),
+        entropy_target_factor=float(p.get("entropy_target_factor", 0.0)),
     )
     run_cfg = TrainerConfig(
         total_num_steps=float(hb.get("total_num_steps", 1e6)),

@@ -46,6 +46,9 @@ def make_keyframe(sim, obs: Dict[str, np.ndarray], step: int) -> Dict[str, Any]:
         position, rotation = np.zeros(3), np.zeros(1)
     kf: Dict[str, Any] = {
         "step": step,
+        # wire id the client echoes back as recentServerKeyframeId
+        # (reference keyframe_utils.get_empty_keyframe / networking ack)
+        "id": step,
         "agent": {
             "position": [float(x) for x in position],
             "rotation": [float(x) for x in rotation],
@@ -161,12 +164,19 @@ class RemoteClientState:
     _internal/networking/remote_client_state.py): head/hand poses for VR
     avatars, pointer ray, and the per-frame input event history."""
 
+    HISTORY_LEN = 32
+
     def __init__(self):
         self.head_pose: Optional[Dict[str, Any]] = None
         self.hand_poses: List[Dict[str, Any]] = []
         self.pointer: Optional[Dict[str, Any]] = None
         self.connected: bool = False
         self.recent_events: List[Dict[str, Any]] = []
+        # newest-server-keyframe id the client has acknowledged receiving
+        # (reference get_recent_server_keyframe_id; the wire key is
+        # recentServerKeyframeId) — lets the server measure client lag and
+        # garbage-collect its keyframe backlog
+        self.recent_server_keyframe_id: Optional[int] = None
 
     def update(self, msg: Dict[str, Any]) -> None:
         self.connected = True
@@ -176,8 +186,28 @@ class RemoteClientState:
             self.hand_poses = av.get("hands", [])
         if "pointer" in msg:
             self.pointer = msg["pointer"]
+        if "recentServerKeyframeId" in msg:
+            self.recent_server_keyframe_id = int(msg["recentServerKeyframeId"])
         self.recent_events.append(msg)
-        del self.recent_events[:-32]
+        del self.recent_events[: -self.HISTORY_LEN]
+
+    # history accessors (reference remote_client_state.py:128-175;
+    # single-user here — the reference indexes per user)
+    def get_history_length(self) -> int:
+        return len(self.recent_events)
+
+    def get_recent_client_state_by_history_index(
+        self, history_index: int = 0
+    ) -> Optional[Dict[str, Any]]:
+        if history_index >= len(self.recent_events):
+            return None
+        return self.recent_events[-(1 + history_index)]
+
+    def get_head_pose(self, history_index: int = 0) -> Optional[Dict[str, Any]]:
+        cs = self.get_recent_client_state_by_history_index(history_index)
+        if not cs or "avatar" not in cs:
+            return None
+        return cs["avatar"].get("root")
 
 
 class BaselinesController:
@@ -251,6 +281,7 @@ class NetworkingServer:
         self._thread = None
         self._stop = False
         self.client_state = RemoteClientState()
+        self.client_lag = 0  # keyframes sent but not yet acked
 
     def start(self):
         import asyncio
@@ -272,9 +303,12 @@ class NetworkingServer:
                         self.driver.gui_input.press(key)
                     for key in data.get("keys_up", []):
                         self.driver.gui_input.release(key)
-                    # client->server state channel (avatar poses, pointer —
-                    # reference remote_client_state.py)
+                    # client->server state channel (avatar poses, pointer,
+                    # keyframe ack — reference remote_client_state.py)
                     self.client_state.update(data)
+                    ack = self.client_state.recent_server_keyframe_id
+                    if ack is not None:
+                        self.client_lag = len(self.driver.keyframes) - 1 - ack
                 except Exception:
                     pass
 

@@ -143,3 +143,27 @@ def test_controller_helper_multi_agent():
     assert set(acts.keys()) == {"agent_0", "agent_1"}
     assert acts["agent_0"].shape == (3,)
     helper.on_environment_reset()
+
+
+def test_remote_client_state_protocol():
+    """Client->server message schema parity (reference
+    core/remote_client_state.py:128-175): avatar poses, keyframe ack via
+    recentServerKeyframeId, and the bounded client-state history."""
+    from habitat_tpu.hitl.hitl_main import RemoteClientState
+
+    cs = RemoteClientState()
+    assert cs.get_head_pose() is None
+    for i in range(40):
+        cs.update(
+            {
+                "avatar": {"root": {"position": [0, float(i), 0]}, "hands": []},
+                "recentServerKeyframeId": i,
+            }
+        )
+    assert cs.connected
+    assert cs.recent_server_keyframe_id == 39
+    # history is bounded and newest-first by index
+    assert cs.get_history_length() == RemoteClientState.HISTORY_LEN
+    assert cs.get_head_pose(0)["position"][1] == 39.0
+    assert cs.get_head_pose(5)["position"][1] == 34.0
+    assert cs.get_recent_client_state_by_history_index(99) is None

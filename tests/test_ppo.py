@@ -204,3 +204,33 @@ def test_gaussian_ppo_on_continuous_rearrange():
     assert np.isfinite(float(m["losses/learner_loss"]))
     ts, m = step(ts)
     assert np.isfinite(float(m["losses/entropy"]))
+
+
+def test_adaptive_entropy_coefficient():
+    """Lagrangian-adaptive entropy (reference rl/ppo/ppo.py:87-101 +
+    LagrangeInequalityCoefficient): gaussian-only gate, alpha rises via dual
+    ascent when entropy is below the threshold, stays within [1e-4, 1.0]."""
+    from habitat_tpu.tasks.rearrange.generator import make_rearrange_env
+    from habitat_tpu.models.policy import make_gaussian_resnet_policy
+
+    env = make_rearrange_env(
+        num_envs=4, task="pick", with_visual=False, n_rooms_per_axis=1,
+        n_clutter=0, max_episode_steps=32, continuous=True,
+    )
+    policy = make_gaussian_resnet_policy(3, has_visual=False, hidden_size=32)
+    # threshold far above any achievable entropy -> alpha must rise
+    learner = PPOLearner(
+        env, policy,
+        PPOConfig(num_steps=8, num_mini_batch=2, ppo_epoch=1,
+                  use_adaptive_entropy_pen=True, entropy_target_factor=-100.0),
+        measure_keys=("success",), action_type="gaussian",
+    )
+    assert learner.adaptive_ent and learner.ent_threshold == 300.0
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0))
+    a0 = float(ts.log_alpha)
+    step = jax.jit(learner.train_step, donate_argnums=(0,))
+    for _ in range(3):
+        ts, m = step(ts)
+    assert float(ts.log_alpha) > a0
+    assert float(ts.log_alpha) <= 0.0  # alpha <= 1.0 bound
+    assert np.isfinite(float(m["losses/entropy_coef"]))
