@@ -32,3 +32,23 @@ def test_shortest_path_follower_example(tmp_path):
 
     ex.IMAGE_DIR = str(tmp_path)
     ex.shortest_path_example(max_steps=40, make_video=True)
+
+
+def test_interactive_play_example():
+    """Scripted arm teleop session (reference examples/interactive_play.py):
+    joints move, base drives, grip toggles through the ArmAction layout."""
+    import importlib.util, os
+
+    import numpy as np
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "interactive_play.py",
+    )
+    spec = importlib.util.spec_from_file_location("interactive_play", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sess = mod.main(interactive=False)
+    assert sess.frames == len(mod.SCRIPTED)
+    j = np.asarray(sess.obs["joint"][0])
+    assert np.abs(j).max() > 0.05  # arm actually articulated
