@@ -52,3 +52,21 @@ def test_interactive_play_example():
     assert sess.frames == len(mod.SCRIPTED)
     j = np.asarray(sess.obs["joint"][0])
     assert np.abs(j).max() > 0.05  # arm actually articulated
+
+
+def test_vln_benchmark_example():
+    """Batched reference-path VLN benchmark (reference examples/
+    vln_benchmark.py): oracle follower reaches goals with high SPL."""
+    import importlib.util, os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "vln_benchmark.py",
+    )
+    spec = importlib.util.spec_from_file_location("vln_benchmark", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    metrics, n = mod.vln_reference_path_benchmark(num_envs=4, episodes_target=8)
+    assert n >= 8
+    assert metrics["success"] >= 0.8
+    assert metrics["spl"] >= 0.5
