@@ -71,12 +71,11 @@ def main() -> None:
             leaf = jax.tree_util.tree_leaves(out)[0]
             return jnp.sum(leaf.astype(jnp.float32).ravel()[:1])
 
-        # 32 MiB scoped VMEM: the conv emitter tiles better than at the
-        # 16 MiB default (sweep: 16->593.8, 32->582.8, 64->585.9,
-        # 128->653.2 ms/update); v5e has 128 MiB physical VMEM
-        return jax.jit(
-            run, compiler_options={"xla_tpu_scoped_vmem_limit_kib": "32768"}
-        )
+        # scoped-VMEM ceiling raised for the conv emitter (sweep + rationale
+        # in habitat_tpu/parallel/compile_opts.py)
+        from habitat_tpu.parallel.compile_opts import tpu_compiler_options
+
+        return jax.jit(run, compiler_options=tpu_compiler_options())
 
     k1, k2 = 2, 10
     c1, c2 = chain(k1), chain(k2)

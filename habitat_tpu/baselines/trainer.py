@@ -88,8 +88,12 @@ class PPOTrainer:
             meshlib.make_mesh() if run_cfg.use_mesh and len(jax.devices()) > 1 else None
         )
         self._env_data = getattr(env, "env_data", None)
+        from habitat_tpu.parallel.compile_opts import tpu_compiler_options
+
         self._train_step = jax.jit(
-            lambda ts, data: self.learner.train_step(ts, data), donate_argnums=(0,)
+            lambda ts, data: self.learner.train_step(ts, data),
+            donate_argnums=(0,),
+            compiler_options=tpu_compiler_options(),
         )
         self._init = jax.jit(lambda key, data: self.learner.init_fn(key, data))
         self.num_steps_done = 0
