@@ -86,8 +86,15 @@ class SocialNavBatchedEnv:
         need_to_face_steps: int = 5,
         collide_dist: float = 0.5,
         two_agent: bool = False,
+        # vision: render the scene + the humanoid body through the dynamic
+        # raycast pass (the reference's social-nav robot observes the
+        # humanoid through its depth camera, habitat-baselines/README.md:81)
+        with_visual: bool = False,
+        render_size: Optional[Tuple[int, int]] = (128, 128),
     ):
         self.pack = pack
+        self.with_visual = with_visual and render_size is not None
+        self.render_size = render_size
         self.table = table
         self.order = jnp.asarray(episode_order, jnp.int32)
         self.num_envs = int(episode_order.shape[0])
@@ -163,8 +170,62 @@ class SocialNavBatchedEnv:
             "compass": jnp.arctan2(jnp.sin(comp), jnp.cos(comp))[:, None].astype(jnp.float32),
         }
 
+    def _humanoid_geometry(self, state) -> Dict[str, jnp.ndarray]:
+        """Humanoid as torso + head boxes through the dynamic render pass
+        (the reference draws the SMPL-X avatar via its render nodes;
+        flat-shaded boxes carry the same occlusion/depth signal)."""
+        n = self.num_envs
+        corners = jnp.array(
+            [
+                [-1.0, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+                [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+            ]
+        )
+        faces = jnp.array(
+            [
+                [0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6],
+                [0, 4, 5], [0, 5, 1], [1, 5, 6], [1, 6, 2],
+                [2, 6, 7], [2, 7, 3], [3, 7, 4], [3, 4, 0],
+            ]
+        )
+        cube = corners[faces]  # (12,3,3) unit half-extent
+        torso = cube * jnp.array([0.18, 0.70, 0.18]) + jnp.array([0.0, 0.70, 0.0])
+        head = cube * 0.12 + jnp.array([0.0, 1.55, 0.0])
+        body = jnp.concatenate([torso, head], axis=0)  # (24,3,3)
+        v = state.human_pos[:, None, None, :] + body[None]
+        v = v.reshape(n, 24, 3, 3)
+        return dict(
+            v0=v[:, :, 0],
+            e1=v[:, :, 1] - v[:, :, 0],
+            e2=v[:, :, 2] - v[:, :, 0],
+            valid=jnp.ones((n, 24), bool),
+            color=jnp.broadcast_to(
+                jnp.array([0.85, 0.35, 0.25], jnp.float32), (n, 24, 3)
+            ),
+            sem=jnp.full((n, 24), 9000, jnp.int32),  # humanoid semantic id
+        )
+
+    def _render(self, state, pos, yaw) -> Dict[str, jnp.ndarray]:
+        from habitat_tpu.ops.raycast import render_batch
+
+        h, w = self.render_size
+        return render_batch(
+            self.pack,
+            self._sid(state),
+            pos + jnp.array([0.0, 1.25, 0.0]),
+            yaw,
+            jnp.full((self.num_envs,), -0.25),
+            height=h,
+            width=w,
+            dynamic=self._humanoid_geometry(state),
+        )
+
     def _observations(self, state) -> Dict[str, jnp.ndarray]:
         robot = self._agent_obs(state, state.pos, state.yaw, state.human_pos)
+        if self.with_visual:
+            frames = self._render(state, state.pos, state.yaw)
+            robot["robot_head_depth"] = frames["depth"]
+            robot["robot_head_rgb"] = frames["rgb"]
         if not self.two_agent:
             return robot
         human = self._agent_obs(state, state.human_pos, state.human_yaw, state.pos)

@@ -1,9 +1,13 @@
 """Simulation-throughput benchmark grid (counterpart of reference
-scripts/hab2_bench/ + hab3_bench: avg SPS over runs across a grid of
-{num_envs} x {num_objects} x {scene size}, kinematic mode).
+scripts/hab2_bench/ + scripts/hab3_bench/bench_runner.sh: avg SPS across a
+grid of {num_envs} x {num_objects} x {dynamics mode}, plus the hab3
+robot+humanoid social row).
 
 This measures SIM-ONLY steps/sec (render + env step, no learning) — the
-reference's own published protocol (hab2 paper Table 2). Run on the TPU:
+reference's own published protocol (hab2 paper Table 2; hab3 grid
+{2,5,10} objects x kinematic/dynamic x robot+humanoid). Timing is the
+slope method (two chained-iteration counts, RTT cancels — see
+scripts/_timing.py). Run on the TPU:
 
     python scripts/hab2_bench.py
 """
@@ -49,28 +53,68 @@ def bench_nav(num_envs: int, res: int, iters: int = 10, steps: int = 32):
         acc = acc + sum(jnp.sum(v.astype(jnp.float32)) for v in obs.values())
         return (state, acc), r[0]
 
-    roll = jax.jit(lambda s: jax.lax.scan(unroll, (s, jnp.float32(0)), None, length=steps))
+    return _slope_sps(env, unroll, num_envs, steps)
+
+
+def _slope_sps(env, unroll, num_envs: int, steps: int, k1: int = 2, k2: int = 8):
+    """Per-step SPS via the slope method: k chained scan-rollouts inside one
+    jit, timed at two k values with a () scalar pull — tunnel RTT cancels."""
+
+    def chain(k):
+        def run(s):
+            def body(_, carry):
+                (st, acc), _ = jax.lax.scan(unroll, carry, None, length=steps)
+                return (st, acc)
+
+            st, acc = jax.lax.fori_loop(0, k, body, (s, jnp.float32(0)))
+            return acc
+
+        return jax.jit(run)
+
     state, _ = env.reset(seed=0)
-    (state, acc), _ = roll(state)  # compile
-    jax.block_until_ready(acc)
-    t0 = time.time()
-    for _ in range(iters):
-        (state, acc), _ = roll(state)
-    jax.block_until_ready(acc)
-    dt = (time.time() - t0) / iters
-    return num_envs * steps / dt
+    c1, c2 = chain(k1), chain(k2)
+    for c in (c1, c2):
+        float(c(state))
+
+    def timed(c):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            float(c(state))
+            best = min(best, time.time() - t0)
+        return best
+
+    dt = (timed(c2) - timed(c1)) / (k2 - k1) / steps
+    return num_envs / dt
 
 
-def bench_rearrange(num_envs: int, num_objects: int, res: int, iters: int = 10, steps: int = 32):
-    from habitat_tpu.tasks.rearrange.generator import make_rearrange_env
+def bench_rearrange(
+    num_envs: int,
+    num_objects: int,
+    res: int,
+    dynamics: str = "kinematic",
+    social: bool = False,
+    steps: int = 32,
+):
+    """One hab2/hab3 grid cell. social=True adds the scripted humanoid
+    (hab3's robot+humanoid rows, scripts/hab3_bench/bench_runner.sh:26-39)."""
+    if social:
+        from habitat_tpu.tasks.rearrange.social_nav import make_social_nav_env
 
-    env = make_rearrange_env(
-        num_envs=num_envs,
-        task="rearrange",
-        num_objects=num_objects,
-        render_size=(res, res),
-        with_visual=True,
-    )
+        env = make_social_nav_env(
+            num_envs=num_envs, render_size=(res, res), with_visual=True
+        )
+    else:
+        from habitat_tpu.tasks.rearrange.generator import make_rearrange_env
+
+        env = make_rearrange_env(
+            num_envs=num_envs,
+            task="rearrange",
+            num_objects=num_objects,
+            render_size=(res, res),
+            with_visual=True,
+            dynamics=dynamics,
+        )
 
     def unroll(carry, _):
         state, acc = carry
@@ -78,29 +122,25 @@ def bench_rearrange(num_envs: int, num_objects: int, res: int, iters: int = 10, 
             state, jnp.ones((num_envs,), jnp.int32)
         )
         acc = acc + sum(jnp.sum(v.astype(jnp.float32)) for v in obs.values())
-        return (state, acc), r[0]
+        return (state, acc), None
 
-    roll = jax.jit(lambda s: jax.lax.scan(unroll, (s, jnp.float32(0)), None, length=steps))
-    state, _ = env.reset(seed=0)
-    (state, acc), _ = roll(state)
-    jax.block_until_ready(acc)
-    t0 = time.time()
-    for _ in range(iters):
-        (state, acc), _ = roll(state)
-    jax.block_until_ready(acc)
-    dt = (time.time() - t0) / iters
-    return num_envs * steps / dt
+    return _slope_sps(env, unroll, num_envs, steps)
 
 
 def main():
     results = {}
     for n in (64, 256):
         results[f"pointnav_rgbd128_n{n}"] = round(bench_nav(n, 128), 1)
-    for n, o in ((64, 2), (64, 5), (64, 10)):
-        results[f"rearrange_rgbd128_n{n}_obj{o}"] = round(
-            bench_rearrange(n, o, 128), 1
-        )
-    print(json.dumps({"metric": "sim-only env-steps/s (hab2-bench protocol)", "results": results}))
+    # hab3 grid: objects x dynamics (reference bench_runner.sh:10,26-39)
+    for o in (2, 5, 10):
+        for dyn in ("kinematic", "contacts"):
+            results[f"rearrange_rgbd128_n64_obj{o}_{dyn}"] = round(
+                bench_rearrange(64, o, 128, dynamics=dyn), 1
+            )
+    results["social_robot_humanoid_rgbd128_n64"] = round(
+        bench_rearrange(64, 5, 128, social=True), 1
+    )
+    print(json.dumps({"metric": "sim-only env-steps/s (hab2/hab3-bench protocol)", "results": results}))
 
 
 if __name__ == "__main__":

@@ -131,3 +131,30 @@ def test_seek_success_reachable_by_scripted_follow():
         if succ.all():
             break
     assert succ.mean() >= 0.5, succ
+
+
+def test_social_nav_visual_humanoid_visible():
+    """with_visual renders the scene + humanoid body through the dynamic
+    raycast pass (reference social-nav robots observe the humanoid via the
+    depth camera): the red torso shows when the humanoid stands ahead."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from habitat_tpu.tasks.rearrange.social_nav import make_social_nav_env
+
+    env = make_social_nav_env(num_envs=2, with_visual=True, render_size=(32, 32))
+    state, obs = env.reset_fn(jax.random.PRNGKey(0))
+    assert obs["robot_head_rgb"].shape == (2, 32, 32, 3)
+    assert obs["robot_head_depth"].shape == (2, 32, 32, 1)
+    yaw = np.asarray(state.yaw)
+    fwd = np.asarray(state.pos) + np.stack(
+        [-np.sin(yaw), np.zeros(2), -np.cos(yaw)], -1
+    ) * 1.2
+    state = dataclasses.replace(state, human_pos=jnp.asarray(fwd))
+    state, obs, r, d, info = env.step_fn(state, jnp.full((2,), 1, jnp.int32))
+    img = np.asarray(obs["robot_head_rgb"], np.float32)
+    redness = (img[..., 0] > 1.5 * (img[..., 1] + 1)).mean()
+    assert redness > 0.01, redness
