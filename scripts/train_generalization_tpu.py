@@ -1,0 +1,139 @@
+"""TPU run: depth-PointNav generalization scaling — train on S procedural
+scenes, zero-shot eval on 16 HELD-OUT scenes (the DD-PPO paper's
+scene-diversity axis; round-1 table in PROGRESS.md: 4 -> 0.56/0.49,
+16 -> 0.64/0.57, 64 -> 0.89/0.75 success/SPL).
+
+    python scripts/train_generalization_tpu.py [num_train_scenes] [budget_s]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/habitat_tpu_jax_cache")
+
+from habitat_tpu.baselines.ppo import PPOConfig, PPOLearner
+from habitat_tpu.core.env_factory import make_nav_env
+from habitat_tpu.datasets.pointnav import make_procedural_pointnav
+from habitat_tpu.models.policy import make_pointnav_resnet_policy
+from habitat_tpu.models.rnn_state_encoder import initial_hidden_state
+
+S = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+BUDGET_S = float(sys.argv[2]) if len(sys.argv) > 2 else 1500.0
+N_EVAL_SCENES = 16
+SENSORS = (
+    ("HabitatSimDepthSensor", {"height": 64, "width": 64}),
+    ("PointGoalWithGPSCompassSensor", None),
+)
+
+
+def build(scenes, episodes, fields, num_envs):
+    return make_nav_env(
+        scenes,
+        episodes,
+        num_envs=num_envs,
+        precomputed_fields=fields,
+        max_episode_steps=200,
+        sensor_specs=SENSORS,
+    )
+
+
+def main():
+    # one generator call so train/eval share no scenes (seed split)
+    tr_scenes, tr_eps, tr_fields = make_procedural_pointnav(
+        num_scenes=S, episodes_per_scene=8, seed=0
+    )
+    ev_scenes, ev_eps, ev_fields = make_procedural_pointnav(
+        num_scenes=N_EVAL_SCENES, episodes_per_scene=8, seed=91_000
+    )
+    env = build(tr_scenes, tr_eps, tr_fields, num_envs=128)
+    policy = make_pointnav_resnet_policy(
+        len(env.actions), backbone="resnet9", hidden_size=256
+    )
+    learner = PPOLearner(
+        env, policy, PPOConfig(num_steps=32, num_mini_batch=2, ppo_epoch=2)
+    )
+    data = env.env_data
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0), data)
+    step = jax.jit(learner.train_step, donate_argnums=(0,))
+    t0 = time.time()
+    u = 0
+    while time.time() - t0 < BUDGET_S:
+        ts, m = step(ts, data)
+        u += 1
+        if u % 200 == 0:
+            dc = float(m.get("done_count", 1.0))
+            print(
+                f"upd {u} ({time.time()-t0:.0f}s): train succ "
+                f"{float(m.get('m_success', np.nan))/max(dc,1):.3f} spl "
+                f"{float(m.get('m_spl', np.nan))/max(dc,1):.3f}",
+                flush=True,
+            )
+    steps_done = u * 128 * 32
+
+    # zero-shot eval on held-out scenes: greedy policy, quota of episodes
+    eenv = build(ev_scenes, ev_eps, ev_fields, num_envs=64)
+    edata = eenv.env_data
+    net = policy.net
+    params = ts.params if not isinstance(ts.params, dict) else ts.params["policy"]
+
+    def eval_rollout(key):
+        state, obs = eenv.reset_fn(key, env_data=edata)
+        hidden = initial_hidden_state(
+            64, net.hidden_size, net.num_recurrent_layers, net.rnn_type
+        )
+        prev_a = jnp.zeros((64,), jnp.int32)
+        not_done = jnp.zeros((64,), jnp.float32)
+
+        def body(carry, _):
+            state, obs, hidden, prev_a, not_done, acc = carry
+            dist, _, hidden2 = policy.apply(params, obs, hidden, prev_a, not_done)
+            a = jnp.argmax(dist, axis=-1).astype(jnp.int32)
+            state2, obs2, r, d, info = eenv.step_fn(state, a, env_data=edata)
+            first_done = d & (acc["count"] < 4)  # 4 episodes per env quota
+            acc = {
+                "count": acc["count"] + first_done.astype(jnp.int32),
+                "succ": acc["succ"] + jnp.where(first_done, info["success"], 0.0),
+                "spl": acc["spl"] + jnp.where(first_done, info["spl"], 0.0),
+            }
+            return (state2, obs2, hidden2, a, 1.0 - d.astype(jnp.float32), acc), None
+
+        acc0 = {
+            "count": jnp.zeros((64,), jnp.int32),
+            "succ": jnp.zeros((64,)),
+            "spl": jnp.zeros((64,)),
+        }
+        (s, o, h, pa, nd, acc), _ = jax.lax.scan(
+            body, (state, obs, hidden, prev_a, not_done, acc0), None, length=900
+        )
+        return acc
+
+    acc = jax.jit(eval_rollout)(jax.random.PRNGKey(7))
+    count = float(jnp.sum(acc["count"]))
+    succ = float(jnp.sum(acc["succ"])) / max(count, 1)
+    spl = float(jnp.sum(acc["spl"])) / max(count, 1)
+    print(
+        "GENERALIZATION RESULT:",
+        json.dumps(
+            dict(
+                train_scenes=S,
+                env_steps=steps_done,
+                wall_s=round(time.time() - t0, 0),
+                eval_episodes=int(count),
+                unseen_success=round(succ, 3),
+                unseen_spl=round(spl, 3),
+            )
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
