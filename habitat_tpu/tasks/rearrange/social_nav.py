@@ -117,16 +117,23 @@ class SocialNavBatchedEnv:
             "gps": spaces.Box(-np.inf, np.inf, (2,), np.float32),
             "compass": spaces.Box(-np.pi, np.pi, (1,), np.float32),
         }
+        if self.with_visual:
+            h, w = render_size
+            agent_obs["robot_head_rgb"] = spaces.Box(0, 255, (h, w, 3), np.uint8)
+            agent_obs["robot_head_depth"] = spaces.Box(0.0, 1.0, (h, w, 1), np.float32)
         self.action_space = spaces.Discrete(len(SOCIAL_ACTIONS))
         self.action_names = SOCIAL_ACTIONS
         if two_agent:
             # multi-agent sensor prefixing (reference RearrangeSim
-            # tasks/rearrange/rearrange_sim.py:68-82): agent_{i}_<uuid>
+            # tasks/rearrange/rearrange_sim.py:68-82): agent_{i}_<uuid>.
+            # Visual sensors are robot-only (agent_0): the humanoid's camera
+            # would sit inside its own rendered body
             self.observation_space = spaces.Dict(
                 {
                     f"agent_{i}_{k}": sp
                     for i in range(2)
                     for k, sp in agent_obs.items()
+                    if i == 0 or not k.startswith("robot_head")
                 }
             )
         else:
