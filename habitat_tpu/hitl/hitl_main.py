@@ -76,6 +76,63 @@ def make_keyframe(sim, obs: Dict[str, np.ndarray], step: int) -> Dict[str, Any]:
     return kf
 
 
+def project_to_pixels(
+    pts: np.ndarray,
+    cam_pos: np.ndarray,
+    yaw: float,
+    pitch: float,
+    h: int,
+    w: int,
+    hfov_rad: float = np.pi / 2,
+):
+    """World points -> (row, col) pixel coords + visibility mask under the
+    renderer's pinhole model (utils/geometry.camera_rays conventions: camera
+    at cam_pos, looks along -z at yaw=0, pitch about camera +x)."""
+    d = np.asarray(pts, np.float64) - np.asarray(cam_pos, np.float64)
+    cyw, syw = np.cos(yaw), np.sin(yaw)
+    # inverse yaw (about +y), then inverse pitch (about +x)
+    x = cyw * d[..., 0] - syw * d[..., 2]
+    z1 = syw * d[..., 0] + cyw * d[..., 2]
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    y = cp * d[..., 1] + sp * z1
+    z = -sp * d[..., 1] + cp * z1
+    vis = z < -1e-6
+    zs = np.where(vis, z, -1.0)
+    fx = np.tan(hfov_rad / 2.0)
+    aspect = h / w
+    xn = x / (-zs)
+    yn = y / (-zs)
+    col = (xn / fx + 1.0) * (w - 1) / 2.0
+    row = (1.0 - yn / (fx * aspect)) * (h - 1) / 2.0
+    return row, col, vis
+
+
+def composite_lines(
+    frame: np.ndarray,
+    lines,
+    cam_pos: np.ndarray,
+    yaw: float,
+    pitch: float,
+    samples: int = 64,
+) -> np.ndarray:
+    """Rasterize accumulated DebugLineRender segments into an (H,W,3) RGB
+    frame (the reference draws them via GL into the viewport; headless here,
+    so they land in the recorded video/eval frames)."""
+    if not lines:
+        return frame
+    out = np.array(frame)
+    h, w = out.shape[:2]
+    t = np.linspace(0.0, 1.0, samples)[:, None]
+    for a, b, color in lines:
+        pts = np.asarray(a)[None] * (1 - t) + np.asarray(b)[None] * t
+        row, col, vis = project_to_pixels(pts, cam_pos, yaw, pitch, h, w)
+        ri = np.round(row).astype(int)
+        ci = np.round(col).astype(int)
+        ok = vis & (ri >= 0) & (ri < h) & (ci >= 0) & (ci < w)
+        out[ri[ok], ci[ok]] = np.asarray(color, out.dtype)
+    return out
+
+
 class HitlDriver:
     """reference _internal/lab_driver.py / sim_driver.py."""
 
@@ -118,9 +175,30 @@ class HitlDriver:
         self.app_state.sim_update(dt, post)
         if "action" in post:
             self._obs = self._env.step(post["action"])
-        self.keyframes.append(make_keyframe(self._env, self._obs, self._step))
+        kf = make_keyframe(self._env, self._obs, self._step)
+        # text HUD rides the keyframe message channel (reference keyframes
+        # carry a message dict for the client UI)
+        if self.service.text_drawer.texts:
+            kf["message"] = {"texts": list(self.service.text_drawer.texts)}
+        self.keyframes.append(kf)
         if self.record_video and self._obs is not None and "rgb" in self._obs:
-            self.service.video_frames.append(np.asarray(self._obs["rgb"]))
+            frame = np.asarray(self._obs["rgb"])
+            lines = self.service.line_render.lines
+            if lines:
+                # composite debug lines through the sim camera (pos + 1.25m
+                # head height, current yaw/pitch — TpuSim render model)
+                sim = self._sim
+                pos = np.asarray(getattr(sim, "_pos", np.zeros(3)))
+                frame = composite_lines(
+                    frame,
+                    lines,
+                    pos + np.array([0.0, 1.25, 0.0]),
+                    float(getattr(sim, "_yaw", 0.0)),
+                    float(getattr(sim, "_pitch", 0.0)),
+                )
+            self.service.video_frames.append(frame)
+        self.service.line_render.clear()
+        self.service.text_drawer.clear()
         self.gui_input.on_frame_end()
         self._step += 1
         return post

@@ -167,3 +167,40 @@ def test_remote_client_state_protocol():
     assert cs.get_head_pose(0)["position"][1] == 39.0
     assert cs.get_head_pose(5)["position"][1] == 34.0
     assert cs.get_recent_client_state_by_history_index(99) is None
+
+
+def test_debug_line_render_composites_into_video():
+    """DebugLineRender segments land in the recorded frames through the sim
+    camera (reference draws them via GL; headless compositing here)."""
+    from habitat_tpu.hitl.app_states import AppState
+    from habitat_tpu.hitl.hitl_main import HitlDriver
+
+    class DrawApp(AppState):
+        def __init__(self):
+            self.updates = 0
+
+        def on_environment_reset(self, _):
+            pass
+
+        def sim_update(self, dt, post):
+            self.updates += 1
+            svc = self.service
+            pos = np.asarray(svc.sim.get_agent_state().position)
+            yaw = float(svc.sim._yaw)
+            fwd = np.array([-np.sin(yaw), 0.0, -np.cos(yaw)])
+            c = pos + fwd * 1.5 + np.array([0.0, 1.25, 0.0])
+            svc.line_render.draw_circle(c, 0.4, color=(255, 0, 255))
+            svc.text_drawer.add_text("hello hitl")
+            post["action"] = "turn_left"
+            if self.updates >= 3:
+                post["application_exit"] = True
+
+    app = DrawApp()
+    driver = HitlDriver(app, target_sps=1000.0)
+    app.service = driver.service
+    driver.run(max_steps=5)
+    assert driver.service.video_frames, "no frames recorded"
+    frame = driver.service.video_frames[0]
+    magenta = (frame[..., 0] > 200) & (frame[..., 2] > 200) & (frame[..., 1] < 60)
+    assert magenta.sum() >= 10, magenta.sum()  # circle visible
+    assert driver.keyframes[0]["message"]["texts"] == [("hello hitl", "top_left")]
