@@ -31,13 +31,10 @@ def make_step(fn):
 variants = {
     "xla_sas": pool._xla_maxpool,
     "pallas": lambda v: pool.max_pool_3x3s2(v, False),
-    "gather": lambda v: pool.max_pool_3x3s2.__wrapped__(v, False)
-    if False
-    else None,
 }
 
-for name in ("xla_sas", "pallas"):
-    dt = chain_time(make_step(variants[name]), x0, k1=4, k2=16)
+for name, fn in variants.items():
+    dt = chain_time(make_step(fn), x0, k1=4, k2=16)
     print(f"{name}: {dt*1e3:.2f} ms fwd+bwd")
 
 # gather fallback: force _supported False

@@ -82,7 +82,11 @@ def main():
     eenv = build(ev_scenes, ev_eps, ev_fields, num_envs=64)
     edata = eenv.env_data
     net = policy.net
-    params = ts.params if not isinstance(ts.params, dict) else ts.params["policy"]
+    params = (
+        ts.params["policy"]
+        if isinstance(ts.params, dict) and "policy" in ts.params
+        else ts.params
+    )
 
     def eval_rollout(key):
         state, obs = eenv.reset_fn(key, env_data=edata)
