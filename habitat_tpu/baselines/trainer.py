@@ -83,7 +83,18 @@ class PPOTrainer:
         self.policy = policy
         self.ppo_cfg = ppo_cfg
         self.run_cfg = run_cfg
-        self.learner = PPOLearner(env, policy, ppo_cfg, measure_keys=measure_keys)
+        # Box action space -> gaussian head (reference auto-selects
+        # action_distribution_type from the action space)
+        action_type = (
+            "gaussian"
+            if hasattr(env.action_space, "shape")
+            and not hasattr(env.action_space, "n")
+            else "categorical"
+        )
+        self.learner = PPOLearner(
+            env, policy, ppo_cfg, measure_keys=measure_keys,
+            action_type=action_type,
+        )
         self.mesh = (
             meshlib.make_mesh() if run_cfg.use_mesh and len(jax.devices()) > 1 else None
         )

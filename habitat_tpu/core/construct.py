@@ -203,12 +203,32 @@ def policy_from_config(config: Config, env: BatchedEnv):
     hb = config.habitat_baselines
     pol_cfg = hb.rl.policy.main_agent
     name = pol_cfg.get("name", "PointNavResNetPolicy")
-    builder = registry.get_policy(name)
+    obs_keys = env.observation_space.spaces
     has_visual = any(
-        k in env.observation_space.spaces for k in ("rgb", "depth", "semantic")
+        k in obs_keys
+        for k in ("rgb", "depth", "semantic", "robot_head_rgb", "robot_head_depth")
     ) and not hb.get("force_blind_policy", False)
     goal_uuid = config.habitat.task.get("goal_sensor_uuid", "pointgoal_with_gps_compass")
-    goal_keys = [goal_uuid] if goal_uuid in env.observation_space.spaces else []
+    goal_keys = [goal_uuid] if goal_uuid in obs_keys else []
+    continuous = hasattr(env.action_space, "shape") and not hasattr(
+        env.action_space, "n"
+    )
+    if continuous:
+        # Box action space (rearrange arm/base control): gaussian head, like
+        # the reference's action_distribution_type='gaussian' auto-selection
+        import numpy as _np
+
+        builder = registry.get_policy("GaussianResNetPolicy")
+        return builder(
+            int(_np.prod(env.action_space.shape)),
+            backbone=hb.rl.ddppo.get("backbone", "resnet18"),
+            hidden_size=int(hb.rl.ppo.get("hidden_size", 512)),
+            rnn_type=hb.rl.ddppo.get("rnn_type", "LSTM"),
+            num_recurrent_layers=int(hb.rl.ddppo.get("num_recurrent_layers", 1)),
+            has_visual=has_visual,
+            goal_keys=tuple(goal_keys),
+        )
+    builder = registry.get_policy(name)
     return builder(
         env.action_space.n,
         backbone=hb.rl.ddppo.get("backbone", "resnet18"),
