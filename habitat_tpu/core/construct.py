@@ -297,6 +297,7 @@ def rearrange_env_from_config(config: Config, num_envs: Optional[int] = None):
         "RearrangePickTask-v0": "pick",
         "RearrangePlaceTask-v0": "place",
         "RearrangeEmptyTask-v0": "empty",
+        "RearrangeReachTask-v0": "reach",
         "RearrangeCompositeTask-v0": "rearrange",
         "NavToObjTask-v0": "nav_to_obj",
         "RearrangeOpenDrawerTask-v0": "open",

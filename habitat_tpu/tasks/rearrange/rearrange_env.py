@@ -399,6 +399,19 @@ class RearrangeBatchedEnv:
         is_held = o_idx == held[:, None]
         return jnp.where(is_held[..., None], carry_pos[:, None, :], state.obj_pos)
 
+    def _reach_target(self, state) -> jnp.ndarray:
+        """(N,3) per-episode random EE goal in the arm workspace, AGENT frame
+        (reference RearrangeReachTask.reset samples the ee_constraint box
+        scaled by ee_sample_factor, sub_tasks/reach_task.py:29-55).
+        Deterministic in the episode index, so it lives in no state field."""
+        keys = jax.vmap(
+            lambda e: jax.random.fold_in(jax.random.PRNGKey(4321), e)
+        )(state.ep_idx)
+        off = jax.vmap(
+            lambda k: jax.random.uniform(k, (3,), minval=-1.0, maxval=1.0)
+        )(keys)
+        return self._resting_ee_local + off * jnp.array([0.2, 0.2, 0.2])
+
     # -- observations ---------------------------------------------------
     def _observations(self, state: RearrangeState) -> Dict[str, jnp.ndarray]:
         tgt = self._target_obj(state)  # (N,)
@@ -411,6 +424,14 @@ class RearrangeBatchedEnv:
         # sensors in agent frame (reference rearrange_sensors.py:51-468 —
         # TargetStartSensor/GoalSensor give transformed positions)
         rel = lambda p: rotate_world_to_agent(p - state.pos, state.yaw)
+        # the "desired resting" target: the resting pose, except for the
+        # reach task where it is the per-episode workspace goal (reference
+        # RearrangeReachTask.reset, sub_tasks/reach_task.py:29-55)
+        desired_rest = (
+            self._reach_target(state)
+            if self.task == "reach"
+            else self._resting_ee_local
+        )
         obs = {
             "obj_start_sensor": rel(tgt_pos).astype(jnp.float32),
             "obj_goal_sensor": rel(goal_pos).astype(jnp.float32),
@@ -418,10 +439,10 @@ class RearrangeBatchedEnv:
             "joint": state.joints.astype(jnp.float32),
             "is_holding": (state.held >= 0).astype(jnp.float32)[:, None],
             "ee_pos": rel(ee).astype(jnp.float32),
-            # EE relative to the resting EE pose in the agent frame
+            # EE relative to the desired resting pose in the agent frame
             # (reference RelativeRestingPositionSensor)
             "relative_resting_position": (
-                rel(ee) - self._resting_ee_local
+                rel(ee) - desired_rest
             ).astype(jnp.float32),
         }
         if self.with_visual:
@@ -643,6 +664,17 @@ class RearrangeBatchedEnv:
                 (handle - ee)[:, jnp.array([0, 2])], axis=-1
             )
             measures["success"] = measures["art_obj_at_desired_state"]
+        elif self.task == "reach":
+            # EE to the per-episode workspace goal (reference
+            # EndEffectorToRestDistance + RearrangeReachSuccess,
+            # sub_tasks/reach_sensors.py; succ_thresh default 0.2)
+            rel_ee = rotate_world_to_agent(ee - state.pos, state.yaw)
+            d_rest = jnp.linalg.norm(rel_ee - self._reach_target(state), axis=-1)
+            measures["ee_to_resting_distance"] = d_rest
+            measures["rearrange_reach_success"] = (d_rest < 0.2).astype(
+                jnp.float32
+            )
+            measures["success"] = measures["rearrange_reach_success"]
         elif self.task == "pick":
             measures["pick_success"] = holding_target.astype(jnp.float32)
             measures["success"] = measures["pick_success"]
@@ -685,6 +717,12 @@ class RearrangeBatchedEnv:
             )
             # joint progress toward the goal state (open: +q, close: -q)
             r = r + 2.0 * jnp.abs(m["art_obj_state"] - prev_m["art_obj_state"])
+        elif self.task == "reach":
+            # dense EE-to-goal delta (reference RearrangeReachReward,
+            # sub_tasks/reach_sensors.py:13 — diff mode)
+            r = r + self.dist_reward_scale * (
+                prev_m["ee_to_resting_distance"] - m["ee_to_resting_distance"]
+            )
         elif self.task == "pick":
             r = r + self.dist_reward_scale * (
                 prev_m["ee_to_object_distance"] - m["ee_to_object_distance"]

@@ -444,3 +444,39 @@ def test_constraint_violation_grasp():
     state2, obs, r, done, info = env.step(state2, jnp.full((2,), A_LEFT))
     assert np.all(np.asarray(info["constraint_violation"]) == 0.0)
     assert np.all(np.asarray(state2.held) == 0)
+
+
+def test_reach_task_trains_to_success():
+    """RearrangeReachTask-v0 parity (reference sub_tasks/reach_task.py +
+    the CI learning floor, test/test_baseline_training.py:428): arm-control
+    PPO reaches the per-episode workspace goal."""
+    import jax
+
+    from habitat_tpu.baselines.ppo import PPOConfig, PPOLearner
+    from habitat_tpu.models.policy import make_gaussian_resnet_policy
+
+    env = make_rearrange_env(
+        num_envs=32, task="reach", with_visual=False, control="arm",
+        n_rooms_per_axis=1, n_clutter=0, max_episode_steps=40, seed=0,
+    )
+    state, obs = env.reset_fn(jax.random.PRNGKey(0))
+    assert obs["relative_resting_position"].shape == (32, 3)
+    dim = env.action_space.shape[0]
+    policy = make_gaussian_resnet_policy(dim, has_visual=False, hidden_size=64)
+    learner = PPOLearner(
+        env, policy,
+        PPOConfig(num_steps=16, num_mini_batch=2, ppo_epoch=2, lr=3e-4),
+        measure_keys=("rearrange_reach_success", "ee_to_resting_distance"),
+        action_type="gaussian",
+    )
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0))
+    step = jax.jit(learner.train_step, donate_argnums=(0,))
+    succ = 0.0
+    for u in range(60):
+        ts, m = step(ts)
+        dc = float(m.get("done_count", 0.0))
+        if dc > 0:
+            succ = float(m.get("m_rearrange_reach_success", 0.0)) / dc
+        if u > 20 and succ > 0.6:
+            break
+    assert succ > 0.6, succ
