@@ -57,14 +57,36 @@ def evaluate_agent(
     hidden = initial_hidden_state(
         n, net.hidden_size, net.num_recurrent_layers, net.rnn_type
     )
-    prev_action = jnp.zeros((n,), jnp.int32)
-    not_done = jnp.zeros((n,), jnp.float32)
+    # gaussian (continuous rearrange control) vs categorical policies
+    # (reference HabitatEvaluator handles both action distributions)
+    continuous = not getattr(net, "discrete_actions", True)
+    if continuous:
+        from habitat_tpu.models.policy import sample_gaussian_action
 
-    @jax.jit
-    def act_step(params, obs, hidden, prev_action, not_done, key):
-        logits, _, new_hidden = policy.apply(params, obs, hidden, prev_action, not_done)
-        action, _ = sample_action(logits, key, deterministic=deterministic)
-        return action, new_hidden
+        prev_action = jnp.zeros((n, int(policy.num_outputs)), jnp.float32)
+
+        @jax.jit
+        def act_step(params, obs, hidden, prev_action, not_done, key):
+            (mu, log_std), _, new_hidden = policy.apply(
+                params, obs, hidden, prev_action, not_done
+            )
+            action, _ = sample_gaussian_action(
+                mu, log_std, key, deterministic=deterministic
+            )
+            return action, new_hidden
+
+    else:
+        prev_action = jnp.zeros((n,), jnp.int32)
+
+        @jax.jit
+        def act_step(params, obs, hidden, prev_action, not_done, key):
+            logits, _, new_hidden = policy.apply(
+                params, obs, hidden, prev_action, not_done
+            )
+            action, _ = sample_action(logits, key, deterministic=deterministic)
+            return action, new_hidden
+
+    not_done = jnp.zeros((n,), jnp.float32)
 
     state, obs = env.reset(seed=seed)
     key = jax.random.PRNGKey(seed)

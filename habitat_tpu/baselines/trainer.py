@@ -137,11 +137,32 @@ class PPOTrainer:
             json.dump(meta, f)
 
     def load_checkpoint(self, name: str, ts_like: TrainState) -> TrainState:
+        import dataclasses as _dc
+
         import orbax.checkpoint as ocp
 
         path = os.path.join(self._ckpt_dir(), name)
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path, ts_like)
+        try:
+            restored = ckptr.restore(path, ts_like)
+        except ValueError:
+            # env-count mismatch (e.g. eval with fewer envs than training —
+            # reference evals restore model weights only, ppo_trainer
+            # _eval_checkpoint): restore at the STORED shapes via metadata,
+            # then take params/opt_state and keep the live env shapes
+            meta = ckptr.metadata(path).item_metadata
+            abstract = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), meta
+            )
+            full = ckptr.restore(path, abstract)
+            get = (
+                (lambda tree, k: tree[k])
+                if isinstance(full, dict)
+                else (lambda tree, k: getattr(tree, k))
+            )
+            restored = ts_like._replace(
+                params=get(full, "params"), opt_state=get(full, "opt_state")
+            )
         meta_path = os.path.join(self._ckpt_dir(), name + ".meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:

@@ -111,3 +111,37 @@ def test_evaluate_with_topdown_map(tmp_path):
     import os
 
     assert any(f.endswith((".gif", ".mp4")) for f in os.listdir(tmp_path))
+
+
+def test_evaluate_agent_gaussian_policy():
+    """Continuous (gaussian) policies evaluate through the same loop
+    (reference HabitatEvaluator handles both action distributions)."""
+    import jax
+
+    from habitat_tpu.baselines.evaluator import evaluate_agent
+    from habitat_tpu.models.policy import make_gaussian_resnet_policy
+    from habitat_tpu.tasks.rearrange.generator import make_rearrange_env
+
+    env = make_rearrange_env(
+        num_envs=4, task="reach", with_visual=False, control="arm",
+        n_rooms_per_axis=1, n_clutter=0, max_episode_steps=20, seed=0,
+    )
+    policy = make_gaussian_resnet_policy(
+        env.action_space.shape[0], has_visual=False, hidden_size=32
+    )
+    state, obs = env.reset_fn(jax.random.PRNGKey(0))
+    hidden = None
+    params = policy.init(
+        jax.random.PRNGKey(1), obs,
+        __import__("habitat_tpu.models.rnn_state_encoder", fromlist=["initial_hidden_state"]).initial_hidden_state(
+            4, policy.net.hidden_size, policy.net.num_recurrent_layers, policy.net.rnn_type
+        ),
+        __import__("jax.numpy", fromlist=["zeros"]).zeros((4, env.action_space.shape[0])),
+        __import__("jax.numpy", fromlist=["zeros"]).zeros((4,)),
+    )
+    out = evaluate_agent(
+        env, policy, params, episodes_per_env=1,
+        measure_keys=("rearrange_reach_success",), seed=3,
+    )
+    assert out["num_episodes"] >= 4
+    assert "reward" in out
