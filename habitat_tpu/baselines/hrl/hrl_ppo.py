@@ -230,3 +230,47 @@ class HrlPPOLearner:
 
 
 registry.register_updater(HrlPPOLearner, name="hrl_ppo")
+
+
+class HrlTrainer:
+    """Thin trainer facade over HrlPPOLearner with the PPOTrainer CLI
+    surface (_init/_train_step/train), so hierarchical experiment YAMLs
+    (reference rl_hierarchical.yaml, updater_name HRLPPO) run through
+    run.py / trainer_from_config like flat ones."""
+
+    def __init__(self, learner: HrlPPOLearner, *, total_num_steps: float = 1e6,
+                 log_interval: int = 10):
+        self.learner = learner
+        self.env = learner.env
+        self.total_num_steps = total_num_steps
+        self.log_interval = log_interval
+        self._env_data = None
+        self._init = jax.jit(lambda key, data=None: learner.init_fn(key))
+        self._train_step = jax.jit(
+            lambda ts, data=None: learner.train_step(ts)
+        )
+
+    def train(self, seed: int = 0):
+        from habitat_tpu.core.logging import logger
+
+        cfg = self.learner.cfg
+        steps_per_update = (
+            self.env.num_envs * cfg.num_macro_steps * cfg.hl_interval
+        )
+        ts = self._init(jax.random.PRNGKey(seed))
+        steps = 0
+        u = 0
+        m = {}
+        while steps < self.total_num_steps:
+            ts, m = self._train_step(ts)
+            steps += steps_per_update
+            u += 1
+            if u % self.log_interval == 0:
+                logger.info(
+                    f"hrl update {u} steps {steps}: "
+                    + " ".join(
+                        f"{k}={float(v):.4f}" for k, v in sorted(m.items())
+                        if getattr(v, 'ndim', 1) == 0
+                    )
+                )
+        return {k: float(v) for k, v in m.items() if getattr(v, "ndim", 1) == 0}

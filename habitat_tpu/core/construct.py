@@ -243,11 +243,84 @@ def policy_from_config(config: Config, env: BatchedEnv):
     )
 
 
+def hrl_trainer_from_config(config: Config, env):
+    """Hierarchical experiments (reference rl_hierarchical.yaml:
+    updater_name HRLPPO + a hierarchical_policy block with defined_skills):
+    HL-PPO over the skill library (baselines/hrl/hrl_ppo.py)."""
+    from habitat_tpu.baselines.hrl.hierarchical import (
+        ArtObjSkill,
+        NavToGoalSkill,
+        OracleNavSkill,
+        PickSkill,
+        PlaceSkill,
+        WaitSkill,
+    )
+    from habitat_tpu.baselines.hrl.hrl_ppo import (
+        HrlPPOConfig,
+        HrlPPOLearner,
+        HrlTrainer,
+    )
+
+    hb = config.habitat_baselines
+    pol = hb.rl.policy.get("main_agent", Config()) or Config()
+    defined = (
+        pol.get("hierarchical_policy", Config()) or Config()
+    ).get("defined_skills", Config()) or Config()
+
+    def skill_for(name: str):
+        n = name.lower()
+        if "pick" in n:
+            return PickSkill()
+        if "place" in n:
+            return PlaceSkill()
+        if "nav_to_obj" in n or n == "nav":
+            return OracleNavSkill()
+        if "nav" in n:
+            return NavToGoalSkill()
+        if "open" in n or "close" in n or "art" in n:
+            return ArtObjSkill()
+        return WaitSkill()
+
+    names = list(defined.keys() if hasattr(defined, "keys") else [])
+    skills = [skill_for(n) for n in names] or [
+        OracleNavSkill(), PickSkill(), NavToGoalSkill(), PlaceSkill()
+    ]
+    p = hb.rl.ppo
+    cfg = HrlPPOConfig(
+        hidden_size=min(int(p.get("hidden_size", 128)), 256),
+        lr=float(p.lr),
+        gamma=float(p.gamma),
+        tau=float(p.tau),
+        clip_param=float(p.clip_param),
+        ppo_epoch=max(1, int(p.ppo_epoch)),
+        num_mini_batch=int(p.num_mini_batch),
+        value_loss_coef=float(p.value_loss_coef),
+        entropy_coef=float(p.entropy_coef),
+        max_grad_norm=float(p.max_grad_norm),
+    )
+    learner = HrlPPOLearner(env, skills, cfg)
+    return HrlTrainer(
+        learner,
+        total_num_steps=float(hb.get("total_num_steps", 1e6)),
+        log_interval=int(hb.get("log_interval", 10)),
+    )
+
+
 def trainer_from_config(config: Config):
     from habitat_tpu.baselines.ppo import PPOConfig
     from habitat_tpu.baselines.trainer import TrainerConfig
 
     hb = config.habitat_baselines
+    # hierarchical experiments dispatch to HL-PPO over skills (reference
+    # updater_name HRLPPO, rl_hierarchical.yaml); the skill library drives
+    # the discrete kinematic action set, so the env is built in discrete
+    # control even when the YAML declares arm_action for the LL policies
+    pol_main = hb.rl.policy.get("main_agent", Config()) or Config()
+    if str(hb.get("updater_name", "")).upper().startswith("HRL") or (
+        hasattr(pol_main, "get") and pol_main.get("hierarchical_policy", None)
+    ):
+        env = rearrange_env_from_config(config, force_control="discrete")
+        return hrl_trainer_from_config(config, env)
     env = env_from_config(config)
     policy = policy_from_config(config, env)
     p = hb.rl.ppo
@@ -284,7 +357,11 @@ def trainer_from_config(config: Config):
     return trainer_cls(env, policy, ppo_cfg, run_cfg)
 
 
-def rearrange_env_from_config(config: Config, num_envs: Optional[int] = None):
+def rearrange_env_from_config(
+    config: Config,
+    num_envs: Optional[int] = None,
+    force_control: Optional[str] = None,
+):
     """Rearrange task types (RearrangePickTask-v0 / RearrangePlaceTask-v0 /
     RearrangeEmptyTask-v0, reference tasks/rearrange/rearrange_task.py:32 +
     sub_tasks/) -> RearrangeBatchedEnv."""
@@ -299,6 +376,7 @@ def rearrange_env_from_config(config: Config, num_envs: Optional[int] = None):
         "RearrangeEmptyTask-v0": "empty",
         "RearrangeReachTask-v0": "reach",
         "RearrangeCompositeTask-v0": "rearrange",
+        "RearrangePddlTask-v0": "rearrange",
         "NavToObjTask-v0": "nav_to_obj",
         "RearrangeOpenDrawerTask-v0": "open",
         "RearrangeOpenFridgeTask-v0": "open",
@@ -320,6 +398,8 @@ def rearrange_env_from_config(config: Config, num_envs: Optional[int] = None):
     if arm_cfg is not None:
         arm_ctrl = str(arm_cfg.get("arm_controller", "ArmRelPosAction"))
         control = "arm_ee" if "EE" in arm_ctrl else "arm"
+    if force_control is not None:
+        control = force_control
     robot = "FetchRobot"
     agents = config.get_path("habitat.simulator.agents", Config()) or Config()
     for _, ag in (agents.items() if hasattr(agents, "items") else []):

@@ -152,3 +152,26 @@ def test_reference_rearrange_skill_experiment_trains():
     assert "joint" in ts.obs and ts.obs["joint"].shape[-1] == 7
     ts, m = tr._train_step(ts, tr._env_data)
     assert np.isfinite(float(m["losses/learner_loss"]))
+
+
+@pytest.mark.skipif(not os.path.isdir(BL_ROOT), reason="baselines absent")
+def test_reference_hierarchical_experiment_trains():
+    """The reference rl_hierarchical.yaml (updater HRLPPO + defined_skills)
+    dispatches to the HL-PPO-over-skills trainer and trains a step on the
+    composite rearrange task."""
+    import jax
+    import numpy as np
+    from habitat_tpu.baselines.hrl.hrl_ppo import HrlTrainer
+    from habitat_tpu.core.construct import trainer_from_config
+
+    cfg = get_config(
+        "rearrange/rl_hierarchical.yaml",
+        overrides=["habitat_baselines.num_environments=2"],
+    )
+    tr = trainer_from_config(cfg)
+    assert isinstance(tr, HrlTrainer)
+    assert len(tr.learner.skills) >= 4  # nn_skills library mapped
+    assert tr.env.task == "rearrange"
+    ts = tr._init(jax.random.PRNGKey(0))
+    ts, m = tr._train_step(ts)
+    assert np.isfinite(float(m["losses/hl_loss"]))
