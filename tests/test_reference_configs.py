@@ -175,3 +175,38 @@ def test_reference_hierarchical_experiment_trains():
     ts = tr._init(jax.random.PRNGKey(0))
     ts, m = tr._train_step(ts)
     assert np.isfinite(float(m["losses/hl_loss"]))
+
+
+@pytest.mark.skipif(not os.path.isdir(BL_ROOT), reason="baselines absent")
+def test_more_reference_experiments_train():
+    """rl_rearrange (flat composite PPO) and social_rearrange/pop_play
+    (HRLPPO) both build working trainers from the unmodified reference
+    experiment YAMLs."""
+    import jax
+    import numpy as np
+    from habitat_tpu.baselines.hrl.hrl_ppo import HrlTrainer
+    from habitat_tpu.core.construct import trainer_from_config
+
+    cfg = get_config(
+        "rearrange/rl_rearrange.yaml",
+        overrides=[
+            "habitat_baselines.num_environments=2",
+            "habitat_baselines.rl.ppo.num_steps=4",
+            "habitat_baselines.rl.ppo.hidden_size=64",
+            "habitat_baselines.rl.ddppo.backbone=resnet9",
+        ],
+    )
+    tr = trainer_from_config(cfg)
+    ts = tr._init(jax.random.PRNGKey(0), tr._env_data)
+    ts, m = tr._train_step(ts, tr._env_data)
+    assert np.isfinite(float(m["losses/learner_loss"]))
+
+    cfg = get_config(
+        "social_rearrange/pop_play.yaml",
+        overrides=["habitat_baselines.num_environments=2"],
+    )
+    tr = trainer_from_config(cfg)
+    assert isinstance(tr, HrlTrainer)
+    ts = tr._init(jax.random.PRNGKey(0))
+    ts, m = tr._train_step(ts)
+    assert np.isfinite(float(m["losses/hl_loss"]))
