@@ -139,20 +139,30 @@ class HrlPPOLearner:
                 env_state, _, r, done, info = env.step_fn(env_state, act)
                 rew_acc = rew_acc + (cfg.gamma**t) * r * (1.0 - done_any)
                 done_any = jnp.maximum(done_any, done.astype(jnp.float32))
-                return (env_state, rew_acc, done_any), info["success"]
+                # episode accounting at DONE steps (success is momentary:
+                # the auto-reset wipes it next step, so sampling any single
+                # substep undercounts)
+                df = done.astype(jnp.float32)
+                return (env_state, rew_acc, done_any), (
+                    info["success"] * df,
+                    df,
+                )
 
-            (env_state, macro_rew, done_any), succ = jax.lax.scan(
+            (env_state, macro_rew, done_any), (succ_d, done_f) = jax.lax.scan(
                 env_step,
                 (env_state, jnp.zeros((n,)), jnp.zeros((n,))),
                 jnp.arange(cfg.hl_interval),
             )
-            out = (feat, skill, logp, value, macro_rew, done_any, succ[-1])
+            out = (
+                feat, skill, logp, value, macro_rew, done_any,
+                succ_d.sum(0), done_f.sum(0),
+            )
             return (env_state, key), out
 
-        (env_state, key), (feats, skills, logps, values, rews, dones, succ) = (
-            jax.lax.scan(
-                macro_step, (ts.env_state, ts.key), None, length=cfg.num_macro_steps
-            )
+        (env_state, key), (
+            feats, skills, logps, values, rews, dones, succ_d, done_f
+        ) = jax.lax.scan(
+            macro_step, (ts.env_state, ts.key), None, length=cfg.num_macro_steps
         )
         _, last_value = self.net.apply(ts.params, self._features(env_state))
         gamma_eff = cfg.gamma**cfg.hl_interval
@@ -215,7 +225,9 @@ class HrlPPOLearner:
             "losses/hl_value_loss": v_losses.mean(),
             "losses/hl_entropy": entropies.mean(),
             "reward": rews.sum(0).mean(),
-            "success": succ[-1].mean(),
+            # fraction of COMPLETED episodes this update that succeeded
+            "success": succ_d.sum() / jnp.maximum(done_f.sum(), 1.0),
+            "done_count": done_f.sum(),
         }
         return (
             HrlTrainState(

@@ -122,18 +122,32 @@ class BatchedEnv:
             s for s in self.sensors if not isinstance(s, VisualSensorSpec)
         )
         if self.visual_sensors:
-            hw = {(s.height, s.width, s.hfov, s.projection) for s in self.visual_sensors}
-            assert len(hw) == 1, (
-                "All visual sensors must share resolution/hfov/projection in "
-                f"one render group for now, got {hw}"
-            )
-            self._render_h, self._render_w, self._render_hfov, self._render_proj = next(
-                iter(hw)
-            )
-            depth_cfgs = [s for s in self.visual_sensors if isinstance(s, DepthSensor)]
-            d = depth_cfgs[0] if depth_cfgs else DepthSensor(None)
-            self._depth_cfg = (d.min_depth, d.max_depth, d.normalize_depth)
-            self._cam_height = self.visual_sensors[0].position_y
+            # render groups: one fused raycast per distinct camera model
+            # (resolution/hfov/projection/height). The reference attaches any
+            # number of differently-configured sensors to the agent
+            # (habitat_simulator.py sensor suite); declaring e.g. a 42deg RGB
+            # next to a 58deg goal camera just costs one extra pass here.
+            by_cam: Dict[Tuple, List[VisualSensorSpec]] = {}
+            for s in self.visual_sensors:
+                key = (s.height, s.width, s.hfov, s.projection, s.position_y)
+                by_cam.setdefault(key, []).append(s)
+            self._render_groups = []
+            for (h, w, hfov, proj, cam_y), sensors in by_cam.items():
+                depth_cfgs = [s for s in sensors if isinstance(s, DepthSensor)]
+                d = depth_cfgs[0] if depth_cfgs else DepthSensor(None)
+                self._render_groups.append(
+                    dict(
+                        h=h, w=w, hfov=hfov, proj=proj, cam_y=cam_y,
+                        sensors=tuple(sensors),
+                        depth_cfg=(d.min_depth, d.max_depth, d.normalize_depth),
+                    )
+                )
+            # single-group fast-path attrs (kept for introspection/tests)
+            g0 = self._render_groups[0]
+            self._render_h, self._render_w = g0["h"], g0["w"]
+            self._render_hfov, self._render_proj = g0["hfov"], g0["proj"]
+            self._depth_cfg = g0["depth_cfg"]
+            self._cam_height = g0["cam_y"]
 
         self.action_space = spaces.Discrete(len(self.actions))
         self.action_names = tuple(a.name for a in self.actions)
@@ -195,24 +209,24 @@ class BatchedEnv:
         pack = self.pack if pack is None else pack
         ctx = self._make_ctx(state, pack, table)
         obs = {s.uuid: s.compute(ctx) for s in self.state_sensors}
-        if self.visual_sensors:
-            cam_pos = state.pos + jnp.array([0.0, self._cam_height, 0.0])
-            mn, mx, norm = self._depth_cfg
+        for g in getattr(self, "_render_groups", ()):
+            cam_pos = state.pos + jnp.array([0.0, g["cam_y"], 0.0])
+            mn, mx, norm = g["depth_cfg"]
             frames = render_batch(
                 pack,
                 ctx.sid,
                 cam_pos,
                 state.yaw,
                 state.pitch,
-                height=self._render_h,
-                width=self._render_w,
-                hfov_deg=self._render_hfov,
+                height=g["h"],
+                width=g["w"],
+                hfov_deg=g["hfov"],
                 min_depth=mn,
                 max_depth=mx,
                 normalize_depth=norm,
-                projection=self._render_proj,
+                projection=g["proj"],
             )
-            for s in self.visual_sensors:
+            for s in g["sensors"]:
                 obs[s.uuid] = frames[s.uuid]
         return obs
 

@@ -168,8 +168,10 @@ def env_from_config(config: Config, num_envs: Optional[int] = None):
     pack = pack_scenes(list(scenes))
     lab_sensors = config.habitat.task.get("lab_sensors", Config())
     goal_image_size = None
-    if "imagegoal" in lab_sensors:
-        goal_image_size = int(lab_sensors["imagegoal"].get("width", 128))
+    for gk in ("imagegoal", "instance_imagegoal", "instance_imagegoal_sensor"):
+        if gk in lab_sensors:
+            goal_image_size = int(lab_sensors[gk].get("width", 128))
+            break
     table = build_episode_table(
         list(episodes),
         scene_map,
@@ -282,7 +284,16 @@ def hrl_trainer_from_config(config: Config, env):
         return WaitSkill()
 
     names = list(defined.keys() if hasattr(defined, "keys") else [])
-    skills = [skill_for(n) for n in names] or [
+    # dedup by skill class: defined_skills lists e.g. open_cab/open_fridge/
+    # close_cab/close_fridge, which all ground to the one ArtObjSkill here —
+    # duplicates only dilute HL exploration
+    skills, seen = [], set()
+    for n in names:
+        s = skill_for(n)
+        if type(s) not in seen:
+            seen.add(type(s))
+            skills.append(s)
+    skills = skills or [
         OracleNavSkill(), PickSkill(), NavToGoalSkill(), PlaceSkill()
     ]
     p = hb.rl.ppo
@@ -319,7 +330,11 @@ def trainer_from_config(config: Config):
     if str(hb.get("updater_name", "")).upper().startswith("HRL") or (
         hasattr(pol_main, "get") and pol_main.get("hierarchical_policy", None)
     ):
-        env = rearrange_env_from_config(config, force_control="discrete")
+        # scripted/oracle skills read state sensors only — skip rendering
+        # (the reference's NN skills consume cameras; the HL features don't)
+        env = rearrange_env_from_config(
+            config, force_control="discrete", with_visual=False
+        )
         return hrl_trainer_from_config(config, env)
     env = env_from_config(config)
     policy = policy_from_config(config, env)
@@ -361,6 +376,7 @@ def rearrange_env_from_config(
     config: Config,
     num_envs: Optional[int] = None,
     force_control: Optional[str] = None,
+    with_visual: bool = True,
 ):
     """Rearrange task types (RearrangePickTask-v0 / RearrangePlaceTask-v0 /
     RearrangeEmptyTask-v0, reference tasks/rearrange/rearrange_task.py:32 +
@@ -417,8 +433,11 @@ def rearrange_env_from_config(
         art_joint=art_joint,
         num_scenes=int(proc.get("num_scenes", 2)),
         episodes_per_scene=int(proc.get("episodes_per_scene", 16)),
+        n_rooms_per_axis=int(proc.get("n_rooms_per_axis", 2)),
+        n_clutter=int(proc.get("n_clutter", 3)),
+        num_objects=int(proc.get("num_objects", 3)),
         seed=int(config.habitat.get("seed", 0)),
-        with_visual=True,
+        with_visual=with_visual,
         render_size=(128, 128),
         max_episode_steps=int(config.habitat.environment.get("max_episode_steps", 300)),
         success_reward=float(config.habitat.task.get("success_reward", 10.0)),

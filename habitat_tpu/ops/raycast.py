@@ -252,6 +252,13 @@ def raycast_mxu_batch(
         ray_tile = max(256, budget // max(1, N * tri_chunk * 4))
         ray_tile = 1 << (ray_tile.bit_length() - 1)
     ray_tile = min(ray_tile, R)
+    if R % ray_tile:
+        # non-pow2 ray counts (e.g. the reference's 640x360 sensors): use
+        # the largest divisor of R within the VMEM budget tile
+        k = -(-R // ray_tile)
+        while R % k:
+            k += 1
+        ray_tile = R // k
     assert R % ray_tile == 0, (R, ray_tile)
     n_tiles = R // ray_tile
 
