@@ -210,3 +210,32 @@ def test_more_reference_experiments_train():
     ts = tr._init(jax.random.PRNGKey(0))
     ts, m = tr._train_step(ts)
     assert np.isfinite(float(m["losses/hl_loss"]))
+
+
+@pytest.mark.skipif(not os.path.isdir(BL_ROOT), reason="baselines absent")
+def test_reference_instance_imagenav_env_builds():
+    """ddppo_instance_imagenav.yaml: the mixed-camera sensor suite (RGB
+    hfov 42 + depth hfov 58) builds as TWO render groups and steps."""
+    import jax
+    import jax.numpy as jnp
+    from habitat_tpu.core.construct import env_from_config
+
+    cfg = get_config(
+        "instance_imagenav/ddppo_instance_imagenav.yaml",
+        overrides=[
+            "habitat_baselines.num_environments=2",
+            "habitat.simulator.agents.main_agent.sim_sensors.rgb_sensor.width=64",
+            "habitat.simulator.agents.main_agent.sim_sensors.rgb_sensor.height=64",
+            "habitat.simulator.agents.main_agent.sim_sensors.depth_sensor.width=64",
+            "habitat.simulator.agents.main_agent.sim_sensors.depth_sensor.height=64",
+        ],
+    )
+    env = env_from_config(cfg)
+    hfovs = sorted(g["hfov"] for g in env._render_groups)
+    assert len(env._render_groups) == 2 and hfovs == [42, 58]
+    state, obs = env.reset(seed=0)
+    assert obs["rgb"].shape == (2, 64, 64, 3)
+    assert obs["depth"].shape == (2, 64, 64, 1)
+    assert obs["instance_imagegoal"].shape[0] == 2
+    state, obs, r, d, info = env.step(state, jnp.ones((2,), jnp.int32))
+    assert "distance_to_goal" in info
