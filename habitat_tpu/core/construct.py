@@ -317,11 +317,141 @@ def hrl_trainer_from_config(config: Config, env):
     )
 
 
+def il_trainer_from_config(config: Config, trainer_name: str):
+    """IL experiment YAMLs (reference eqa/il_eqa_cnn_pretrain.yaml,
+    il_vqa.yaml, il_pacman_nav.yaml): build the matching IL learner over
+    the procedural EQA/frame envs with a train() facade for run.py."""
+    import jax
+
+    hb = config.habitat_baselines
+    num_envs = int(hb.get("num_environments", 8))
+    seed = int(config.habitat.get("seed", 0))
+
+    class _ILFacade:
+        def __init__(self, learner, steps_per_update: int):
+            self.learner = learner
+            self.env = learner.env
+            self._steps = steps_per_update
+            self._init = jax.jit(lambda key, data=None: learner.init_fn(key))
+            self._train_step = jax.jit(lambda ts, data=None: learner.train_step(ts))
+
+        def train(self, seed: int = 0):
+            from habitat_tpu.core.logging import logger
+
+            total = float(hb.get("total_num_steps", 2e4))
+            log_every = int(hb.get("log_interval", 10))
+            ts = self._init(jax.random.PRNGKey(seed))
+            done = 0
+            u = 0
+            m = {}
+            while done < total:
+                ts, m = self._train_step(ts)
+                done += self._steps
+                u += 1
+                if u % log_every == 0:
+                    logger.info(
+                        f"il update {u} steps {done}: "
+                        + " ".join(
+                            f"{k}={float(v):.4f}" for k, v in sorted(m.items())
+                            if getattr(v, "ndim", 1) == 0
+                        )
+                    )
+            return {
+                k: float(v) for k, v in m.items() if getattr(v, "ndim", 1) == 0
+            }
+
+    if trainer_name == "eqa-cnn-pretrain":
+        from habitat_tpu.baselines.il.eqa_trainers import EQACNNPretrainLearner
+        from habitat_tpu.core.env_factory import make_nav_env
+        from habitat_tpu.datasets.pointnav import make_procedural_pointnav
+
+        scenes, episodes, fields = make_procedural_pointnav(
+            num_scenes=2, episodes_per_scene=8, seed=seed
+        )
+        env = make_nav_env(
+            scenes, episodes, num_envs=num_envs, precomputed_fields=fields,
+            max_episode_steps=100,
+            sensor_specs=(
+                ("HabitatSimRGBSensor", {"height": 64, "width": 64}),
+                ("HabitatSimDepthSensor", {"height": 64, "width": 64}),
+                ("HabitatSimSemanticSensor", {"height": 64, "width": 64}),
+                ("PointGoalWithGPSCompassSensor", None),
+            ),
+        )
+        return _ILFacade(EQACNNPretrainLearner(env), num_envs)
+    if trainer_name == "vqa":
+        from habitat_tpu.baselines.il.eqa_trainers import VQALearner
+        from habitat_tpu.tasks.eqa import make_eqa_env
+
+        env = make_eqa_env(num_envs=num_envs, seed=seed, visual_size=64)
+        learner = VQALearner(env)
+
+        class _VQAFacade:
+            def __init__(self):
+                self.learner = learner
+                self.env = env
+
+            def train(self, seed: int = 0):
+                import jax.numpy as jnp
+
+                total = float(hb.get("total_num_steps", 2e4))
+                ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(seed))
+                env_state, _ = jax.jit(env.reset_fn)(
+                    jax.random.fold_in(jax.random.PRNGKey(seed), 1),
+                    env.env_data,
+                )
+                step = jax.jit(learner.train_step)
+                adv = jax.jit(
+                    lambda s, a: env.step_fn(s, a, env.env_data)[0]
+                )
+                key = jax.random.PRNGKey(seed + 2)
+                done = 0
+                m = {}
+                while done < total:
+                    ts, m = step(ts, env_state)
+                    # walk the envs for frame/episode diversity (the
+                    # reference samples its disk dataset per batch)
+                    key, k = jax.random.split(key)
+                    env_state = adv(
+                        env_state,
+                        jax.random.randint(k, (env.num_envs,), 0, 3),
+                    )
+                    done += num_envs
+                return {
+                    k_: float(v)
+                    for k_, v in m.items()
+                    if getattr(v, "ndim", 1) == 0
+                }
+
+        return _VQAFacade()
+    if trainer_name == "pacman":
+        from habitat_tpu.baselines.il.pacman import PacmanTrainer
+        from habitat_tpu.tasks.eqa import make_eqa_env
+
+        env = make_eqa_env(num_envs=num_envs, seed=seed, visual_size=64)
+        trainer = PacmanTrainer(env)
+
+        class _PacmanFacade:
+            def __init__(self):
+                self.learner = trainer
+                self.env = env
+
+            def train(self, seed: int = 0):
+                epochs = int(hb.get("il", Config()).get("num_epochs", 10) or 10)
+                return trainer.train(num_epochs=epochs, seed=seed)
+
+        return _PacmanFacade()
+    raise KeyError(trainer_name)
+
+
 def trainer_from_config(config: Config):
     from habitat_tpu.baselines.ppo import PPOConfig
     from habitat_tpu.baselines.trainer import TrainerConfig
 
     hb = config.habitat_baselines
+    trainer_name = str(hb.get("trainer_name", "ppo"))
+    if trainer_name in ("eqa-cnn-pretrain", "vqa", "pacman"):
+        return il_trainer_from_config(config, trainer_name)
     # hierarchical experiments dispatch to HL-PPO over skills (reference
     # updater_name HRLPPO, rl_hierarchical.yaml); the skill library drives
     # the discrete kinematic action set, so the env is built in discrete

