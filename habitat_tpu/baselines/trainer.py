@@ -53,19 +53,45 @@ class TrainerConfig:
 
 
 class EarlyStopper:
-    """SIGTERM/SIGUSR1 → save resume state and exit cleanly
-    (reference add_signal_handlers, ddp_utils.py:163-179)."""
+    """Preemption signals → clean exit with resume state (reference
+    add_signal_handlers, ddp_utils.py:36-41,163-179): SIGTERM/SIGUSR2 map to
+    EXIT/SAVE_STATE (save ``.resume_state`` and stop); SIGUSR1 is the SLURM
+    preemption notice and additionally REQUEUES the job so the scheduler
+    restarts it (reference requeue_job, ddp_utils.py:227-240)."""
 
     def __init__(self):
         self.should_exit = False
-        for sig in (signal.SIGTERM, signal.SIGUSR1):
+        self.should_requeue = False
+        for sig in (signal.SIGTERM, signal.SIGUSR2):
             try:
                 signal.signal(sig, self._handler)
             except ValueError:
                 pass  # non-main thread
+        try:
+            signal.signal(signal.SIGUSR1, self._requeue_handler)
+        except ValueError:
+            pass
 
     def _handler(self, signum, frame):
         self.should_exit = True
+
+    def _requeue_handler(self, signum, frame):
+        self.should_exit = True
+        self.should_requeue = True
+
+
+def requeue_job() -> bool:
+    """Ask SLURM to requeue this job after preemption (reference
+    ddp_utils.requeue_job:227 — rank0-only ``scontrol requeue $SLURM_JOB_ID``).
+    Returns True if a requeue was issued; no-op outside SLURM."""
+    job_id = os.environ.get("SLURM_JOB_ID")
+    if not job_id or not meshlib.rank0_only():
+        return False
+    import subprocess
+
+    logger.info(f"requeueing SLURM job {job_id}")
+    subprocess.check_call(["scontrol", "requeue", job_id])
+    return True
 
 
 @registry.register_trainer(name="ppo")
@@ -271,9 +297,12 @@ class PPOTrainer:
 
             if stopper.should_exit:
                 # preemption: save hidden resume state and bail
-                # (reference ppo_trainer.py:707-735)
+                # (reference ppo_trainer.py:707-735); on SIGUSR1 also
+                # requeue the SLURM job (ddp_utils.py:227-240)
                 if meshlib.rank0_only():
                     self.save_checkpoint(ts, ".resume_state")
+                if stopper.should_requeue:
+                    requeue_job()
                 break
 
         if writer is not None:

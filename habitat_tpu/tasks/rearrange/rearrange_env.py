@@ -90,6 +90,7 @@ class RearrangeState:
     obj_pos: jnp.ndarray  # (N, O, 3)
     obj_vel: jnp.ndarray  # (N, O, 3) rigid-body velocity (gravity dynamics)
     art_q: jnp.ndarray  # (N, A) joint states
+    art_vel: jnp.ndarray  # (N, A) joint velocities (articulated dynamics)
     joints: jnp.ndarray  # (N, J) arm joint positions (real FK chain)
     held: jnp.ndarray  # (N,) int32, -1 = none
     ever_held: jnp.ndarray  # (N,) bool — picked the right object at least once
@@ -778,6 +779,7 @@ class RearrangeBatchedEnv:
                 (n, self.table.art_pos.shape[1]),
             )
             * self.table.art_valid[ep_idx],
+            art_vel=jnp.zeros((n, self.table.art_pos.shape[1]), jnp.float32),
             joints=jnp.broadcast_to(self._resting, (n, self.n_joints)),
             held=jnp.full((n,), -1, jnp.int32),
             ever_held=jnp.zeros((n,), bool),
@@ -901,14 +903,43 @@ class RearrangeBatchedEnv:
             art_t = self.table.art_target[state.ep_idx]
             goal_q = self.table.art_goal_q[state.ep_idx]
             cur_q = state.art_q[n_idx, art_t]
-            # per-step joint rate: 8cm (prismatic slide) / 0.15rad (door swing)
-            rate = jnp.where(
-                self.table.art_is_revolute[state.ep_idx, art_t], 0.15, 0.08
-            )
-            dq = jnp.clip(goal_q - cur_q, -rate, rate)
-            new_q = jnp.where(interact & near_handle, cur_q + dq, cur_q)
-            art_q = state.art_q.at[n_idx, art_t].set(new_q)
-            state = dataclasses.replace(state, art_q=art_q)
+            if self.dynamics in ("gravity", "contacts"):
+                # single-DoF articulated dynamics (reference: Bullet steps
+                # articulated objects with joint damping/friction inside
+                # internal_step, rearrange_sim.py:1017-1028): grasping the
+                # handle applies a PD generalized force toward the joint
+                # target; a released joint coasts against viscous damping +
+                # Coulomb friction; limits clamp with velocity kill.
+                dt = 0.1
+                is_rev = self.table.art_is_revolute[state.ep_idx, art_t]
+                inertia = jnp.where(is_rev, 0.5, 1.0)  # kg·m² / kg
+                qd = state.art_vel[n_idx, art_t]
+                tau_max = inertia * 6.0  # accel cap, rad/s² | m/s²
+                tau = jnp.clip(25.0 * (goal_q - cur_q) - 8.0 * qd, -tau_max, tau_max)
+                tau = jnp.where(interact & near_handle, tau, 0.0)
+                qd = qd + (tau - 1.0 * qd) / inertia * dt
+                # Coulomb friction: decelerate toward rest, never reverse
+                fric_dv = 0.8 / inertia * dt
+                qd = jnp.sign(qd) * jnp.maximum(jnp.abs(qd) - fric_dv, 0.0)
+                init_q = self.table.art_init_q[state.ep_idx]
+                lo = jnp.minimum(0.0, jnp.minimum(init_q, goal_q))
+                hi = jnp.maximum(0.0, jnp.maximum(init_q, goal_q))
+                raw_q = cur_q + qd * dt
+                new_q = jnp.clip(raw_q, lo, hi)
+                qd = jnp.where((raw_q < lo) | (raw_q > hi), 0.0, qd)
+                art_q = state.art_q.at[n_idx, art_t].set(new_q)
+                art_vel = state.art_vel.at[n_idx, art_t].set(qd)
+                state = dataclasses.replace(state, art_q=art_q, art_vel=art_vel)
+            else:
+                # kinematic joint slide at a fixed per-step rate:
+                # 8cm (prismatic) / 0.15rad (door swing)
+                rate = jnp.where(
+                    self.table.art_is_revolute[state.ep_idx, art_t], 0.15, 0.08
+                )
+                dq = jnp.clip(goal_q - cur_q, -rate, rate)
+                new_q = jnp.where(interact & near_handle, cur_q + dq, cur_q)
+                art_q = state.art_q.at[n_idx, art_t].set(new_q)
+                state = dataclasses.replace(state, art_q=art_q)
 
         # -- magic grasp / release (reference grip_actions.py:38-177) ----
         ee = self._ee_pos(state)
@@ -1061,6 +1092,7 @@ class RearrangeBatchedEnv:
             obj_pos=sel(fresh.obj_pos, state.obj_pos),
             obj_vel=sel(fresh.obj_vel, state.obj_vel),
             art_q=sel(fresh.art_q, state.art_q),
+            art_vel=sel(fresh.art_vel, state.art_vel),
             joints=sel(fresh.joints, state.joints),
             held=sel(fresh.held, state.held),
             ever_held=sel(fresh.ever_held, state.ever_held),

@@ -480,3 +480,72 @@ def test_reach_task_trains_to_success():
         if u > 20 and succ > 0.6:
             break
     assert succ > 0.6, succ
+
+
+def test_articulated_dynamics_open_and_coast():
+    """Articulated joint dynamics (dynamic modes): pulling the handle
+    accelerates the joint toward the goal; releasing mid-way lets it COAST
+    under inertia and settle by friction (reference: Bullet articulated
+    step with joint damping, rearrange_sim.py:1017-1028) — unlike the
+    kinematic mode where the joint freezes the moment the grab stops."""
+    env = make_rearrange_env(
+        num_envs=N,
+        task="open",
+        with_visual=False,
+        max_episode_steps=500,
+        n_rooms_per_axis=1,
+        n_clutter=0,
+        seed=4,
+        dynamics="contacts",
+    )
+    state, obs = env.reset(seed=0)
+    assert np.allclose(np.asarray(state.art_vel), 0.0)
+    # drive every env to its handle, then hold grab
+    pulled_steps = np.zeros(N, np.int32)
+    for t in range(300):
+        handle = np.asarray(env._handle_pos(state))
+        pos = np.asarray(state.pos)
+        yaw = np.asarray(state.yaw)
+        d = handle - pos
+        dist = np.linalg.norm(d[:, [0, 2]], axis=-1)
+        ang_world = np.arctan2(-d[:, 0], -d[:, 2])
+        ang = np.arctan2(np.sin(ang_world - yaw), np.cos(ang_world - yaw))
+        at_handle = dist < 0.8
+        act = np.where(
+            at_handle,
+            A_GRAB,
+            np.where(np.abs(ang) < np.deg2rad(12), A_FWD, np.where(ang > 0, A_LEFT, A_RIGHT)),
+        )
+        pulled_steps += at_handle.astype(np.int32)
+        state, obs, r, done, info = env.step(state, jnp.asarray(act))
+        art_t = np.asarray(env.table.art_target)[np.asarray(state.ep_idx)]
+        qd = np.asarray(state.art_vel)[np.arange(N), art_t]
+        q = np.asarray(state.art_q)[np.arange(N), art_t]
+        # pick an env that has been pulling for a few steps and is mid-slide
+        mid = (pulled_steps >= 3) & (q > 0.05) & (q < 0.25) & (qd > 0.05)
+        if np.any(mid):
+            i = int(np.argmax(mid))
+            break
+    else:
+        raise AssertionError("no env reached a mid-slide pulling state")
+
+    # release: step with a no-op action; the joint must coast forward
+    q0 = float(np.asarray(state.art_q)[i, art_t[i]])
+    qd0 = float(np.asarray(state.art_vel)[i, art_t[i]])
+    noop = jnp.full((N,), A_FWD, jnp.int32)
+    coasted = 0.0
+    for _ in range(40):
+        state, obs, r, done, info = env.step(state, noop)
+        if bool(np.asarray(done)[i]):
+            break
+        qd_i = float(np.asarray(state.art_vel)[i, art_t[i]])
+        coasted = float(np.asarray(state.art_q)[i, art_t[i]]) - q0
+        if qd_i == 0.0:
+            break
+    assert coasted > 0.01, (q0, qd0, coasted)  # inertia carried it forward
+    # and friction eventually stops it
+    assert float(np.asarray(state.art_vel)[i, art_t[i]]) == 0.0
+    # joint stays inside its limits
+    goal = float(np.asarray(env.table.art_goal_q)[np.asarray(state.ep_idx)[i]])
+    qf = float(np.asarray(state.art_q)[i, art_t[i]])
+    assert 0.0 <= qf <= max(goal, 0.0) + 1e-6

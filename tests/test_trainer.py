@@ -107,3 +107,31 @@ def test_evals_per_ep(tmp_path):
         trainer.env, trainer.policy, ts.params, episodes_per_env=1, evals_per_ep=3
     )
     assert m2["num_episodes"] == 3 * m1["num_episodes"]
+
+
+def test_preemption_requeue(tmp_path, monkeypatch):
+    """SIGUSR1 = SLURM preemption: stopper flags exit+requeue and the train
+    loop saves .resume_state then issues `scontrol requeue $SLURM_JOB_ID`
+    (reference ddp_utils.py:36-41,163-179,227-240)."""
+    import signal as _signal
+
+    from habitat_tpu.baselines.trainer import EarlyStopper, requeue_job
+
+    stopper = EarlyStopper()
+    os.kill(os.getpid(), _signal.SIGUSR1)
+    assert stopper.should_exit and stopper.should_requeue
+
+    # SIGUSR2 = SAVE_STATE/EXIT without requeue
+    stopper2 = EarlyStopper()
+    os.kill(os.getpid(), _signal.SIGUSR2)
+    assert stopper2.should_exit and not stopper2.should_requeue
+
+    calls = []
+    import subprocess
+
+    monkeypatch.setattr(subprocess, "check_call", lambda cmd: calls.append(cmd))
+    monkeypatch.delenv("SLURM_JOB_ID", raising=False)
+    assert requeue_job() is False  # no-op outside SLURM
+    monkeypatch.setenv("SLURM_JOB_ID", "1234")
+    assert requeue_job() is True
+    assert calls == [["scontrol", "requeue", "1234"]]
