@@ -17,8 +17,91 @@ import dataclasses
 from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple
 
+import numpy as np
+
 import jax.numpy as jnp
+from jax import lax
 from flax import linen as nn
+
+
+class StemConv(nn.Module):
+    """7x7/stride-2 stem conv, computed as an EXACT space-to-depth-4 3x3 conv.
+
+    Why: with RGBD input the stem has Cin=4, and XLA's TPU conv emitter turns
+    its weight-gradient into a degenerate (batch*spatial)-contraction that
+    measured ~7 TF/s (29.7 ms of the headline update; PROGRESS.md round-2
+    trace). Packing 4x4 input pixels into channels (Cin=64) and 2x2 output
+    pixels into channels (Cout=4*features) re-expresses the same arithmetic
+    as a 3x3 stride-1 conv with layer3-like shapes, which the emitter runs at
+    >200 TF/s here. The weight tensor keeps the reference (7,7,Cin,features)
+    shape/init; the packed kernel is an index-shuffle of it (plus structural
+    zeros), so the module is numerically the original conv (same products,
+    f32 accumulation) and gradients flow to the same parameter.
+
+    Padding matches flax nn.Conv "SAME" for k=7,s=2 (lo=2, hi=3). Falls back
+    to a plain conv when H or W is not divisible by 4. No bias (reference
+    rl/ddppo/policy/resnet.py stem uses bias=False).
+
+    MEASURED NEGATIVE at the headline bench (kept as a recorded experiment,
+    equivalence-tested in tests/test_stem_conv.py): the full train step went
+    14.1k -> 11.7k sps — the 268MB space-to-depth pack/unpack transposes and
+    their transposed counterparts in the backward pass cost more than the
+    30ms wgrad win. A Pallas stem that fuses the packing into the conv's VMEM
+    tiling (no HBM round-trip) is the follow-up; the index math here is the
+    spec for it.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def _pack_plan():
+        # k = 4*d + p - 2*q - 2 for each (d in 0..2, p in 0..3, q in 0..1);
+        # valid taps land in [0, 7) of the original kernel.
+        d = np.arange(3)[:, None, None]
+        p = np.arange(4)[None, :, None]
+        q = np.arange(2)[None, None, :]
+        k = 4 * d + p - 2 * q - 2  # (3,4,2)
+        valid = (k >= 0) & (k < 7)
+        return np.clip(k, 0, 7), valid
+
+    @nn.compact
+    def __call__(self, x):  # (B,H,W,C)
+        B, H, W, C = x.shape
+        f = self.features
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, C, f), jnp.float32
+        )
+        x = x.astype(self.dtype)
+        if H % 4 or W % 4:
+            return lax.conv_general_dilated(
+                x,
+                w.astype(self.dtype),
+                (2, 2),
+                padding=[(2, 3), (2, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        ky, vy = self._pack_plan()
+        # wp[7,:]/[:,7] = 0 absorbs clipped out-of-range taps
+        wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        iy = ky.reshape(3, 4, 2, 1, 1, 1)
+        ix = ky.reshape(1, 1, 1, 3, 4, 2)
+        mask = (vy.reshape(3, 4, 2, 1, 1, 1) & vy.reshape(1, 1, 1, 3, 4, 2))
+        ws = wp[iy, ix] * mask[..., None, None]  # (dy,py,qy,dx,px,qx,C,f)
+        ws = ws.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(3, 3, 16 * C, 4 * f)
+        # space-to-depth 4: feature index = (py*4+px)*C + ci
+        xs = x.reshape(B, H // 4, 4, W // 4, 4, C)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 4, W // 4, 16 * C)
+        y = lax.conv_general_dilated(
+            xs,
+            ws.astype(self.dtype),
+            (1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, H/4, W/4, 4f); feature index = (qy*2+qx)*f + co
+        y = y.reshape(B, H // 4, W // 4, 2, 2, f)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, f)
+        return y
 
 
 def _gn(num_groups: int = 32, dtype=jnp.float32):
@@ -149,6 +232,11 @@ class ResNet(nn.Module):
         s = self.spec
         gn = _gn(s.ngroups, dtype=self.dtype)
         x = x.astype(self.dtype)
+        # Stem stays on the plain conv: the StemConv space-to-depth-4 packing
+        # above fixes the degenerate Cin=4 weight-gradient (7 TF/s, 29.7 ms
+        # of the update) but its 268MB pack/unpack transposes + their bwd
+        # counterparts cost more than the wgrad win at the headline shapes
+        # (full step 14.1k -> 11.7k sps measured; PROGRESS.md round-2 cont.).
         x = nn.Conv(s.base_planes, (7, 7), (2, 2), use_bias=False, dtype=self.dtype)(x)
         x = gn()(x)
         x = nn.relu(x)
