@@ -352,10 +352,17 @@ class NetworkingServer:
     (present in this image); the server runs in a background thread.
     """
 
-    def __init__(self, driver: HitlDriver, host: str = "127.0.0.1", port: int = 8888):
+    def __init__(
+        self,
+        driver: HitlDriver,
+        host: str = "127.0.0.1",
+        port: int = 8888,
+        unity: bool = False,
+    ):
         self.driver = driver
         self.host = host
         self.port = port
+        self.unity = unity  # speak the Unity/VR gfx-replay wire schema
         self._thread = None
         self._stop = False
         self.client_state = RemoteClientState()
@@ -368,11 +375,24 @@ class NetworkingServer:
         import websockets
 
         async def handler(ws):
+            from habitat_tpu.hitl.unity_protocol import (
+                UnitySession,
+                parse_client_state,
+            )
+
             idx = 0
+            # Unity clients get the gfx-replay schema with the late-joiner
+            # consolidated-first-keyframe rule; a session ingests EVERY
+            # driver keyframe (including those before this connection).
+            session = UnitySession() if self.unity else None
             while not self._stop:
                 kfs = self.driver.keyframes[idx:]
                 idx = len(self.driver.keyframes)
-                if kfs:
+                if session is not None:
+                    inc = [session.ingest(kf) for kf in kfs]
+                    if inc or session.needs_consolidated_keyframe:
+                        await ws.send(json.dumps(session.payload_for_send(inc)))
+                elif kfs:
                     await ws.send(json.dumps({"keyframes": kfs}))
                 try:
                     msg = await asyncio.wait_for(ws.recv(), timeout=0.03)
@@ -381,6 +401,14 @@ class NetworkingServer:
                         self.driver.gui_input.press(key)
                     for key in data.get("keys_up", []):
                         self.driver.gui_input.release(key)
+                    # Unity client-state schema: input buttons ride
+                    # data["input"] (reference remote_client_state.py:274)
+                    _, _, inp = parse_client_state(data)
+                    if inp:
+                        for key in inp.get("buttonDown", []):
+                            self.driver.gui_input.press(key)
+                        for key in inp.get("buttonUp", []):
+                            self.driver.gui_input.release(key)
                     # client->server state channel (avatar poses, pointer,
                     # keyframe ack — reference remote_client_state.py)
                     self.client_state.update(data)
