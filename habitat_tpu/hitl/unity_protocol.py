@@ -85,8 +85,11 @@ def to_gfx_keyframe(
     agent = internal_kf.get("agent")
     if agent is not None:
         rot = agent.get("rotation", [0.0])
-        yaw = float(rot[0]) if len(rot) == 1 else 0.0
-        quat = _yaw_quat_wxyz(yaw) if len(rot) == 1 else [float(x) for x in rot]
+        if len(rot) == 1:  # yaw scalar (batched-engine state lane)
+            quat = _yaw_quat_wxyz(float(rot[0]))
+        else:  # [x,y,z,w] quaternion (habitat-lab convention, tpu_sim.py)
+            x, y, z, w = (float(v) for v in rot)
+            quat = [w, x, y, z]
         if first:
             creations.append(
                 {

@@ -130,3 +130,23 @@ def test_wrap_and_user_keyframe():
     assert wire["keyframes"][0]["message"] == {"sceneChanged": True}
     # no-message path leaves the keyframe untouched
     assert "message" not in get_user_keyframe(kf, None)
+
+
+def test_xyzw_agent_quaternion_reordered_to_wxyz():
+    """TpuSim agent rotation is [x,y,z,w] (tpu_sim.py:218); the Unity wire
+    carries [w,x,y,z]."""
+    yaw = 0.8
+    kf = to_gfx_keyframe(
+        {
+            "agent": {
+                "position": [0, 0, 0],
+                "rotation": [0.0, np.sin(yaw / 2), 0.0, np.cos(yaw / 2)],
+            }
+        }
+    )
+    q = kf["stateUpdates"][0]["state"]["absTransform"]["rotation"]
+    np.testing.assert_allclose(q, _yaw_quat_wxyz_expected(yaw), atol=1e-6)
+
+
+def _yaw_quat_wxyz_expected(yaw):
+    return [np.cos(yaw / 2), 0.0, np.sin(yaw / 2), 0.0]
