@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 from gymnasium import spaces
 
+from habitat_tpu.articulated_agents import dynamics as arm_dyn
 from habitat_tpu.articulated_agents import kinematics as kin
 from habitat_tpu.articulated_agents.params import ROBOTS
 from habitat_tpu.core.dataset import EpisodeTable
@@ -92,6 +93,10 @@ class RearrangeState:
     art_q: jnp.ndarray  # (N, A) joint states
     art_vel: jnp.ndarray  # (N, A) joint velocities (articulated dynamics)
     joints: jnp.ndarray  # (N, J) arm joint positions (real FK chain)
+    joint_vel: jnp.ndarray  # (N, J) arm joint velocities (arm_dynamics mode)
+    motor_target: jnp.ndarray  # (N, J) accumulated PD motor targets
+    #   (reference ArmRelPosAction integrates deltas on arm_motor_pos,
+    #   actions.py:167-238 — NOT on the measured joint position)
     held: jnp.ndarray  # (N,) int32, -1 = none
     ever_held: jnp.ndarray  # (N,) bool — picked the right object at least once
     accum_force: jnp.ndarray  # (N,) running contact force on the robot
@@ -249,6 +254,8 @@ class RearrangeBatchedEnv:
         control: Optional[str] = None,  # discrete | continuous | arm | arm_ee
         robot: str = "FetchRobot",
         max_joint_delta: float = 0.1,  # rad per step (ArmRelPosAction scale)
+        arm_dynamics: bool = False,  # PD motors + gravity (ArmRelPosAction)
+        #   vs direct kinematic joint set (ArmRelPosKinematicAction)
         ee_delta: float = 0.06,  # m per step (ArmEEAction scale)
         arm_grasp_distance: float = 0.25,
         max_accum_force: float = -1.0,  # >0 enables ForceTerminate semantics
@@ -290,6 +297,10 @@ class RearrangeBatchedEnv:
         self.rparams = ROBOTS[robot]
         self.n_joints = self.rparams.arm_joints
         self.max_joint_delta = max_joint_delta
+        self.arm_dynamics = arm_dynamics
+        self._arm_dyn = arm_dyn.default_arm_dynamics(
+            self.rparams, kp=300.0, kd=30.0
+        )
         self.ee_delta = ee_delta
         self._resting = jnp.asarray(self.rparams.resting_pose, jnp.float32)
         self._arm_root = jnp.asarray(self.rparams.arm_root_offset, jnp.float32)
@@ -781,6 +792,8 @@ class RearrangeBatchedEnv:
             * self.table.art_valid[ep_idx],
             art_vel=jnp.zeros((n, self.table.art_pos.shape[1]), jnp.float32),
             joints=jnp.broadcast_to(self._resting, (n, self.n_joints)),
+            joint_vel=jnp.zeros((n, self.n_joints), jnp.float32),
+            motor_target=jnp.broadcast_to(self._resting, (n, self.n_joints)),
             held=jnp.full((n,), -1, jnp.int32),
             ever_held=jnp.zeros((n,), bool),
             accum_force=jnp.zeros((n,), jnp.float32),
@@ -806,6 +819,8 @@ class RearrangeBatchedEnv:
         sid = self._sid(state)
 
         new_joints = state.joints
+        new_joint_vel = state.joint_vel
+        new_motor = state.motor_target
         if self.control == "arm":
             # [J joint deltas | grip | base lin | base ang]
             acts = jnp.clip(actions.astype(jnp.float32), -1.0, 1.0)
@@ -813,7 +828,25 @@ class RearrangeBatchedEnv:
             dq = acts[:, :J] * self.max_joint_delta
             lo = jnp.asarray(self.rparams.joint_limits_lower, jnp.float32)
             hi = jnp.asarray(self.rparams.joint_limits_upper, jnp.float32)
-            new_joints = jnp.clip(state.joints + dq, lo, hi)
+            if self.arm_dynamics:
+                # reference ArmRelPosAction: the delta accumulates on the
+                # Bullet joint MOTOR target and the multibody integrates
+                # under gravity (actions.py:167-238 + manipulator.py:79-120).
+                # Here: PD motors + lumped-mass articulated dynamics
+                # (dynamics.py).
+                new_motor = jnp.clip(state.motor_target + dq, lo, hi)
+                new_joints, new_joint_vel = jax.vmap(
+                    functools.partial(
+                        arm_dyn.step_arm,
+                        self.rparams,
+                        self._arm_dyn,
+                        dt=1.0 / 30.0,
+                        substeps=4,
+                    )
+                )(state.joints, state.joint_vel, new_motor)
+            else:
+                # reference ArmRelPosKinematicAction: joints set directly
+                new_joints = jnp.clip(state.joints + dq, lo, hi)
             grip = acts[:, J] > 0.0
             lin = acts[:, J + 1]
             ang = acts[:, J + 2]
@@ -884,6 +917,8 @@ class RearrangeBatchedEnv:
             yaw=yaw,
             prev_pos=state.pos,
             joints=new_joints,
+            joint_vel=new_joint_vel,
+            motor_target=new_motor,
             stop_called=stop,
             collided=collided,
             collision_count=state.collision_count + collided.astype(jnp.int32),
@@ -1094,6 +1129,8 @@ class RearrangeBatchedEnv:
             art_q=sel(fresh.art_q, state.art_q),
             art_vel=sel(fresh.art_vel, state.art_vel),
             joints=sel(fresh.joints, state.joints),
+            joint_vel=sel(fresh.joint_vel, state.joint_vel),
+            motor_target=sel(fresh.motor_target, state.motor_target),
             held=sel(fresh.held, state.held),
             ever_held=sel(fresh.ever_held, state.ever_held),
             accum_force=sel(fresh.accum_force, state.accum_force),
