@@ -380,19 +380,57 @@ class NetworkingServer:
                 parse_client_state,
             )
 
+            from habitat_tpu.hitl.unity_protocol import (
+                get_empty_keyframe,
+                update_consolidated_keyframe,
+            )
+
             idx = 0
             # Unity clients get the gfx-replay schema with the late-joiner
             # consolidated-first-keyframe rule; a session ingests EVERY
             # driver keyframe (including those before this connection).
             session = UnitySession() if self.unity else None
+            # Per-connection flow control (reference
+            # is_okay_to_send_keyframes): once the client falls more than
+            # MAX_LAG keyframes behind its last recentServerKeyframeId ack,
+            # incrementals are coalesced into a catch-up keyframe instead of
+            # growing an unbounded send backlog.
+            MAX_LAG = 20
+            conn_ack = None  # latest ack from THIS client
+            sent_hwm = -1  # highest keyframe id sent on this connection
+            catchup = None  # coalesced keyframe accumulated while blocked
             while not self._stop:
                 kfs = self.driver.keyframes[idx:]
                 idx = len(self.driver.keyframes)
                 if session is not None:
                     inc = [session.ingest(kf) for kf in kfs]
-                    if inc or session.needs_consolidated_keyframe:
-                        await ws.send(json.dumps(session.payload_for_send(inc)))
+                    blocked = (
+                        conn_ack is not None and sent_hwm - conn_ack > MAX_LAG
+                    )
+                    if blocked and not session.needs_consolidated_keyframe:
+                        if inc:
+                            if catchup is None:
+                                catchup = get_empty_keyframe()
+                            for kf in inc:
+                                update_consolidated_keyframe(catchup, kf)
+                    else:
+                        if catchup is not None or len(inc) > MAX_LAG:
+                            # coalesce the backlog (post-block catch-up OR an
+                            # oversized per-poll burst) into one keyframe:
+                            # the client needs creations + latest state, not
+                            # every intermediate pose
+                            ck = catchup or get_empty_keyframe()
+                            for kf in inc:
+                                update_consolidated_keyframe(ck, kf)
+                            inc, catchup = [ck], None
+                        if inc or session.needs_consolidated_keyframe:
+                            payload = session.payload_for_send(inc)
+                            for kf in payload["keyframes"]:
+                                sent_hwm = max(sent_hwm, kf.get("id", -1))
+                            await ws.send(json.dumps(payload))
                 elif kfs:
+                    for kf in kfs:
+                        sent_hwm = max(sent_hwm, kf.get("id", -1))
                     await ws.send(json.dumps({"keyframes": kfs}))
                 try:
                     msg = await asyncio.wait_for(ws.recv(), timeout=0.03)
@@ -414,6 +452,7 @@ class NetworkingServer:
                     self.client_state.update(data)
                     ack = self.client_state.recent_server_keyframe_id
                     if ack is not None:
+                        conn_ack = ack
                         self.client_lag = len(self.driver.keyframes) - 1 - ack
                 except Exception:
                     pass

@@ -43,6 +43,22 @@ def _yaw_quat_wxyz(yaw: float) -> List[float]:
     return [float(np.cos(yaw / 2.0)), 0.0, float(np.sin(yaw / 2.0)), 0.0]
 
 
+def _wire_quat(rot) -> List[float]:
+    """Normalize a driver rotation lane to wire order [w, x, y, z].
+
+    Accepts a 1-element yaw scalar (batched-engine state lane) or a
+    4-element [x, y, z, w] quaternion (the habitat-lab convention used for
+    the agent, tpu_sim.py). Both the agent and object lanes route through
+    this one normalization so component order can't diverge per lane."""
+    if rot is None:
+        return [1.0, 0.0, 0.0, 0.0]
+    rot = [float(v) for v in rot]
+    if len(rot) == 1:
+        return _yaw_quat_wxyz(rot[0])
+    x, y, z, w = rot
+    return [w, x, y, z]
+
+
 def get_empty_keyframe() -> Keyframe:
     return {
         "loads": [],
@@ -79,17 +95,16 @@ def to_gfx_keyframe(
     the reference ships render-asset filepaths from habitat-sim — here the
     engine's procedural/GLB assets are addressed by instanceKey)."""
     kf: Keyframe = {}
+    if "id" in internal_kf:
+        # wire id the client echoes back as recentServerKeyframeId; the
+        # server gates sends on it (reference is_okay_to_send_keyframes)
+        kf["id"] = int(internal_kf["id"])
     creations: List[Dict[str, Any]] = []
     updates: List[Dict[str, Any]] = []
 
     agent = internal_kf.get("agent")
     if agent is not None:
-        rot = agent.get("rotation", [0.0])
-        if len(rot) == 1:  # yaw scalar (batched-engine state lane)
-            quat = _yaw_quat_wxyz(float(rot[0]))
-        else:  # [x,y,z,w] quaternion (habitat-lab convention, tpu_sim.py)
-            x, y, z, w = (float(v) for v in rot)
-            quat = [w, x, y, z]
+        quat = _wire_quat(agent.get("rotation", [0.0]))
         if first:
             creations.append(
                 {
@@ -112,7 +127,7 @@ def to_gfx_keyframe(
                 }
             )
         updates.append(
-            _state_update(key, obj["position"], obj.get("rotation", [1, 0, 0, 0]))
+            _state_update(key, obj["position"], _wire_quat(obj.get("rotation")))
         )
 
     hum = internal_kf.get("humanoid")
@@ -140,6 +155,10 @@ def to_gfx_keyframe(
         kf["creations"] = creations
     if updates:
         kf["stateUpdates"] = updates
+    if "message" in internal_kf:
+        # per-keyframe UI/text channel (the non-unity branch ships it inside
+        # {"keyframes": kfs}; Unity clients read kf["message"])
+        kf["message"] = internal_kf["message"]
     if "articulations" in internal_kf:
         kf.setdefault("metadata", []).append(
             {
@@ -154,6 +173,9 @@ def update_consolidated_keyframe(con: Keyframe, inc: Keyframe) -> None:
     """Merge an incremental keyframe into a consolidated one
     (reference keyframe_utils.update_consolidated_keyframe semantics)."""
     assert con is not None and inc is not None
+
+    if "id" in inc:
+        con["id"] = inc["id"]
 
     if "loads" in inc:
         con.setdefault("loads", [])
@@ -271,13 +293,27 @@ class UnitySession:
         self, inc_keyframes: List[Keyframe],
         message: Optional[Dict[str, Any]] = None,
     ) -> Dict[str, Any]:
-        """Wire payload: late joiners get the consolidated keyframe first."""
-        to_send: List[Keyframe] = []
+        """Wire payload: late joiners get the consolidated keyframe ONLY.
+
+        ``ingest`` folds every incremental into the consolidated keyframe
+        *before* this is called, so on the consolidated send the incrementals
+        are already inside it — emitting them again would double-apply
+        creations and rewind stateUpdates on the client (the reference avoids
+        the overlap by building the payload before folding,
+        networking_process.py send loop). We take the equivalent
+        drop-the-incrementals form; any ``message`` still rides the
+        consolidated keyframe so the text HUD isn't lost."""
         if self.needs_consolidated_keyframe:
-            to_send.append(get_user_keyframe(self.consolidated, None))
             self.needs_consolidated_keyframe = False
-        to_send.extend(
-            get_user_keyframe(kf, message if i == len(inc_keyframes) - 1 else None)
+            if message is None and inc_keyframes:
+                message = inc_keyframes[-1].get("message")
+            return wrap_keyframes([get_user_keyframe(self.consolidated, message)])
+        to_send = [
+            get_user_keyframe(
+                kf,
+                (message if i == len(inc_keyframes) - 1 else None)
+                or kf.get("message"),
+            )
             for i, kf in enumerate(inc_keyframes)
-        )
+        ]
         return wrap_keyframes(to_send)

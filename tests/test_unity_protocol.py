@@ -82,23 +82,72 @@ def test_consolidation_deletion_cancels_creation():
     assert 999 in con["deletions"]
 
 
-def test_late_joiner_gets_consolidated_keyframe_first():
+def test_late_joiner_gets_consolidated_keyframe_only():
     session = UnitySession()
     kf1 = session.ingest(_internal_kf(agent_pos=(1, 0, 1), objs=[(2, 0, 2)]))
     kf2 = session.ingest(_internal_kf(step=1, agent_pos=(3, 0, 3), objs=[(4, 0, 4)]))
-    # client connects "late": first payload = consolidated + both incrementals
+    # client connects "late": the first payload is the consolidated keyframe
+    # ALONE — ingest already folded kf1/kf2 into it, so sending them again
+    # would double-apply creations and rewind state (ADVICE round-2 high)
     payload = session.payload_for_send([kf1, kf2], message={"serverTime": 1.0})
     kfs = payload["keyframes"]
-    assert len(kfs) == 3
+    assert len(kfs) == 1
     first = kfs[0]
     su = {u["instanceKey"]: u["state"] for u in first["stateUpdates"]}
     assert su[AVATAR_KEY]["absTransform"]["translation"] == [3.0, 0.0, 3.0]
-    # the per-user message rides the LAST keyframe only
-    assert "message" not in kfs[1] and kfs[2]["message"] == {"serverTime": 1.0}
-    # subsequent sends: no consolidated prefix
+    # exactly ONE creation per instanceKey in the consolidated keyframe
+    keys = [c["instanceKey"] for c in first["creations"]]
+    assert len(keys) == len(set(keys))
+    # the per-user message still reaches the late joiner
+    assert first["message"] == {"serverTime": 1.0}
+    # subsequent sends: incrementals, no consolidated prefix
     kf3 = session.ingest(_internal_kf(step=2))
-    payload2 = session.payload_for_send([kf3])
+    payload2 = session.payload_for_send([kf3], message={"serverTime": 2.0})
     assert len(payload2["keyframes"]) == 1
+    assert "creations" not in payload2["keyframes"][0]
+    assert payload2["keyframes"][0]["message"] == {"serverTime": 2.0}
+
+
+def test_message_channel_carried_through():
+    """hitl_main.make_keyframe attaches kf["message"] (text HUD); Unity
+    clients must receive it (ADVICE round-2 low)."""
+    internal = _internal_kf()
+    internal["message"] = {"texts": [["hello", [1, 1, 1, 1]]]}
+    kf = to_gfx_keyframe(internal)
+    assert kf["message"] == {"texts": [["hello", [1, 1, 1, 1]]]}
+    # survives get_user_keyframe with no explicit message
+    assert get_user_keyframe(kf, None)["message"] == kf["message"]
+
+
+def test_object_rotation_normalized_like_agent():
+    """Object rotations route through the same yaw/xyzw->wxyz normalization
+    as the agent lane (ADVICE round-2 low)."""
+    yaw = 0.8
+    xyzw = [0.0, np.sin(yaw / 2), 0.0, np.cos(yaw / 2)]
+    kf = to_gfx_keyframe(
+        {
+            "objects": [
+                {"id": 0, "position": [1, 0, 1], "rotation": xyzw},
+                {"id": 1, "position": [2, 0, 2], "rotation": [yaw]},
+                {"id": 2, "position": [3, 0, 3]},
+            ]
+        }
+    )
+    rots = [
+        u["state"]["absTransform"]["rotation"] for u in kf["stateUpdates"]
+    ]
+    np.testing.assert_allclose(rots[0], _yaw_quat_wxyz_expected(yaw), atol=1e-6)
+    np.testing.assert_allclose(rots[1], _yaw_quat_wxyz_expected(yaw), atol=1e-6)
+    assert rots[2] == [1.0, 0.0, 0.0, 0.0]
+
+
+def test_keyframe_id_propagates_to_wire_and_consolidated():
+    internal = _internal_kf()
+    internal["id"] = 41
+    session = UnitySession()
+    kf = session.ingest(internal)
+    assert kf["id"] == 41
+    assert session.consolidated["id"] == 41
 
 
 def test_parse_client_state():
