@@ -447,6 +447,142 @@ def select_chunks_occluded(
     return idx.astype(jnp.int32)
 
 
+def tile_plane_normals_cam(
+    hfov_rad: float, height: int, width: int, th: int, tw: int
+) -> np.ndarray:
+    """Inward side-plane normals of each screen-tile frustum, camera frame.
+
+    Tiles raster row-major over (height//th, width//tw); rays of tile j are
+    the row-major pixels of that block (for tw == width this is exactly the
+    kernel's consecutive-ray tiling). Planes pass through the camera apex and
+    the tile's outermost pixel-center rays padded outward by half a pixel:
+    for the unnormalized pixel dir (px, py, -1),
+      left   px >= x_lo  <=>  dot(( 1, 0,  x_lo), d) >= 0
+      right  px <= x_hi  <=>  dot((-1, 0, -x_hi), d) >= 0
+      bottom py >= y_lo  <=>  dot(( 0, 1,  y_lo), d) >= 0
+      top    py <= y_hi  <=>  dot(( 0,-1, -y_hi), d) >= 0
+    Returns (n_tiles, 4, 3) float32. A triangle with ALL THREE vertices
+    outside ONE plane cannot be hit by any ray of the tile: every tile dir d
+    has dot(n, d) >= 0, so ray points o + t d satisfy dot(n, p - o) >= 0,
+    while every point of the triangle has dot(n, p - o) < 0.
+    """
+    fx = float(np.tan(hfov_rad / 2.0))
+    aspect = height / width
+    xs = np.linspace(-fx, fx, width)
+    ys = np.linspace(fx * aspect, -fx * aspect, height)
+    dx = xs[1] - xs[0] if width > 1 else fx
+    dy = abs(ys[1] - ys[0]) if height > 1 else fx * aspect
+    nty, ntx = height // th, width // tw
+    planes = np.zeros((nty, ntx, 4, 3), np.float32)
+    for ty in range(nty):
+        for tx in range(ntx):
+            x_lo = xs[tx * tw] - 0.5 * dx
+            x_hi = xs[tx * tw + tw - 1] + 0.5 * dx
+            y_hi = ys[ty * th] + 0.5 * dy  # ys descends
+            y_lo = ys[ty * th + th - 1] - 0.5 * dy
+            planes[ty, tx, 0] = (1.0, 0.0, x_lo)
+            planes[ty, tx, 1] = (-1.0, 0.0, -x_hi)
+            planes[ty, tx, 2] = (0.0, 1.0, y_lo)
+            planes[ty, tx, 3] = (0.0, -1.0, -y_hi)
+    return planes.reshape(nty * ntx, 4, 3)
+
+
+def bin_tris_tiles(
+    tri_v0: jnp.ndarray,  # (S, T, 3)
+    tri_e1: jnp.ndarray,
+    tri_e2: jnp.ndarray,
+    tri_valid: jnp.ndarray,  # (S, T)
+    sids: jnp.ndarray,  # (N,)
+    cam_pos: jnp.ndarray,  # (N, 3)
+    yaw: jnp.ndarray,
+    pitch: jnp.ndarray,
+    planes_cam: jnp.ndarray,  # (nt, 4, 3) from tile_plane_normals_cam
+) -> jnp.ndarray:
+    """Conservative per-screen-tile triangle culling flags.
+
+    Returns culled (N, nt, T) bool. EXACT-conservative: a culled triangle
+    cannot be hit by any ray of its tile (see tile_plane_normals_cam), so
+    dropping culled triangles reproduces the brute-force result
+    bit-for-bit.
+    """
+    from habitat_tpu.utils.geometry import view_rotation_matrix
+
+    hi = jax.lax.Precision.HIGHEST
+    R = view_rotation_matrix(yaw, pitch)  # (N,3,3), d_world = R @ d_cam
+    # HIGHEST throughout: at default precision the bf16 passes round these
+    # ~scene-scale dots by up to ~0.04 and misclassify borderline vertices —
+    # measured as 1.7k/2k true-winner culls on the bench scenes (round 3).
+    # The -1e-3 margin absorbs the remaining f32 rounding of both this test
+    # and the kernel's G products (conservative: keeps, never culls, ties).
+    nw = jnp.einsum("nij,kpj->nkpi", R, planes_cam, precision=hi)
+    v0 = tri_v0[sids]  # (N,T,3)
+    e1 = tri_e1[sids]
+    e2 = tri_e2[sids]
+    rel0 = v0 - cam_pos[:, None, :]
+    # dots for the 3 vertices: d0 = n.(v0-o), d1 = d0 + n.e1, d2 = d0 + n.e2
+    d0 = jnp.einsum("nkpc,ntc->nkpt", nw, rel0, precision=hi)  # (N,nt,4,T)
+    de1 = jnp.einsum("nkpc,ntc->nkpt", nw, e1, precision=hi)
+    de2 = jnp.einsum("nkpc,ntc->nkpt", nw, e2, precision=hi)
+    eps = -1e-3
+    out_all = (d0 < eps) & (d0 + de1 < eps) & (d0 + de2 < eps)  # 3 verts out
+    return jnp.any(out_all, axis=2) | ~tri_valid[sids][:, None, :]
+
+
+def bin_tris_tiles_order(
+    tri_v0, tri_e1, tri_e2, tri_valid, sids, cam_pos, yaw, pitch, planes_cam
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-tri binning as (order, cnt): survivors first in original index
+    order (stable sort), cnt survivors per (env, tile)."""
+    culled = bin_tris_tiles(
+        tri_v0, tri_e1, tri_e2, tri_valid, sids, cam_pos, yaw, pitch,
+        planes_cam,
+    )
+    cnt = jnp.sum(~culled, axis=-1).astype(jnp.int32)  # (N, nt)
+    order = jnp.argsort(culled, axis=-1, stable=True).astype(jnp.int32)
+    return order, cnt
+
+
+def select_chunks_frustum(
+    tri_v0: jnp.ndarray,  # (S, T, 3)
+    tri_e1: jnp.ndarray,
+    tri_e2: jnp.ndarray,
+    tri_valid: jnp.ndarray,  # (S, T)
+    sids: jnp.ndarray,  # (N,)
+    cam_pos: jnp.ndarray,  # (N, 3)
+    yaw: jnp.ndarray,
+    pitch: jnp.ndarray,
+    planes_cam: jnp.ndarray,  # (nt, 4, 3) from tile_plane_normals_cam
+    tri_chunk: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Chunk-granularity conservative frustum culling for the tile-culled
+    kernel: a chunk survives for an (env, tile) iff any of its triangles
+    does under bin_tris_tiles' vertex-plane test.
+
+    Returns (chunk_ids (N, nt, K=T//C) int32, cnt (N, nt) int32):
+    survivors first in ascending chunk order (closest-hit tie-breaking
+    unchanged), the tail PADDED WITH THE LAST SURVIVOR so the kernel's
+    consecutive-duplicate index_map values elide the tail DMAs (re-testing
+    the duplicate is prevented by the k < cnt gate). cnt == 0 pads with
+    chunk 0 (fully gated)."""
+    culled = bin_tris_tiles(
+        tri_v0, tri_e1, tri_e2, tri_valid, sids, cam_pos, yaw, pitch,
+        planes_cam,
+    )
+    N, nt, T = culled.shape
+    C = tri_chunk
+    K = T // C
+    surv_chunk = jnp.any(~culled.reshape(N, nt, K, C), axis=-1)  # (N,nt,K)
+    cnt = jnp.sum(surv_chunk, axis=-1).astype(jnp.int32)
+    ids = jnp.argsort(~surv_chunk, axis=-1, stable=True).astype(jnp.int32)
+    # duplicate-pad the tail with the last survivor
+    last = jnp.take_along_axis(
+        ids, jnp.maximum(cnt - 1, 0)[:, :, None], axis=-1
+    )  # (N, nt, 1)
+    kk = jnp.arange(K, dtype=jnp.int32)
+    ids = jnp.where(kk[None, None, :] < cnt[:, :, None], ids, last)
+    return ids, cnt
+
+
 def select_chunks_hier(
     chunk_bounds: jnp.ndarray,
     origins: jnp.ndarray,
@@ -576,16 +712,58 @@ def render_batch(
             ((0, 0), (0, 4), (0, 0)),
         )  # (n_tiles, 8, Rt)
         Bt = jnp.pad(B.transpose(0, 2, 1), ((0, 0), (0, 6), (0, 0)))  # (N,16,4)
-        t, idx = raycast_pallas_fused_t(
-            group_tri_mat(pack.tri_mat),
-            sids,
-            d_t,
-            Bt,
-            ray_tile=ray_tile,
-        )
-        hit = idx >= 0
         T = pack.tri_attr.shape[1]
-        table_t = pack.tri_attr[sids].transpose(0, 2, 1)  # (N,8,T)
+        # v8 small/mid-scene path: conservative per-screen-tile frustum
+        # culling at C=32 chunk granularity (select_chunks_frustum) feeds
+        # the dynamic-count fused kernel — hit-test VPU work (the brute
+        # kernel's measured floor) scales with the surviving chunk count
+        # while keeping the whole-scene-in-VMEM layout. Beyond 4096 tris
+        # the O(T)-per-tile culling einsums grow past the kernel saving;
+        # very large scenes use the occlusion-culled path below.
+        use_sel = T <= 4096 and ray_tile % width == 0 and T % 32 == 0
+        sky = jnp.array([0.65, 0.75, 0.9], jnp.float32)
+        if use_sel:
+            from habitat_tpu.ops.raycast_pallas import (
+                raycast_pallas_fused_sel_t,
+            )
+
+            th = ray_tile // width
+            planes = jnp.asarray(
+                tile_plane_normals_cam(
+                    np.deg2rad(hfov_deg), height, width, th, width
+                )
+            )
+            ids, cnt = select_chunks_frustum(
+                pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid,
+                sids, cam_pos, yaw, pitch, planes, tri_chunk=32,
+            )
+            t, idx = raycast_pallas_fused_sel_t(
+                group_tri_mat(pack.tri_mat, tri_chunk=32),
+                sids, ids, cnt, d_t, Bt, ray_tile=ray_tile, tri_chunk=32,
+            )
+        else:
+            t, idx = raycast_pallas_fused_t(
+                group_tri_mat(pack.tri_mat),
+                sids,
+                d_t,
+                Bt,
+                ray_tile=ray_tile,
+            )
+        hit = idx >= 0
+        # extraction table carries v0 alongside the display attrs so the
+        # epilogue can recover t PLANE-EXACTLY: the kernel's default-
+        # precision G matmul leaves ~bf16 mantissa error in the determinant
+        # ratio (7.5mm median / 93mm p99 depth error vs the CPU f32
+        # reference, round 3) — t = n.(v0 - o) / (n.d) recomputed in exact
+        # f32 removes it. HIGHEST keeps the one-hot COPY exact (default
+        # bf16 passes round v0/n into a 15-40mm bimodal tail).
+        table_t = jnp.concatenate(
+            [
+                pack.tri_attr[sids].transpose(0, 2, 1),  # (N,8,T)
+                pack.tri_v0[sids].transpose(0, 2, 1),  # (N,3,T)
+            ],
+            axis=1,
+        )  # (N, 11, T)
         oh = (
             jnp.arange(T, dtype=idx.dtype)[None, :, None] == idx[:, None, :]
         ).astype(jnp.float32)  # (N,T,R)
@@ -594,24 +772,30 @@ def render_batch(
             oh,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * hit[:, None, :].astype(jnp.float32)  # (N,8,R)
+            precision=jax.lax.Precision.HIGHEST,
+        ) * hit[:, None, :].astype(jnp.float32)  # (N,11,R)
         dirs_t = jnp.einsum(
             "rk,nkf->nfr",
             d_aug,
             B[..., 0:3],
             precision=jax.lax.Precision.HIGHEST,
-        )  # (N, 3, R) world-space dirs (shading only)
-        # planar depth: dirs . fwd = (R d_cam) . (R fwd_cam) = -d_cam_z,
-        # constant per pixel
-        z = t * (-d_cam[None, :, 2])
+        )  # (N, 3, R) world-space dirs
+        nd = jnp.sum(attrs_t[:, 0:3] * dirs_t, axis=1)  # (N,R) signed n.d
+        num = jnp.sum(
+            attrs_t[:, 0:3]
+            * (attrs_t[:, 8:11] - cam_pos.astype(jnp.float32)[:, :, None]),
+            axis=1,
+        )  # (N,R) n.(v0 - o)
+        ok = hit & (jnp.abs(nd) > 1e-6)
+        t_pl = jnp.where(ok, num / jnp.where(ok, nd, 1.0), t)
+        z = t_pl * (-d_cam[None, :, 2])
         z = jnp.where(hit, z, max_depth)
         z = jnp.clip(z, min_depth, max_depth)
         if normalize_depth:
             z = (z - min_depth) / (max_depth - min_depth)
         depth = z.reshape(N, height, width, 1).astype(jnp.float32)
-        lambert = jnp.abs(jnp.sum(attrs_t[:, 0:3] * dirs_t, axis=1))  # (N,R)
+        lambert = jnp.abs(nd)
         shade = 0.35 + 0.65 * lambert
-        sky = jnp.array([0.65, 0.75, 0.9], jnp.float32)
         rgb_t = jnp.where(
             hit[:, None, :], attrs_t[:, 3:6] * shade[:, None, :], sky[None, :, None]
         )

@@ -476,6 +476,413 @@ def raycast_pallas_fused_t(
     return t.reshape(N, R), idx.reshape(N, R)
 
 
+def _fused_sel_kernel_t(
+    sids_ref,  # scalar-prefetch (N,)
+    chunks_ref,  # scalar-prefetch (N*nt*K,) FLAT survivor chunk ids
+    cnt_ref,  # scalar-prefetch (N*nt,) FLAT survivor counts
+    b_ref,  # (1, 16, 4) SMEM — B[env]^T (feature rows x k), rows 10:16 pad
+    d_ref,  # (1, 8, ray_tile) VMEM — camera-frame [d, 1] transposed
+    m_ref,  # (1, 10, 4T) VMEM — CHUNK-GROUPED scene matrix (group_tri_mat)
+    t_out,  # (1, 1, 1, ray_tile) f32
+    i_out,  # (1, 1, 1, ray_tile) i32 — global tri index, -1 = miss
+    *,
+    tri_chunk: int,
+    n_tiles: int,
+    max_chunks: int,
+):
+    """v8 small-scene kernel: the fused whole-scene-in-VMEM layout of
+    _fused_kernel_t, but the chunk loop visits ONLY the per-screen-tile
+    frustum-culling survivors (select_chunks_frustum): the fori_loop bound
+    is the dynamic survivor count from SMEM and each iteration dynamic-
+    slices the grouped scene matrix at the surviving chunk's 128-aligned
+    lane offset. VPU hit-test work — the measured floor of the brute kernel
+    — scales with survivors (~2.5/4 chunks on bench scenes, far lower on
+    bigger packs) at zero per-chunk DMA or grid-step overhead. Selection
+    semantics identical to _fused_kernel_t: ascending chunk order, strict <
+    across chunks, argmin-first within (winner among tris closer than each
+    other's G rounding may differ from the brute kernel — measured 0.03%
+    of rays on shared-edge near-ties, zero hit/miss disagreements)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    C = tri_chunk
+    D = d_ref[0]  # (8, Rt)
+    Rt = D.shape[1]
+    rows = []
+    for f in range(10):
+        acc = b_ref[0, f, 0] * D[0:1, :]
+        for k in range(1, 4):
+            acc = acc + b_ref[0, f, k] * D[k : k + 1, :]
+        rows.append(acc)
+    F = jnp.concatenate(rows, axis=0)  # (10, Rt) f32
+
+    base = (i * n_tiles + j) * max_chunks
+    nch = cnt_ref[i * n_tiles + j]
+
+    def body(c, carry):
+        best_t, best_i = carry
+        cid = chunks_ref[base + c]
+        G = jax.lax.dot_general(
+            m_ref[0, :, pl.ds(cid * 4 * C, 4 * C)],
+            F,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (4C, Rt)
+        detA = G[0 * C : 1 * C]
+        tnum = G[1 * C : 2 * C]
+        unum = G[2 * C : 3 * C]
+        vnum = G[3 * C : 4 * C]
+        aa = detA * detA
+        p = unum * detA
+        q = vnum * detA
+        w = tnum * detA
+        m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
+        m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
+        hit = (m1 >= 0.0) & (m2 > 0.0)
+        t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
+        tmin = jnp.min(t, axis=0)  # (Rt,)
+        win = jnp.argmin(t, axis=0).astype(jnp.int32)
+        better = tmin < best_t
+        return (
+            jnp.where(better, tmin, best_t),
+            jnp.where(better, cid * C + win, best_i),
+        )
+
+    init = (
+        jnp.full((Rt,), _TMAX, jnp.float32),
+        jnp.full((Rt,), -1, jnp.int32),
+    )
+    best_t, best_i = lax.fori_loop(0, nch, body, init)
+    miss = best_t >= _TMAX * 0.5
+    t_out[0, 0] = jnp.where(miss, _TMAX, best_t)[None, :]
+    i_out[0, 0] = jnp.where(miss, -1, best_i)[None, :]
+
+
+def raycast_pallas_fused_sel_t(
+    tri_mat_c: jnp.ndarray,  # (S, 10, 4T) group_tri_mat(tri_mat, C) layout
+    sids: jnp.ndarray,  # (N,) int32
+    chunk_ids: jnp.ndarray,  # (N, nt, K) i32 survivors first (tail anything)
+    cnt: jnp.ndarray,  # (N, nt) i32 survivor counts
+    d_t: jnp.ndarray,  # (n_tiles, 8, ray_tile) camera [d,1] transposed
+    Bt: jnp.ndarray,  # (N, 16, 4) ray-feature matrices (B^T)
+    ray_tile: int = 2048,
+    tri_chunk: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frustum-selected fast-path closest hit. Same contract as
+    raycast_pallas_fused_t — (t (N,R) f32, idx (N,R) i32, -1 miss) — but
+    hit-test work scales with select_chunks_frustum's survivor counts."""
+    N = sids.shape[0]
+    n_tiles, K8, Rt = d_t.shape
+    assert K8 == 8 and Rt == ray_tile
+    S, _, T4 = tri_mat_c.shape
+    C = tri_chunk
+    assert (T4 // 4) % C == 0
+    nt, K = chunk_ids.shape[1], chunk_ids.shape[2]
+    assert nt == n_tiles and chunk_ids.shape[0] == N
+    R = nt * ray_tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(N, nt),
+        in_specs=[
+            pl.BlockSpec((1, 16, 4), lambda i, j, s, ch, cn: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, ray_tile), lambda i, j, s, ch, cn: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 10, T4), lambda i, j, s, ch, cn: (s[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, ray_tile), lambda i, j, s, ch, cn: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, ray_tile), lambda i, j, s, ch, cn: (i, j, 0, 0)),
+        ],
+    )
+    t, idx = pl.pallas_call(
+        functools.partial(
+            _fused_sel_kernel_t,
+            tri_chunk=tri_chunk,
+            n_tiles=nt,
+            max_chunks=K,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, n_tiles, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((N, n_tiles, 1, ray_tile), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * R * (K * C // 2) * 10 * 4,
+            bytes_accessed=N * R * 44 + N * (T4 // 4) * 160,
+            transcendentals=0,
+        ),
+    )(
+        sids.astype(jnp.int32),
+        chunk_ids.astype(jnp.int32).reshape(-1),
+        cnt.astype(jnp.int32).reshape(-1),
+        Bt.astype(jnp.float32),
+        d_t,
+        tri_mat_c,
+    )
+    return t.reshape(N, R), idx.reshape(N, R)
+
+
+def _tilecull_kernel_t(
+    sids_ref,  # scalar-prefetch (N,)
+    chunks_ref,  # scalar-prefetch (N*nt*K,) FLAT — survivor chunk ids, the
+    #              tail padded with the LAST survivor (consecutive-duplicate
+    #              index_map values elide the DMA). Flat because SMEM pads
+    #              each row of a multi-dim array (a (256,8,4) i32 array
+    #              exceeded the 1MB SMEM budget; flat it is 32KB).
+    cnt_ref,  # scalar-prefetch (N*nt,) FLAT i32 — survivor chunk count
+    b_ref,  # (1, 16, 4) SMEM — B[env]^T ray-feature matrix (rows 10:16 pad)
+    d_ref,  # (1, 8, ray_tile) VMEM — camera-frame [d, 1] transposed
+    m_ref,  # (1, 10, 4C) VMEM — this step's chunk, group_tri_mat(C) layout
+    a_ref,  # (1, 1, 16, C) VMEM — its attr16 columns
+    #          rows [n(3), v0(3), gid, sem | rgb(3), valid, 4 pad]
+    t_out,  # (1, 1, 1, ray_tile) f32 — revisited; PLANE-EXACT at the end
+    attr_out,  # (1, 1, 16, ray_tile) f32 — winner attr16 rows; row 12
+    #            becomes the lambert shade factor in the epilogue
+    *,
+    tri_chunk: int,
+    n_tiles: int,
+):
+    """v8 kernel: per-screen-tile CULLED chunk streaming + plane-exact t.
+
+    Grid (N, nt, K) streams only the chunks that per-tile frustum culling
+    kept (select_chunks_frustum / select_chunks_occluded): compute is gated
+    on k < cnt and the tail DMAs are elided by duplicate padding, so both
+    HBM traffic and hit-test VPU work scale with the survivor count, not
+    scene size. Winner SELECTION is bit-identical to the brute-force fused
+    kernel: G products are the same 10-term dots, chunks are visited in
+    ascending original order, ties keep the lowest original index (strict <
+    across chunks, argmin-first within).
+
+    Two refinements over the fused kernel (measured round 3):
+    - t is recovered PLANE-EXACTLY for the winner. The MXU's default-
+      precision f32 matmul leaves ~bf16 mantissa error in the determinant
+      ratio (7.5mm median / 93mm p99 depth error vs the CPU f32 reference
+      — the real cause of round 2's 0.73 scan-scene agreement), so the
+      epilogue recomputes t = n.(v0 - o) / (n.d) on the VPU in exact f32
+      from the winner's unit plane: n and v0 ride the attr16 table at
+      HIGHEST-precision extraction, d is F rows 0:3, o sits in SMEM B.
+      Subtracting v0 - o BEFORE the dot keeps conditioning (the n.v0 - n.o
+      form cancels two ~|o|-magnitude terms: 33mm p99 tail).
+    - Lambert shading |n.d| falls out of the same product, so the shade
+      factor is emitted as attr row 12 and the XLA epilogue needs neither
+      the one-hot attribute gather (14.4 ms/update, r2 trace) nor the
+      world-dirs einsum.
+
+    Per-chunk extraction is a value COPY through a (16,C)@(C,Rt) one-hot
+    dot, split by precision need: default bf16 passes round v0/n and put a
+    ~15-40mm bimodal tail on the recovered t, so the plane/id rows (0:8) go
+    through HIGHEST; rgb/valid (8:16) tolerate display precision."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    K = pl.num_programs(2)
+    C = tri_chunk
+    D = d_ref[0]  # (8, Rt)
+    Rt = D.shape[1]
+
+    @pl.when(k == 0)
+    def _():
+        t_out[0, 0] = jnp.full((1, Rt), _TMAX, jnp.float32)
+        attr_out[0, 0] = jnp.zeros((16, Rt), jnp.float32)
+
+    @pl.when(k < cnt_ref[i * n_tiles + j])
+    def _():
+        rows = []
+        for f in range(10):
+            acc = b_ref[0, f, 0] * D[0:1, :]
+            for kk in range(1, 4):
+                acc = acc + b_ref[0, f, kk] * D[kk : kk + 1, :]
+            rows.append(acc)
+        F = jnp.concatenate(rows, axis=0)  # (10, Rt) f32
+        G = jax.lax.dot_general(
+            m_ref[0],
+            F,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (4C, Rt)
+        detA = G[0 * C : 1 * C]
+        tnum = G[1 * C : 2 * C]
+        unum = G[2 * C : 3 * C]
+        vnum = G[3 * C : 4 * C]
+        aa = detA * detA
+        p = unum * detA
+        q = vnum * detA
+        w = tnum * detA
+        m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
+        m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
+        hit = (m1 >= 0.0) & (m2 > 0.0)
+        t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
+        tmin = jnp.min(t, axis=0)  # (Rt,)
+        win = jnp.argmin(t, axis=0).astype(jnp.int32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (C, Rt), 0)
+        oh = ((row == win[None, :]) & (tmin < _TMAX)[None, :]).astype(
+            jnp.float32
+        )
+        prec = jax.lax.dot_general(
+            a_ref[0, 0, 0:8],
+            oh,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (8, Rt): [n(3), v0(3), gid, sem]
+        disp = jax.lax.dot_general(
+            a_ref[0, 0, 8:16],
+            oh,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (8, Rt): [rgb(3), valid, pad]
+        best_t = t_out[0, 0, 0, :]
+        better = tmin < best_t
+        t_out[0, 0] = jnp.where(better, tmin, best_t)[None, :]
+        attr_out[0, 0] = jnp.where(
+            better[None, :],
+            jnp.concatenate([prec, disp], axis=0),
+            attr_out[0, 0],
+        )
+
+    @pl.when(k == K - 1)
+    def _():
+        # plane-exact t + lambert shade from the accumulated winner plane
+        A = attr_out[0, 0]
+        best_t = t_out[0, 0, 0, :]
+        hit = best_t < _TMAX * 0.5
+        # F rows 0:3 (= world-space d) only
+        rows = []
+        for f in range(3):
+            acc = b_ref[0, f, 0] * D[0:1, :]
+            for kk in range(1, 4):
+                acc = acc + b_ref[0, f, kk] * D[kk : kk + 1, :]
+            rows.append(acc)
+        nd = A[0:1] * rows[0] + A[1:2] * rows[1] + A[2:3] * rows[2]
+        num = (
+            A[0:1] * (A[3:4] - b_ref[0, 3, 3])
+            + A[1:2] * (A[4:5] - b_ref[0, 4, 3])
+            + A[2:3] * (A[5:6] - b_ref[0, 5, 3])
+        )  # n . (v0 - o)
+        grazing = jnp.abs(nd) < 1e-6
+        t_pl = num / jnp.where(grazing, 1.0, nd)
+        t_fin = jnp.where(hit[None, :] & ~grazing, t_pl, best_t[None, :])
+        t_out[0, 0] = jnp.where(hit[None, :], t_fin, _TMAX)
+        shade = 0.35 + 0.65 * jnp.abs(nd)
+        attr_out[0, 0, 12] = shade[0]
+
+
+def raycast_pallas_tilecull_t(
+    tri_mat_c: jnp.ndarray,  # (S, 10, 4T) group_tri_mat(tri_mat, C) layout
+    attr16: jnp.ndarray,  # (S, T//C, 16, C) chunked rows [n3, v0x3, gid,
+    #                        sem, rgb3, valid, 4 pad] (attr16_table)
+    chunk_ids: jnp.ndarray,  # (N, nt, K) i32, survivors first, tail = last
+    cnt: jnp.ndarray,  # (N, nt) i32 survivor counts
+    sids: jnp.ndarray,  # (N,)
+    d_t: jnp.ndarray,  # (nt, 8, ray_tile) camera [d,1] transposed
+    Bt: jnp.ndarray,  # (N, 16, 4) ray-feature matrices (B^T)
+    ray_tile: int = 2048,
+    tri_chunk: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tile-culled closest hit + in-kernel plane-exact t and shading.
+
+    Returns (t (N,R) f32 plane-exact, attrs (N, nt, 16, Rt) f32) with attr
+    rows [n3, v0x3, gid, sem, rgb3, valid, shade, 0, 0, 0]; attrs[:,:,11]
+    == 0 marks a miss. Work per tile scales with the culled candidate
+    count, not scene size; winner selection is bit-identical to
+    raycast_pallas_fused_t."""
+    N = sids.shape[0]
+    n_tiles, K8, Rt = d_t.shape
+    assert K8 == 8 and Rt == ray_tile
+    S, _, T4 = tri_mat_c.shape
+    C = tri_chunk
+    assert (T4 // 4) % C == 0
+    nt, K = chunk_ids.shape[1], chunk_ids.shape[2]
+    assert nt == n_tiles and chunk_ids.shape[0] == N
+    R = nt * ray_tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(N, nt, K),
+        in_specs=[
+            pl.BlockSpec((1, 16, 4), lambda i, j, k, s, ch, cn: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, ray_tile), lambda i, j, k, s, ch, cn: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 10, 4 * tri_chunk),
+                lambda i, j, k, s, ch, cn: (s[i], 0, ch[(i * nt + j) * K + k]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 16, tri_chunk),
+                lambda i, j, k, s, ch, cn: (s[i], ch[(i * nt + j) * K + k], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, ray_tile),
+                         lambda i, j, k, s, ch, cn: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 16, ray_tile),
+                         lambda i, j, k, s, ch, cn: (i, j, 0, 0)),
+        ],
+    )
+    t, attrs = pl.pallas_call(
+        functools.partial(
+            _tilecull_kernel_t, tri_chunk=tri_chunk, n_tiles=nt
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, nt, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((N, nt, 16, ray_tile), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            # average case: ~K/2 survivor chunks tested per tile
+            flops=2 * N * R * (K * C // 2) * 10 * 4,
+            bytes_accessed=N * R * 72 + N * nt * K * C * 224,
+            transcendentals=0,
+        ),
+    )(
+        sids.astype(jnp.int32),
+        chunk_ids.astype(jnp.int32).reshape(-1),
+        cnt.astype(jnp.int32).reshape(-1),
+        Bt.astype(jnp.float32),
+        d_t,
+        tri_mat_c,
+        attr16,
+    )
+    return t.reshape(N, R), attrs
+
+
+def attr16_table(
+    tri_attr: jnp.ndarray,  # (S, T, 8) — [n(3), rgb(3), sem, valid]
+    tri_v0: jnp.ndarray,  # (S, T, 3)
+    tri_chunk: int = 32,
+) -> jnp.ndarray:
+    """(S, T//C, 16, C) chunked attr table for raycast_pallas_tilecull_t:
+    rows [n(3), v0(3), gid, sem | rgb(3), valid, 4 pad]. Rows 0:8 are the
+    precision-critical group (plane-exact t recovery + id channels); gid is
+    the global tri index as f32 (exact below 2^24). Chunk-major layout so
+    the kernel's (1, 1, 16, C) blocks have their last dim equal to the
+    array's (Mosaic's non-128-lane block rule)."""
+    S, T, _ = tri_attr.shape
+    C = tri_chunk
+    at = jnp.swapaxes(tri_attr, 1, 2)  # (S, 8, T)
+    gid = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.float32)[None, None, :], (S, 1, T)
+    )
+    flat = jnp.concatenate(
+        [
+            at[:, 0:3],  # n
+            jnp.swapaxes(tri_v0, 1, 2),  # v0
+            gid,
+            at[:, 6:7],  # sem
+            at[:, 3:6],  # rgb
+            at[:, 7:8],  # valid
+            jnp.zeros((S, 4, T), jnp.float32),
+        ],
+        axis=1,
+    )  # (S, 16, T)
+    return flat.reshape(S, 16, T // C, C).transpose(0, 2, 1, 3)
+
+
 def _culled_kernel_t(
     sids_ref,  # scalar-prefetch (N,)
     chunks_ref,  # scalar-prefetch (N, n_tiles, K)

@@ -243,3 +243,61 @@ def test_lod_bands_in_chunk_selection():
     r = cb[picked, 3]
     ok = ((d_to_cam + r) >= dmin) & ((d_to_cam - r) <= dmax)
     assert ok.all(), "selected chunks must respect their LOD band"
+
+
+def test_frustum_tile_culling_conservative():
+    """select_chunks_frustum (v8 fast path): every triangle any tile ray
+    actually hits must be inside a surviving chunk of that tile, the
+    survivor list is ascending original chunk order, and the tail is padded
+    with the last survivor (the kernel's DMA-elision contract)."""
+    from habitat_tpu.ops.raycast import (
+        bin_tris_tiles,
+        raycast_rays,
+        select_chunks_frustum,
+        tile_plane_normals_cam,
+    )
+    from habitat_tpu.utils.geometry import camera_rays
+
+    scenes = [generate_apartment(seed=s, extent=8.0) for s in range(2)]
+    pack = pack_scenes(scenes)
+    T = pack.tri_v0.shape[1]
+    N, H, W = 4, 32, 32
+    th = 16  # 2 tiles
+    planes = jnp.asarray(tile_plane_normals_cam(np.deg2rad(90.0), H, W, th, W))
+    rng = np.random.RandomState(3)
+    pos = jnp.asarray(
+        np.array([[4.0, 1.25, 4.0]]) + rng.uniform(-1, 1, (N, 3)) * [1, 0, 1],
+        jnp.float32,
+    )
+    yaw = jnp.asarray(rng.uniform(-np.pi, np.pi, N).astype(np.float32))
+    pitch = jnp.zeros(N)
+    sids = jnp.asarray(rng.randint(0, 2, N).astype(np.int32))
+    ids, cnt = jax.jit(
+        lambda: select_chunks_frustum(
+            pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid,
+            sids, pos, yaw, pitch, planes, tri_chunk=32,
+        )
+    )()
+    ids, cnt = np.asarray(ids), np.asarray(cnt)
+    K = T // 32
+    assert ids.shape == (N, 2, K)
+    for n in range(N):
+        d = np.asarray(
+            camera_rays(yaw[n], jnp.float32(0), jnp.deg2rad(90.0), H, W)
+        ).reshape(-1, 3)
+        s = int(sids[n])
+        t, idx = raycast_rays(
+            pack.tri_v0[s], pack.tri_e1[s], pack.tri_e2[s], pack.tri_valid[s],
+            jnp.broadcast_to(pos[n], (H * W, 3)), jnp.asarray(d),
+        )
+        idx = np.asarray(idx).reshape(H, W)
+        for j in range(2):
+            c = cnt[n, j]
+            surv = set(ids[n, j, :c].tolist())
+            # ascending survivor order + duplicate tail padding
+            assert list(ids[n, j, :c]) == sorted(surv)
+            if c:
+                assert (ids[n, j, c:] == ids[n, j, c - 1]).all()
+            hit_tris = idx[j * th : (j + 1) * th].reshape(-1)
+            for tri in np.unique(hit_tris[hit_tris >= 0]):
+                assert tri // 32 in surv, (n, j, tri)
