@@ -118,13 +118,12 @@ def _sensor_instances(config: Config) -> List:
 
 
 def _measure_instances(config: Config) -> List:
+    """Declared measurement types resolve through the registry; an unknown
+    type RAISES (reference embodied_task.py:275-292 contract — round 2's
+    silent-skip made YAML measurement lists decorative)."""
     measures = []
     for _, m_cfg in sorted(config.habitat.task.get("measurements", Config()).items()):
-        try:
-            cls = registry.get_measure(m_cfg["type"])
-        except KeyError:
-            logger.warning(f"measure type {m_cfg['type']!r} not implemented; skipped")
-            continue
+        cls = registry.get_measure(m_cfg["type"])
         measures.append(cls(m_cfg))
     return measures
 
@@ -510,7 +509,13 @@ def rearrange_env_from_config(
 ):
     """Rearrange task types (RearrangePickTask-v0 / RearrangePlaceTask-v0 /
     RearrangeEmptyTask-v0, reference tasks/rearrange/rearrange_task.py:32 +
-    sub_tasks/) -> RearrangeBatchedEnv."""
+    sub_tasks/) -> RearrangeBatchedEnv.
+
+    Registry contract (reference core/embodied_task.py:275-292): every
+    declared ``lab_sensors``/``measurements`` ``type:`` resolves through the
+    registry into the env's actual obs/measure set — an unknown type raises
+    KeyError here, an unsupported one ValueError at env construction."""
+    import habitat_tpu.tasks.rearrange.sensors  # noqa: F401 (registrations)
     from habitat_tpu.tasks.rearrange.generator import make_rearrange_env
 
     if num_envs is None:
@@ -546,6 +551,51 @@ def rearrange_env_from_config(
         control = "arm_ee" if "EE" in arm_ctrl else "arm"
     if force_control is not None:
         control = force_control
+    # resolve declared sensor/measure types -> env keys (fail-loudly).
+    # Specs whose capability check needs the env are validated again inside
+    # RearrangeBatchedEnv.__init__ against the eval_shape'd superset.
+    # Multi-agent configs (hab3 social rearrange) resolve every type (an
+    # unknown type still raises) but keep their envs' own observation
+    # layout: per-key filtering applies to the single-agent path only.
+    # count REAL agent entries: the composer flattens the default agent's
+    # fields (height/radius/...) into the agents dict, so key-count lies;
+    # real agents are main_agent / agent_<i> nodes holding a config dict
+    agents_cfg = config.get_path("habitat.simulator.agents", None)
+    n_agents = 1
+    if agents_cfg is not None and hasattr(agents_cfg, "items"):
+        n_agents = sum(
+            1
+            for k, v in agents_cfg.items()
+            if hasattr(v, "get") and (k == "main_agent" or k.startswith("agent_"))
+        ) or 1
+    multi_agent = n_agents > 1
+    sensor_keys = None
+    lab_sensors = config.get_path("habitat.task.lab_sensors", None)
+    if lab_sensors is not None and hasattr(lab_sensors, "items"):
+        sensor_keys = []
+        for _, s_cfg in sorted(lab_sensors.items()):
+            spec_cls = registry.get_sensor(s_cfg["type"])  # raises unknown
+            spec = spec_cls(s_cfg)
+            sensor_keys.extend(getattr(spec, "keys", ()) or ())
+        if with_visual:
+            sensor_keys.extend(["robot_head_depth", "robot_head_rgb"])
+        sensor_keys = tuple(dict.fromkeys(sensor_keys))
+        if multi_agent:
+            sensor_keys = None
+    measure_keys = None
+    measurements = config.get_path("habitat.task.measurements", None)
+    if measurements is not None and hasattr(measurements, "items"):
+        measure_keys = []
+        for _, m_cfg in sorted(measurements.items()):
+            spec_cls = registry.get_measure(m_cfg["type"])  # raises unknown
+            spec = spec_cls(m_cfg)
+            measure_keys.extend(getattr(spec, "keys", ()) or ())
+        # the env's internal bookkeeping keys stay available to wrappers
+        measure_keys.extend(["success", "num_steps"])
+        measure_keys = tuple(dict.fromkeys(measure_keys))
+        if multi_agent:
+            measure_keys = None
+
     robot = "FetchRobot"
     agents = config.get_path("habitat.simulator.agents", Config()) or Config()
     for _, ag in (agents.items() if hasattr(agents, "items") else []):
@@ -582,4 +632,6 @@ def rearrange_env_from_config(
         constraint_violation_drops_object=bool(
             config.habitat.task.get("constraint_violation_drops_object", False)
         ),
+        sensor_keys=sensor_keys,
+        measure_keys=measure_keys,
     )

@@ -71,18 +71,31 @@ class Env:
 
         scene_index = {s.scene_id: i for i, s in enumerate(scenes)}
         scene_map = {s.scene_id: s for s in scenes}
+        self._scene_map = scene_map
         pack = pack_scenes(list(scenes))
         table = build_episode_table(
             self._episodes, scene_map, scene_index, precomputed_fields=fields
         )
         order = np.zeros((1, 1), np.int32)
         task = config.habitat.task
+        # host-side measures (TopDownMap / RuntimePerfStats / GfxReplay —
+        # reference strips these from training workers too,
+        # habitat_baselines/common/habitat_env_factory.py:76-93): updated on
+        # the host after each step, surfaced through get_metrics() alongside
+        # the device measures
+        all_measures = _measure_instances(config)
+        self._host_measures = [
+            m for m in all_measures if getattr(m, "host_side", False)
+        ]
+        device_measures = [
+            m for m in all_measures if not getattr(m, "host_side", False)
+        ]
         self._inner = BatchedEnv(
             pack,
             table,
             order,
             _sensor_instances(config),
-            _measure_instances(config),
+            device_measures,
             _action_instances(config),
             max_episode_steps=int(
                 config.habitat.environment.get("max_episode_steps", 500)
@@ -167,6 +180,14 @@ class Env:
             k2: np.asarray(v)[0]
             for k2, v in self._inner.measure_values(self._state).items()
         }
+        if self._host_measures:
+            scene = self._scene_map.get(self._current_episode.scene_id)
+            pos = np.asarray(self._state.pos)[0]
+            yaw = float(np.asarray(self._state.yaw)[0])
+            for m in self._host_measures:
+                self._last_info[m.uuid] = m.host_reset(
+                    scene, self._current_episode, pos, yaw
+                )
         return {k2: np.asarray(v[0]) for k2, v in obs.items()}
 
     def step(
@@ -184,6 +205,13 @@ class Env:
         self._elapsed_steps += 1
         self._episode_over = bool(np.asarray(self._state.episode_over)[0])
         self._last_info = {k: np.asarray(v)[0] for k, v in info.items()}
+        if self._host_measures:
+            pos = np.asarray(self._state.pos)[0]
+            yaw = float(np.asarray(self._state.yaw)[0])
+            for m in self._host_measures:
+                self._last_info[m.uuid] = m.host_update(
+                    pos, yaw, episode_over=self._episode_over
+                )
         self._last_reward_done = (float(np.asarray(reward)[0]), bool(np.asarray(done)[0]))
         if self._episode_iterator is not None:
             self._episode_iterator.step_taken()

@@ -450,6 +450,153 @@ class DistanceToGoalReward(FunctionalMeasure):
         return {"prev": d}, val
 
 
+@registry.register_measure(name="TopDownMap")
+class TopDownMap(FunctionalMeasure):
+    """Host-side top-down map measure (reference TopDownMap, nav.py:678):
+    occupancy map + fog of war + agent trace, surfaced through
+    env.get_metrics() under "top_down_map" with the reference's dict shape
+    {map, fog_of_war_mask, agent_map_coord, agent_angle}.
+
+    host_side=True: the batched device step never computes it (the
+    reference also strips it from training workers,
+    habitat_baselines/common/env_factory.py); the single-env Env wrapper
+    updates it on the host after each step."""
+
+    uuid = "top_down_map"
+    host_side = True
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self._tracker = None
+        self._cfg = config
+
+    def host_reset(self, scene, episode, pos, yaw):
+        from habitat_tpu.utils.visualizations.maps import TopDownMapTracker
+
+        fog = True
+        draw_path = True
+        if self._cfg is not None and hasattr(self._cfg, "get"):
+            fow = self._cfg.get("fog_of_war", None)
+            if hasattr(fow, "get"):
+                fog = bool(fow.get("draw", True))
+            draw_path = bool(self._cfg.get("draw_shortest_path", True))
+        goals = None
+        if episode is not None and getattr(episode, "goals", None):
+            goals = np.array([g.position for g in episode.goals], np.float32)
+        self._tracker = TopDownMapTracker(
+            scene, draw_shortest_path=draw_path, fog_of_war=fog
+        )
+        self._tracker.reset(goal_positions=goals)
+        self._tracker.update(np.asarray(pos), float(yaw))
+        return self.host_value()
+
+    def host_update(self, pos, yaw, episode_over=False):
+        self._tracker.update(np.asarray(pos), float(yaw))
+        return self.host_value()
+
+    def host_value(self):
+        t = self._tracker
+        c, yaw = t._last_pose
+        return {
+            "map": t.map,
+            "fog_of_war_mask": t.fog_mask,
+            "agent_map_coord": (int(c[0]), int(c[1])),
+            "agent_angle": float(yaw),
+        }
+
+    # device protocol unused (host_side) — kept for interface completeness
+    def reset(self, ctx):
+        return (), jnp.zeros(ctx.pos.shape[0], jnp.float32)
+
+    def update(self, state, ctx, measures):
+        return (), jnp.zeros(ctx.pos.shape[0], jnp.float32)
+
+
+@registry.register_measure(name="RuntimePerfStats")
+class RuntimePerfStats(FunctionalMeasure):
+    """Host-side step-timing stats (reference RuntimePerfStats,
+    rearrange_sensors.py:1166 — uuid "habitat_perf"): wall-clock ms of the
+    env step sections, read from g_timer."""
+
+    uuid = "habitat_perf"
+    host_side = True
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self._t_prev = None
+
+    def host_reset(self, scene, episode, pos, yaw):
+        import time as _t
+
+        self._t_prev = _t.time()
+        return {}
+
+    def host_update(self, pos, yaw, episode_over=False):
+        import time as _t
+
+        from habitat_tpu.utils.timing import g_timer
+
+        now = _t.time()
+        out = {"step_ms": (now - self._t_prev) * 1e3}
+        self._t_prev = now
+        for k, v in g_timer.todict().items():
+            out[k] = v * 1e3
+        return out
+
+    def reset(self, ctx):
+        return (), jnp.zeros(ctx.pos.shape[0], jnp.float32)
+
+    def update(self, state, ctx, measures):
+        return (), jnp.zeros(ctx.pos.shape[0], jnp.float32)
+
+
+@registry.register_measure(name="GfxReplayMeasure")
+class GfxReplayMeasure(FunctionalMeasure):
+    """Host-side gfx-replay keyframe string (reference GfxReplayMeasure,
+    rearrange_sensors.py:500 — uuid "gfx_replay_keyframes_string"): records
+    a keyframe per step via sims/gfx_replay and returns the serialized
+    replay at episode end (empty while in progress, like the reference)."""
+
+    uuid = "gfx_replay_keyframes_string"
+    host_side = True
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self._recorder = None
+
+    def host_reset(self, scene, episode, pos, yaw):
+        self._kfs = []
+        self._scene_id = getattr(scene, "scene_id", "scene")
+        self._append(pos, yaw)
+        return ""
+
+    def _append(self, pos, yaw):
+        self._kfs.append(
+            {
+                "agent": {
+                    "position": [float(x) for x in np.asarray(pos)],
+                    "yaw": float(yaw),
+                },
+                "index": len(self._kfs),
+                "scene": self._scene_id,
+            }
+        )
+
+    def host_update(self, pos, yaw, episode_over=False):
+        import json as _json
+
+        self._append(pos, yaw)
+        if episode_over:
+            return _json.dumps({"keyframes": self._kfs})
+        return ""
+
+    def reset(self, ctx):
+        return (), jnp.zeros(ctx.pos.shape[0], jnp.float32)
+
+    def update(self, state, ctx, measures):
+        return (), jnp.zeros(ctx.pos.shape[0], jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Actions (reference nav.py:1059-1121 + HabitatSimActions singleton,
 # sims/habitat_simulator/actions.py:17-91)

@@ -265,6 +265,8 @@ class RearrangeBatchedEnv:
         # config asks for constraint physics.
         constraint_violation_ends_episode: bool = False,
         constraint_violation_drops_object: bool = False,
+        sensor_keys: Optional[Tuple[str, ...]] = None,
+        measure_keys: Optional[Tuple[str, ...]] = None,
     ):
         self.pack = pack
         self.table = table
@@ -337,10 +339,16 @@ class RearrangeBatchedEnv:
         obs_spaces: Dict[str, spaces.Space] = {
             "obj_start_sensor": spaces.Box(-np.inf, np.inf, (3,), np.float32),
             "obj_goal_sensor": spaces.Box(-np.inf, np.inf, (3,), np.float32),
+            "abs_obj_start_sensor": spaces.Box(-np.inf, np.inf, (3,), np.float32),
+            "abs_obj_goal_sensor": spaces.Box(-np.inf, np.inf, (3,), np.float32),
             "joint": spaces.Box(-np.inf, np.inf, (self.n_joints,), np.float32),
+            "joint_vel": spaces.Box(-np.inf, np.inf, (self.n_joints,), np.float32),
             "is_holding": spaces.Box(0, 1, (1,), np.float32),
             "ee_pos": spaces.Box(-np.inf, np.inf, (3,), np.float32),
             "relative_resting_position": spaces.Box(-np.inf, np.inf, (3,), np.float32),
+            "localization_sensor": spaces.Box(-np.inf, np.inf, (4,), np.float32),
+            "obj_start_gps_compass": spaces.Box(-np.inf, np.inf, (2,), np.float32),
+            "obj_goal_gps_compass": spaces.Box(-np.inf, np.inf, (2,), np.float32),
         }
         if self.with_visual:
             h, w = render_size
@@ -348,6 +356,41 @@ class RearrangeBatchedEnv:
             obs_spaces["robot_head_rgb"] = spaces.Box(0, 255, (h, w, 3), np.uint8)
         self.observation_space = spaces.Dict(obs_spaces)
 
+        # registry contract (reference embodied_task.py:275-292): declared
+        # lab_sensors/measurements control EXACTLY what the env emits. The
+        # superset key sets are derived by abstract evaluation (eval_shape
+        # traces without compute), so validation can't drift from the
+        # implementation; unknown keys raise here, at construction.
+        self.sensor_keys = tuple(sensor_keys) if sensor_keys is not None else None
+        self.measure_keys = (
+            tuple(measure_keys) if measure_keys is not None else None
+        )
+        if self.sensor_keys is not None or self.measure_keys is not None:
+            st = jax.eval_shape(self._fresh_state_struct)
+            if self.sensor_keys is not None:
+                avail = set(jax.eval_shape(self._observations, st))
+                bad = [k for k in self.sensor_keys if k not in avail]
+                if bad:
+                    raise ValueError(
+                        f"declared sensors {bad} are not available on this "
+                        f"env (task={self.task}); available: {sorted(avail)}"
+                    )
+                self.observation_space = spaces.Dict(
+                    {
+                        k: v
+                        for k, v in obs_spaces.items()
+                        if k in self.sensor_keys
+                    }
+                )
+            if self.measure_keys is not None:
+                avail = set(jax.eval_shape(self._measures, st))
+                avail |= set(self._posthoc_measure_keys())
+                bad = [k for k in self.measure_keys if k not in avail]
+                if bad:
+                    raise ValueError(
+                        f"declared measures {bad} are not available on this "
+                        f"env (task={self.task}); available: {sorted(avail)}"
+                    )
         self._jit_reset = jax.jit(self.reset_fn)
         self._jit_step = jax.jit(self.step_fn, donate_argnums=(0,))
 
@@ -357,6 +400,45 @@ class RearrangeBatchedEnv:
 
     def _arm_mode(self) -> bool:
         return self.control in ("arm", "arm_ee")
+
+    @property
+    def capabilities(self) -> Tuple[str, ...]:
+        """Capability tags the registry specs validate against."""
+        return (self.task, self.control, self.dynamics)
+
+    def _fresh_state_struct(self):
+        """Abstract state for eval_shape-based key-set discovery."""
+        key = jax.random.PRNGKey(0)
+        ep_idx = jnp.zeros((self.num_envs,), jnp.int32)
+        return self._fresh(ep_idx, key)
+
+    def _posthoc_measure_keys(self) -> Tuple[str, ...]:
+        """Measure keys injected in step_fn after _measures (violation +
+        reward-measure names + bad_called_terminate)."""
+        reward_key = {
+            "pick": "pick_reward",
+            "place": "place_reward",
+            "reach": "rearrange_reach_reward",
+            "open": "art_obj_reward",
+            "close": "art_obj_reward",
+            "nav_to_obj": "nav_to_obj_reward",
+            "rearrange": "move_objects_reward",
+        }.get(self.task)
+        keys = [
+            "constraint_violation",
+            "did_violate_hold_constraint",
+            "bad_called_terminate",
+        ]
+        if reward_key:
+            keys.append(reward_key)
+        if self.task == "rearrange":
+            keys.append("pddl_subgoal_reward")
+        return tuple(keys)
+
+    def _filter_measures(self, m):
+        if self.measure_keys is None:
+            return m
+        return {k: m[k] for k in self.measure_keys if k in m}
 
     def _ee_local(self, joints) -> jnp.ndarray:
         """(N,J) joints -> (N,3) EE in the agent frame (FK over the chain)."""
@@ -444,11 +526,27 @@ class RearrangeBatchedEnv:
             if self.task == "reach"
             else self._resting_ee_local
         )
+        # polar (rho, phi) of a RELATIVE agent-frame position (reference
+        # PositionGpsCompassSensor._get_positions -> compute_pointgoal,
+        # rearrange_sensors.py:114-141; forward is -z here)
+        def gps_compass(rel_p):
+            rho = jnp.linalg.norm(rel_p[:, jnp.array([0, 2])], axis=-1)
+            phi = jnp.arctan2(rel_p[:, 0], -rel_p[:, 2])
+            return jnp.stack([rho, -phi], axis=-1).astype(jnp.float32)
+
+        rel_start = rel(tgt_pos)
+        rel_goal = rel(goal_pos)
         obs = {
-            "obj_start_sensor": rel(tgt_pos).astype(jnp.float32),
-            "obj_goal_sensor": rel(goal_pos).astype(jnp.float32),
+            "obj_start_sensor": rel_start.astype(jnp.float32),
+            "obj_goal_sensor": rel_goal.astype(jnp.float32),
+            # world-frame variants (reference AbsTargetStartSensor/AbsGoalSensor)
+            "abs_obj_start_sensor": tgt_pos.astype(jnp.float32),
+            "abs_obj_goal_sensor": goal_pos.astype(jnp.float32),
             # live joint state (reference JointSensor, rearrange_sensors.py:51)
             "joint": state.joints.astype(jnp.float32),
+            # zero in kinematic modes, live under arm_dynamics (reference
+            # JointVelocitySensor reads sim joint velocities)
+            "joint_vel": state.joint_vel.astype(jnp.float32),
             "is_holding": (state.held >= 0).astype(jnp.float32)[:, None],
             "ee_pos": rel(ee).astype(jnp.float32),
             # EE relative to the desired resting pose in the agent frame
@@ -456,6 +554,12 @@ class RearrangeBatchedEnv:
             "relative_resting_position": (
                 rel(ee) - desired_rest
             ).astype(jnp.float32),
+            # base pos + yaw (reference LocalizationSensor, 4-vector)
+            "localization_sensor": jnp.concatenate(
+                [state.pos, state.yaw[:, None]], axis=-1
+            ).astype(jnp.float32),
+            "obj_start_gps_compass": gps_compass(rel_start),
+            "obj_goal_gps_compass": gps_compass(rel_goal),
         }
         if self.with_visual:
             h, w = self.render_size
@@ -472,6 +576,8 @@ class RearrangeBatchedEnv:
             )
             obs["robot_head_depth"] = frames["depth"]
             obs["robot_head_rgb"] = frames["rgb"]
+        if self.sensor_keys is not None:
+            obs = {k: obs[k] for k in self.sensor_keys if k in obs}
         return obs
 
     def _arm_geometry(self, state) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -643,13 +749,32 @@ class RearrangeBatchedEnv:
         frac_at_goal = jnp.sum(at_goal, axis=1) / jnp.maximum(
             jnp.sum(tmask, axis=1), 1
         )
+        rel_ee = rotate_world_to_agent(ee - state.pos, state.yaw)
+        desired_rest = (
+            self._reach_target(state)
+            if self.task == "reach"
+            else self._resting_ee_local
+        )
         measures = {
             "object_to_goal_distance": obj_to_goal,
             "ee_to_object_distance": ee_to_obj,
+            # general EE measures (reference EndEffectorToRestDistance /
+            # EndEffectorToGoalDistance / BaseToObjectDistance,
+            # rearrange_sensors.py:704,579,666)
+            "ee_to_rest_distance": jnp.linalg.norm(
+                rel_ee - desired_rest, axis=-1
+            ),
+            "ee_to_goal_distance": jnp.linalg.norm(goal - ee, axis=-1),
+            "base_to_object_distance": jnp.linalg.norm(
+                (tgt_pos - state.pos)[:, jnp.array([0, 2])], axis=-1
+            ),
             "did_pick_object": state.ever_held.astype(jnp.float32),
             "is_holding": (state.held >= 0).astype(jnp.float32),
             "obj_at_goal": at_goal[n_idx, tgt].astype(jnp.float32),
             "objects_at_goal_fraction": frac_at_goal,
+            # reference DoesWantTerminate (rearrange_sensors.py:1120)
+            "does_want_terminate": state.stop_called.astype(jnp.float32),
+            "zero": jnp.zeros((self.num_envs,), jnp.float32),
             # contact mode: accumulated robot-object penetration force
             # (reference RobotForce / ForceTerminate,
             # rearrange_sensors.py:814,918); identically zero in kinematic
@@ -663,6 +788,9 @@ class RearrangeBatchedEnv:
             "robot_collisions": state.collision_count.astype(jnp.float32),
             "num_steps": state.step.astype(jnp.float32),
         }
+        # reference cls_uuid alias (RobotForce.cls_uuid is
+        # "articulated_agent_force", rearrange_sensors.py:820)
+        measures["articulated_agent_force"] = measures["robot_force"]
         if self.task in ("open", "close"):
             art_t = self.table.art_target[state.ep_idx]
             q = state.art_q[n_idx, art_t]
@@ -675,7 +803,11 @@ class RearrangeBatchedEnv:
             measures["ee_to_marker_dist"] = jnp.linalg.norm(
                 (handle - ee)[:, jnp.array([0, 2])], axis=-1
             )
+            # reference uuids (art_obj_sensors.py): EndEffectorDistToMarker
+            # = "ee_dist_to_marker", ArtObjSuccess = "art_obj_success"
+            measures["ee_dist_to_marker"] = measures["ee_to_marker_dist"]
             measures["success"] = measures["art_obj_at_desired_state"]
+            measures["art_obj_success"] = measures["success"]
         elif self.task == "reach":
             # EE to the per-episode workspace goal (reference
             # EndEffectorToRestDistance + RearrangeReachSuccess,
@@ -699,6 +831,11 @@ class RearrangeBatchedEnv:
             measures["success"] = (
                 (frac_at_goal >= 1.0) & (state.held < 0)
             ).astype(jnp.float32)
+            # composite/PDDL measures (multi_task/composite_sensors.py):
+            # PddlSuccess = task solved, PddlStageGoals = fraction of
+            # stage predicates satisfied (here: objects at goals)
+            measures["pddl_success"] = measures["success"]
+            measures["pddl_stage_goals"] = frac_at_goal
         elif self.task == "nav_to_obj":
             # standalone NavToObj (reference sub_tasks/nav_to_obj_task.py +
             # NavToObjSuccess, nav_to_obj_sensors.py: within success
@@ -714,6 +851,8 @@ class RearrangeBatchedEnv:
             measures["nav_to_obj_success"] = (
                 (d_xz < 1.5) & (ang < 0.5) & state.stop_called
             ).astype(jnp.float32)
+            # reference NavToPosSucc: position-only success (within dist)
+            measures["nav_to_pos_success"] = (d_xz < 1.5).astype(jnp.float32)
             measures["success"] = measures["nav_to_obj_success"]
         else:  # empty
             measures["success"] = jnp.zeros((self.num_envs,), jnp.float32)
@@ -1109,6 +1248,30 @@ class RearrangeBatchedEnv:
         reward = self._reward(state, prev_m, m)
 
         info = dict(m)
+        # reference uuid alias (DidViolateHoldConstraintMeasure)
+        info["did_violate_hold_constraint"] = info["constraint_violation"]
+        # reference BadCalledTerminate: called stop without having succeeded
+        info["bad_called_terminate"] = (
+            state.stop_called & ~(m["success"] > 0)
+        ).astype(jnp.float32)
+        # the task's reward surfaced under its reference reward-measure
+        # uuid (pick_reward / place_reward / art_obj_reward / ... — the
+        # reference computes reward AS a measure; here it is the same
+        # value the trainer optimizes)
+        reward_key = {
+            "pick": "pick_reward",
+            "place": "place_reward",
+            "reach": "rearrange_reach_reward",
+            "open": "art_obj_reward",
+            "close": "art_obj_reward",
+            "nav_to_obj": "nav_to_obj_reward",
+            "rearrange": "move_objects_reward",
+        }.get(self.task)
+        if reward_key:
+            info[reward_key] = reward
+        if self.task == "rearrange":
+            info["pddl_subgoal_reward"] = reward
+        info = self._filter_measures(info)
 
         # -- auto-reset --------------------------------------------------
         ep_ptr = jnp.where(done, state.ep_ptr + 1, state.ep_ptr)
