@@ -549,6 +549,18 @@ def rearrange_env_from_config(
     if arm_cfg is not None:
         arm_ctrl = str(arm_cfg.get("arm_controller", "ArmRelPosAction"))
         control = "arm_ee" if "EE" in arm_ctrl else "arm"
+    # registry-resolved task actions (reference embodied_task.py:275-292
+    # contract for ``habitat.task.actions``): unknown type -> KeyError.
+    # force_control (tests/benchmarks) keeps the fixed-menu layout.
+    action_specs = None
+    if force_control is None and hasattr(actions_cfg, "items") and len(
+        list(actions_cfg.items())
+    ):
+        from habitat_tpu.tasks.rearrange.task_actions import (
+            resolve_task_actions,
+        )
+
+        action_specs = resolve_task_actions(actions_cfg) or None
     if force_control is not None:
         control = force_control
     # resolve declared sensor/measure types -> env keys (fail-loudly).
@@ -634,4 +646,5 @@ def rearrange_env_from_config(
         ),
         sensor_keys=sensor_keys,
         measure_keys=measure_keys,
+        action_specs=action_specs,
     )

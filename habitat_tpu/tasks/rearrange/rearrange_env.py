@@ -267,6 +267,11 @@ class RearrangeBatchedEnv:
         constraint_violation_drops_object: bool = False,
         sensor_keys: Optional[Tuple[str, ...]] = None,
         measure_keys: Optional[Tuple[str, ...]] = None,
+        # registry-resolved task actions (tasks/rearrange/task_actions.py):
+        # when given, the flat action vector is the declaration-ordered
+        # concatenation of each spec's slice (reference gym flattening,
+        # gym_wrapper.py:102-161) and step_fn composes their contributions
+        action_specs: Optional[list] = None,
     ):
         self.pack = pack
         self.table = table
@@ -313,7 +318,16 @@ class RearrangeBatchedEnv:
         if control in ("arm", "arm_ee"):
             self.grasp_distance = arm_grasp_distance
 
-        if control == "arm":
+        self.action_specs = list(action_specs) if action_specs else None
+        if self.action_specs is not None:
+            # composed registry-resolved actions: flat Box in declaration
+            # order; grasp uses suction semantics when any grip slice exists
+            total = sum(s.dims(self) for s in self.action_specs)
+            self.action_space = spaces.Box(
+                -np.inf, np.inf, (max(total, 1),), np.float32
+            )
+            self.action_names = tuple(s.name or type(s).__name__ for s in self.action_specs)
+        elif control == "arm":
             # ArmAction composite: 7 joint deltas + grip + base (lin, ang) —
             # reference ArmRelPosAction + MagicGraspAction + BaseVelAction
             # (tasks/rearrange/actions/actions.py:102,167-238,434;
@@ -960,7 +974,47 @@ class RearrangeBatchedEnv:
         new_joints = state.joints
         new_joint_vel = state.joint_vel
         new_motor = state.motor_target
-        if self.control == "arm":
+        cmd: Dict[str, Any] = {}
+        if self.action_specs is not None:
+            # composed registry-resolved actions (task_actions.py): each
+            # spec consumes its declaration-ordered slice and contributes
+            # commands; the rest of the step consumes the merged cmd
+            acts_f = actions.astype(jnp.float32)
+            off = 0
+            for spec in self.action_specs:
+                w = spec.dims(self)
+                spec.contribute(self, state, acts_f[:, off : off + w], cmd)
+                off += w
+            lo = jnp.asarray(self.rparams.joint_limits_lower, jnp.float32)
+            hi = jnp.asarray(self.rparams.joint_limits_upper, jnp.float32)
+            if "dq" in cmd:
+                if self.arm_dynamics:
+                    new_motor = jnp.clip(state.motor_target + cmd["dq"], lo, hi)
+                    new_joints, new_joint_vel = jax.vmap(
+                        functools.partial(
+                            arm_dyn.step_arm,
+                            self.rparams,
+                            self._arm_dyn,
+                            dt=1.0 / 30.0,
+                            substeps=4,
+                        )
+                    )(state.joints, state.joint_vel, new_motor)
+                else:
+                    new_joints = jnp.clip(state.joints + cmd["dq"], lo, hi)
+            elif "ee_delta" in cmd:
+                cur_local = self._ee_local(state.joints) - self._arm_root
+                target_ee = cur_local + cmd["ee_delta"]
+                new_joints = jax.vmap(
+                    functools.partial(kin.ik_solve, self.rparams, iters=8)
+                )(target_ee, state.joints)
+            grip = cmd.get("grip", jnp.zeros((n,), bool))
+            lin = jnp.clip(jnp.asarray(cmd.get("lin", jnp.zeros((n,)))), -1.0, 1.0)
+            ang = jnp.clip(jnp.asarray(cmd.get("ang", jnp.zeros((n,)))), -1.0, 1.0)
+            stop = state.stop_called | cmd.get("stop", jnp.zeros((n,), bool))
+            a = jnp.where(grip, A_GRAB, A_FWD).astype(jnp.int32)  # for logs
+            yaw = state.yaw + ang * self.turn
+            move = lin * self.fwd
+        elif self.control == "arm":
             # [J joint deltas | grip | base lin | base ang]
             acts = jnp.clip(actions.astype(jnp.float32), -1.0, 1.0)
             J = self.n_joints
@@ -1050,6 +1104,43 @@ class RearrangeBatchedEnv:
         collided = collided & moved
         new_pos = jnp.where(moved[:, None], new_pos, state.pos)
 
+        if self.action_specs is not None:
+            if "base_pos_override" in cmd:
+                # HumanoidJointAction base transform: teleport-set the root
+                # (snapped to the navgrid, like the reference's step_filter)
+                ov_set, ov_pos, ov_yaw = cmd["base_pos_override"]
+                snapped_ov = jax.vmap(
+                    functools.partial(ng.snap_to_navigable, self.pack)
+                )(sid, ov_pos)
+                new_pos = jnp.where(ov_set[:, None], snapped_ov, new_pos)
+                yaw = jnp.where(ov_set, ov_yaw, yaw)
+            if "pddl_apply" in cmd:
+                # PddlApplyAction nav(e): postcondition teleport next to the
+                # entity, facing it (reference applies the action's effects
+                # when its precondition holds, pddl_actions.py:57-99)
+                objs0 = self._obj_world(state)
+                ents0 = jnp.concatenate(
+                    [objs0, self.table.target_pos[state.ep_idx]], axis=1
+                )
+                ev0 = jnp.concatenate(
+                    [self.table.obj_valid[state.ep_idx]] * 2, axis=1
+                )
+                nav_arg = cmd["pddl_apply"][:, 0]
+                ne = ents0.shape[1]
+                e_i = jnp.clip(nav_arg - 1, 0, ne - 1)
+                n_i = jnp.arange(n)
+                do_nav = (
+                    (nav_arg >= 1) & (nav_arg <= ne) & ev0[n_i, e_i]
+                )
+                tgt_e = ents0[n_i, e_i]
+                snap_e = jax.vmap(
+                    functools.partial(ng.snap_to_navigable, self.pack)
+                )(sid, tgt_e)
+                face = tgt_e - snap_e
+                face_yaw = jnp.arctan2(-face[:, 0], -face[:, 2])
+                new_pos = jnp.where(do_nav[:, None], snap_e, new_pos)
+                yaw = jnp.where(do_nav, face_yaw, yaw)
+
         state = dataclasses.replace(
             state,
             pos=new_pos,
@@ -1122,7 +1213,71 @@ class RearrangeBatchedEnv:
         d = jnp.where(self.table.obj_valid[state.ep_idx], d, 1e6)
         nearest = jnp.argmin(d, axis=1).astype(jnp.int32)
         nearest_d = d[n_idx, nearest]
-        if self._arm_mode() or self.continuous:
+        if self.action_specs is not None:
+            if "grip" in cmd:
+                # suction semantics (reference SuctionGraspAction)
+                can_grab = grip & (state.held < 0) & (
+                    nearest_d <= self.grasp_distance
+                )
+                do_release = (~grip) & (state.held >= 0)
+            else:
+                # no grip slice declared: grasp state only changes through
+                # PddlApplyAction / HumanoidPickAction below
+                can_grab = jnp.zeros((n,), bool)
+                do_release = jnp.zeros((n,), bool)
+            if "humanoid_pick" in cmd:
+                # reference HumanoidPickAction: reach + grasp when the
+                # target point is within reach of the agent
+                hp_active, hp_target = cmd["humanoid_pick"]
+                d_t_obj = jnp.linalg.norm(objs - hp_target[:, None, :], axis=-1)
+                d_t_obj = jnp.where(
+                    self.table.obj_valid[state.ep_idx], d_t_obj, 1e6
+                )
+                hp_obj = jnp.argmin(d_t_obj, axis=1).astype(jnp.int32)
+                near_tgt = d_t_obj[n_idx, hp_obj] <= 0.4
+                reach_ok = (
+                    jnp.linalg.norm(
+                        (hp_target - state.pos)[:, jnp.array([0, 2])], axis=-1
+                    )
+                    <= 1.5
+                )
+                hp_grab = hp_active & near_tgt & reach_ok & (state.held < 0)
+                can_grab = can_grab | hp_grab
+                nearest = jnp.where(hp_grab, hp_obj, nearest)
+            if "pddl_apply" in cmd:
+                # pick(o) / place(g) postconditions (pddl_actions.py):
+                # pick snaps object o to the hand if the precondition
+                # (not holding, robot near o) holds; place releases the
+                # held object at goal g
+                args = cmd["pddl_apply"]
+                O = self.num_objects
+                p_arg = args[:, 1]
+                p_obj = jnp.clip(p_arg - 1, 0, O - 1)
+                p_ok = (
+                    (p_arg >= 1)
+                    & (p_arg <= O)
+                    & self.table.obj_valid[state.ep_idx][n_idx, p_obj]
+                )
+                near_o = (
+                    jnp.linalg.norm(
+                        (objs[n_idx, p_obj] - state.pos)[:, jnp.array([0, 2])],
+                        axis=-1,
+                    )
+                    <= 2.0
+                )
+                p_do = p_ok & near_o & (state.held < 0)
+                can_grab = can_grab | p_do
+                nearest = jnp.where(p_do, p_obj, nearest)
+                pl_arg = args[:, 2]
+                g_i = jnp.clip(pl_arg - 1 - O, 0, O - 1)
+                pddl_place = (
+                    (pl_arg >= O + 1) & (pl_arg <= 2 * O) & (state.held >= 0)
+                )
+                pddl_place_goal = self.table.target_pos[state.ep_idx][
+                    n_idx, g_i
+                ]
+                do_release = do_release | pddl_place
+        elif self._arm_mode() or self.continuous:
             # suction semantics (reference SuctionGraspAction,
             # grip_actions.py:140+): hold while grip > 0, release on <= 0
             can_grab = grip & (state.held < 0) & (nearest_d <= self.grasp_distance)
@@ -1145,6 +1300,9 @@ class RearrangeBatchedEnv:
             # integrates the fall (reference: Bullet gravity after
             # desnap, RearrangeSim.step_world)
             drop = drop.at[:, 1].set(ee[:, 1])
+        if self.action_specs is not None and "pddl_apply" in cmd:
+            # place(g) postcondition: the object lands AT the goal
+            drop = jnp.where(pddl_place[:, None], pddl_place_goal, drop)
         held_idx = jnp.maximum(state.held, 0)
         obj_pos = state.obj_pos
         obj_pos = jnp.where(

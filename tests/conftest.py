@@ -33,3 +33,33 @@ def cpu_devices():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# -- smoke tier (VERDICT r2 weak #9): `pytest -m smoke` < 5 min -------------
+# Whole-module marking: these modules are the fast, wide-coverage slice
+# (registry/config contracts, task math, env/step semantics, renderer
+# oracle, kinematics, wire protocols). Measured ~4 min on the 8-dev mesh.
+_SMOKE_MODULES = {
+    "test_registry_contract",
+    "test_task_actions",
+    "test_tasks",
+    "test_render",
+    "test_batched_env",
+    "test_navgrid",
+    "test_models",
+    "test_fusedgen_math",
+    "test_urdf",
+    "test_arm",
+    "test_unity_protocol",
+    "test_pddl_yaml",
+    "test_config",
+    "test_scene",
+    "test_sim_utilities",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)

@@ -1,0 +1,159 @@
+"""Registry-resolved task actions (VERDICT r2 missing #4/#5).
+
+Reference semantics: habitat.task.actions ``type:`` strings resolve through
+the registry into agent-invocable actions whose spaces flatten in
+declaration order (embodied_task.py:275-292, gym_wrapper.py:102-161);
+OracleNavAction steers to a 1-based PDDL-entity index
+(actions/oracle_nav_action.py:157-183), PddlApplyAction applies grounded
+action postconditions (actions/pddl_actions.py:57-99), HumanoidJointAction
+sets the root transform (actions.py:801-880).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from habitat_tpu.config.default import get_config, read_write
+from habitat_tpu.config.omega import Config
+from habitat_tpu.core.construct import rearrange_env_from_config
+
+
+@pytest.fixture()
+def pick_cfg():
+    return get_config("benchmark/rearrange/skills/pick.yaml")
+
+
+def _steps(env, state, a, n):
+    for _ in range(n):
+        state, obs, rew, done, info = env.step(state, a)
+    return state, obs, info
+
+
+def test_composed_layout_matches_reference_flattening(pick_cfg):
+    """arm_action (7 dq + grip) + base_velocity (lin, ang) -> 10 dims in
+    declaration order — the layout round-2 checkpoints trained on."""
+    env = rearrange_env_from_config(pick_cfg, num_envs=2, with_visual=False)
+    assert env.action_space.shape == (10,)
+    assert env.action_names == ("arm_action", "base_velocity")
+    state, obs = env.reset(seed=0)
+    j0 = np.asarray(obs["joint"]).copy()
+    a = jnp.zeros((2, 10), jnp.float32).at[:, 0].set(1.0)
+    state, obs2, _, _, _ = env.step(state, a)
+    assert np.abs(np.asarray(obs2["joint"][:, 0]) - j0[:, 0]).max() > 0.01
+    p0 = np.asarray(state.pos).copy()
+    a2 = jnp.zeros((2, 10), jnp.float32).at[:, 8].set(1.0)
+    state, _, _, _, _ = env.step(state, a2)
+    assert np.linalg.norm(np.asarray(state.pos) - p0) > 0.05
+
+
+def test_unknown_action_type_raises(pick_cfg):
+    with read_write(pick_cfg) as cfg:
+        cfg.habitat.task.actions["bogus"] = Config({"type": "NoSuchAction"})
+        with pytest.raises(KeyError, match="NoSuchAction"):
+            rearrange_env_from_config(cfg, num_envs=2, with_visual=False)
+
+
+def test_oracle_nav_action_reaches_entity(pick_cfg):
+    """oracle_nav_action=k steers the base toward entity k (1-based; the
+    pick target object here) until within dist_thresh, then stops."""
+    with read_write(pick_cfg) as cfg:
+        cfg.habitat.task.actions = Config(
+            {"oracle_nav_action": Config({"type": "OracleNavAction"})}
+        )
+        env = rearrange_env_from_config(cfg, num_envs=2, with_visual=False)
+    assert env.action_space.shape == (1,)
+    state, obs = env.reset(seed=0)
+    tgt = np.asarray(env.table.pick_target[np.asarray(state.ep_idx)])
+    objs = np.asarray(env._obj_world(state))
+    goal = objs[np.arange(2), tgt]
+    d0 = np.linalg.norm((np.asarray(state.pos) - goal)[:, [0, 2]], axis=-1)
+    a = jnp.asarray(tgt + 1, jnp.float32)[:, None]  # 1-based entity index
+    for _ in range(60):
+        state, obs, rew, done, info = env.step(state, a)
+    d1 = np.linalg.norm((np.asarray(state.pos) - goal)[:, [0, 2]], axis=-1)
+    assert (d1 < d0 - 0.2).all() or (d1 < 0.5).all(), (d0, d1)
+    # index 0 is a no-op
+    p0 = np.asarray(state.pos).copy()
+    state, _, _, _, _ = env.step(state, jnp.zeros((2, 1), jnp.float32))
+    assert np.allclose(np.asarray(state.pos), p0)
+
+
+def test_pddl_apply_action_solves_rearrange(pick_cfg):
+    """nav(obj) -> pick(obj) -> nav(goal) -> place(goal) teleport-solves the
+    task through PddlApplyAction postconditions."""
+    with read_write(pick_cfg) as cfg:
+        cfg.habitat.task.type = "RearrangeCompositeTask-v0"
+        cfg.habitat.task.actions = Config(
+            {"pddl_apply_action": Config({"type": "PddlApplyAction"})}
+        )
+        # pick measurements don't exist on the composite task (the registry
+        # contract raises on them — see test_registry_contract); declare the
+        # composite set instead
+        cfg.habitat.task.measurements = Config(
+            {
+                "pddl_success": Config({"type": "PddlSuccess"}),
+                "obj_at_goal": Config({"type": "ObjAtGoal"}),
+                "num_steps": Config({"type": "NumStepsMeasure"}),
+            }
+        )
+        env = rearrange_env_from_config(cfg, num_envs=2, with_visual=False)
+    state, obs = env.reset(seed=0)
+    n = 2
+    tgt = np.asarray(env.table.pick_target[np.asarray(state.ep_idx)])
+    O = env.num_objects
+    zero = jnp.zeros((n, 3), jnp.float32)
+    # nav to the object (entity = 1-based object index)
+    a = zero.at[:, 0].set(jnp.asarray(tgt + 1, jnp.float32))
+    state, _, _, _, info = env.step(state, a)
+    objs = np.asarray(env._obj_world(state))
+    d = np.linalg.norm(
+        (np.asarray(state.pos) - objs[np.arange(n), tgt])[:, [0, 2]], axis=-1
+    )
+    assert (d < 2.0).all(), d
+    # pick it
+    a = zero.at[:, 1].set(jnp.asarray(tgt + 1, jnp.float32))
+    state, _, _, _, info = env.step(state, a)
+    assert (np.asarray(state.held) == tgt).all()
+    # nav to its goal (entity = O + 1-based object index), then place
+    a = zero.at[:, 0].set(jnp.asarray(O + tgt + 1, jnp.float32))
+    state, _, _, _, _ = env.step(state, a)
+    a = zero.at[:, 2].set(jnp.asarray(O + tgt + 1, jnp.float32))
+    state, _, _, _, info = env.step(state, a)
+    assert (np.asarray(state.held) == -1).all()
+    objs = np.asarray(env._obj_world(state))
+    goals = np.asarray(env.table.target_pos[np.asarray(state.ep_idx)])
+    gap = np.linalg.norm(
+        objs[np.arange(n), tgt] - goals[np.arange(n), tgt], axis=-1
+    )
+    assert (gap < 0.5).all(), gap
+    assert (np.asarray(info["obj_at_goal"]) > 0).all()
+
+
+def test_humanoid_joint_action_sets_root(pick_cfg):
+    """HumanoidJointAction base transform teleport-sets the root; all-zero
+    keeps the pose (reference actions.py:801-880)."""
+    with read_write(pick_cfg) as cfg:
+        cfg.habitat.task.actions = Config(
+            {
+                "humanoid_joint_action": Config(
+                    {"type": "HumanoidJointAction", "num_joints": 17}
+                )
+            }
+        )
+        env = rearrange_env_from_config(cfg, num_envs=2, with_visual=False)
+    assert env.action_space.shape == (4 * 17 + 32,)
+    state, obs = env.reset(seed=0)
+    p0 = np.asarray(state.pos).copy()
+    # all-zero = keep pose
+    state, _, _, _, _ = env.step(state, jnp.zeros((2, 100), jnp.float32))
+    assert np.allclose(np.asarray(state.pos), p0)
+    # base transform with translation = current pos + (0.5, 0, 0)
+    tgt = p0 + np.array([0.5, 0.0, 0.0], np.float32)
+    T = np.tile(np.eye(4, dtype=np.float32)[None], (2, 1, 1))
+    T[:, 3, 0:3] = tgt  # column-major Matrix4: translation in last row slot
+    a = np.zeros((2, 100), np.float32)
+    a[:, -16:] = T.reshape(2, 16)
+    a[:, -32:-16] = np.tile(np.eye(4, dtype=np.float32).reshape(16), (2, 1))
+    state, _, _, _, _ = env.step(state, jnp.asarray(a))
+    moved = np.linalg.norm((np.asarray(state.pos) - p0)[:, [0, 2]], axis=-1)
+    assert (moved > 0.1).all(), moved
