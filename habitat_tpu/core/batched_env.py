@@ -149,7 +149,16 @@ class BatchedEnv:
             self._depth_cfg = g0["depth_cfg"]
             self._cam_height = g0["cam_y"]
 
-        self.action_space = spaces.Discrete(len(self.actions))
+        # velocity control (reference VelocityAction, nav.py:1170-1256):
+        # when the task declares velocity_control, the env runs continuous
+        # (lin, ang) commands integrated through the substep loop below
+        self._vel_ctrl = next(
+            (a for a in self.actions if a.name == "velocity_control"), None
+        )
+        if self._vel_ctrl is not None:
+            self.action_space = spaces.Box(-1.0, 1.0, (2,), np.float32)
+        else:
+            self.action_space = spaces.Discrete(len(self.actions))
         self.action_names = tuple(a.name for a in self.actions)
         self.observation_space = spaces.Dict(
             {s.uuid: s.observation_space() for s in self.sensors}
@@ -298,20 +307,57 @@ class BatchedEnv:
         required at scale (embedding multi-MB tables as closure constants
         chokes XLA constant handling; see env_data property)."""
         pack, table, order = env_data if env_data is not None else self.env_data
-        a = actions.astype(jnp.int32)
         sid = table.scene_idx[state.ep_idx]
 
-        stop = state.stop_called | self._stop_flag[a]
-        yaw = state.yaw + self._turn_amt[a]
-        pitch = jnp.clip(state.pitch + self._tilt_amt[a], -np.pi / 2, np.pi / 2)
-        move = self._move_amt[a]
-        target = state.pos + yaw_to_forward(yaw) * move[:, None]
-        new_pos, collided = jax.vmap(
-            functools.partial(ng.try_step, pack, n_substeps=self.slide_substeps)
-        )(sid, state.pos, target)
-        moved = move > 0
-        collided = collided & moved
-        new_pos = jnp.where(moved[:, None], new_pos, state.pos)
+        if self._vel_ctrl is not None:
+            # velocity control through the substep loop (reference
+            # VelocityAction, nav.py:1170-1256: VelocityControl integrates
+            # rigid state inside sim.step_filter; auto-stop under the
+            # min-speed thresholds). Commands in [-1, 1] map onto the
+            # configured ranges; the arc integrates as `slide_substeps`
+            # rotate-then-translate sub-moves, each collision-resolved.
+            vc = self._vel_ctrl
+            acts = jnp.clip(actions.astype(jnp.float32), -1.0, 1.0)
+            lo_l, hi_l = float(vc.lin_vel_range[0]), float(vc.lin_vel_range[1])
+            lo_a, hi_a = float(vc.ang_vel_range[0]), float(vc.ang_vel_range[1])
+            lin_v = lo_l + (acts[:, 0] + 1.0) * 0.5 * (hi_l - lo_l)
+            ang_v = lo_a + (acts[:, 1] + 1.0) * 0.5 * (hi_a - lo_a)
+            ang_v_rad = jnp.deg2rad(ang_v)
+            dt = float(vc.time_step)
+            auto_stop = (jnp.abs(lin_v) < float(vc.min_abs_lin_speed)) & (
+                jnp.abs(jnp.deg2rad(ang_v)) < np.deg2rad(float(vc.min_abs_ang_speed))
+            )
+            stop = state.stop_called | auto_stop
+            nsub = max(self.slide_substeps, 1)
+            yaw = state.yaw
+            new_pos = state.pos
+            collided = jnp.zeros((self.num_envs,), bool)
+            for _ in range(nsub):
+                yaw = yaw + ang_v_rad * (dt / nsub)
+                tgt = new_pos + yaw_to_forward(yaw) * (lin_v * dt / nsub)[:, None]
+                new_pos, c = jax.vmap(
+                    functools.partial(ng.try_step, pack, n_substeps=1)
+                )(sid, new_pos, tgt)
+                collided = collided | c
+            moved = jnp.abs(lin_v) * dt > 1e-6
+            collided = collided & moved
+            pitch = state.pitch
+            a = jnp.zeros((self.num_envs,), jnp.int32)
+        else:
+            a = actions.astype(jnp.int32)
+            stop = state.stop_called | self._stop_flag[a]
+            yaw = state.yaw + self._turn_amt[a]
+            pitch = jnp.clip(
+                state.pitch + self._tilt_amt[a], -np.pi / 2, np.pi / 2
+            )
+            move = self._move_amt[a]
+            target = state.pos + yaw_to_forward(yaw) * move[:, None]
+            new_pos, collided = jax.vmap(
+                functools.partial(ng.try_step, pack, n_substeps=self.slide_substeps)
+            )(sid, state.pos, target)
+            moved = move > 0
+            collided = collided & moved
+            new_pos = jnp.where(moved[:, None], new_pos, state.pos)
 
         step = state.step + 1
         state = dataclasses.replace(
