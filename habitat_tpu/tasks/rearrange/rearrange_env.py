@@ -99,6 +99,11 @@ class RearrangeState:
     #   actions.py:167-238 — NOT on the measured joint position)
     held: jnp.ndarray  # (N,) int32, -1 = none
     ever_held: jnp.ndarray  # (N,) bool — picked the right object at least once
+    # second agent (hab3 multi-agent rearrange: a kinematic humanoid driven
+    # through declared agent_1_* task actions; zeros when single-agent)
+    human_pos: jnp.ndarray  # (N,3)
+    human_yaw: jnp.ndarray  # (N,)
+    human_held: jnp.ndarray  # (N,) int32, -1 = none
     accum_force: jnp.ndarray  # (N,) running contact force on the robot
     stop_called: jnp.ndarray
     collided: jnp.ndarray
@@ -319,6 +324,12 @@ class RearrangeBatchedEnv:
             self.grasp_distance = arm_grasp_distance
 
         self.action_specs = list(action_specs) if action_specs else None
+        # hab3 multi-agent: agent_1_* action specs drive a kinematic
+        # humanoid lane (reference hssd_spot_human.yaml declares per-agent
+        # prefixed actions; the humanoid is an AGENT here, not env script)
+        self.with_humanoid = bool(self.action_specs) and any(
+            s.agent_idx >= 1 for s in self.action_specs
+        )
         if self.action_specs is not None:
             # composed registry-resolved actions: flat Box in declaration
             # order; grasp uses suction semantics when any grip slice exists
@@ -369,6 +380,19 @@ class RearrangeBatchedEnv:
             obs_spaces["robot_head_depth"] = spaces.Box(0, 1, (h, w, 1), np.float32)
             obs_spaces["robot_head_rgb"] = spaces.Box(0, 255, (h, w, 3), np.uint8)
         self.observation_space = spaces.Dict(obs_spaces)
+        if self.with_humanoid:
+            # prefixed multi-agent layout: derive spaces from the traced
+            # observation shapes so the space can't drift from the impl
+            st0 = jax.eval_shape(self._fresh_state_struct)
+            shapes = jax.eval_shape(self._observations, st0)
+            self.observation_space = spaces.Dict(
+                {
+                    k: spaces.Box(
+                        -np.inf, np.inf, tuple(v.shape[1:]), np.dtype(v.dtype)
+                    )
+                    for k, v in shapes.items()
+                }
+            )
 
         # registry contract (reference embodied_task.py:275-292): declared
         # lab_sensors/measurements control EXACTLY what the env emits. The
@@ -505,7 +529,14 @@ class RearrangeBatchedEnv:
         carry_pos = self._held_obj_pos(state)  # (N,3)
         o_idx = jnp.arange(self.num_objects)[None, :]
         is_held = o_idx == held[:, None]
-        return jnp.where(is_held[..., None], carry_pos[:, None, :], state.obj_pos)
+        out = jnp.where(is_held[..., None], carry_pos[:, None, :], state.obj_pos)
+        if self.with_humanoid:
+            # object carried by the humanoid rides at its hand height
+            h_carry = state.human_pos + jnp.array([0.0, 0.8, 0.0])
+            h_carry = h_carry + yaw_to_forward(state.human_yaw) * 0.3
+            h_held = o_idx == state.human_held[:, None]
+            out = jnp.where(h_held[..., None], h_carry[:, None, :], out)
+        return out
 
     def _reach_target(self, state) -> jnp.ndarray:
         """(N,3) per-episode random EE goal in the arm workspace, AGENT frame
@@ -590,6 +621,48 @@ class RearrangeBatchedEnv:
             )
             obs["robot_head_depth"] = frames["depth"]
             obs["robot_head_rgb"] = frames["rgb"]
+        if self.with_humanoid:
+            # hab3 multi-agent prefixing (reference RearrangeSim
+            # rearrange_sim.py:68-82: agent_{i}_<uuid>): robot sensors under
+            # agent_0_, the humanoid's own lane under agent_1_
+            def gps_rel(p_self, yaw_self, p_other):
+                rel_o = rotate_world_to_agent(p_other - p_self, yaw_self)
+                return jnp.stack([-rel_o[:, 2], rel_o[:, 0]], -1).astype(
+                    jnp.float32
+                )
+
+            h_rel = rotate_world_to_agent(
+                tgt_pos - state.human_pos, state.human_yaw
+            )
+            h_rel_goal = rotate_world_to_agent(
+                goal_pos - state.human_pos, state.human_yaw
+            )
+            dist_ag = jnp.linalg.norm(
+                (state.human_pos - state.pos)[:, jnp.array([0, 2])], axis=-1
+            )
+            within = (dist_ag < 2.0).astype(jnp.float32)[:, None]
+            m_obs = {f"agent_0_{k}": v for k, v in obs.items()}
+            m_obs.update(
+                {
+                    "agent_1_localization_sensor": jnp.concatenate(
+                        [state.human_pos, state.human_yaw[:, None]], -1
+                    ).astype(jnp.float32),
+                    "agent_1_obj_start_sensor": h_rel.astype(jnp.float32),
+                    "agent_1_obj_goal_sensor": h_rel_goal.astype(jnp.float32),
+                    "agent_1_is_holding": (state.human_held >= 0).astype(
+                        jnp.float32
+                    )[:, None],
+                    "agent_0_other_agent_gps": gps_rel(
+                        state.pos, state.yaw, state.human_pos
+                    ),
+                    "agent_1_other_agent_gps": gps_rel(
+                        state.human_pos, state.human_yaw, state.pos
+                    ),
+                    "agent_0_agents_within_threshold": within,
+                    "agent_1_agents_within_threshold": within,
+                }
+            )
+            return m_obs
         if self.sensor_keys is not None:
             obs = {k: obs[k] for k in self.sensor_keys if k in obs}
         return obs
@@ -805,6 +878,14 @@ class RearrangeBatchedEnv:
         # reference cls_uuid alias (RobotForce.cls_uuid is
         # "articulated_agent_force", rearrange_sensors.py:820)
         measures["articulated_agent_force"] = measures["robot_force"]
+        if self.with_humanoid:
+            # reference DidAgentsCollide / NumAgentsCollide
+            # (multi_agent_sensors.py:18,?)
+            d_ag = jnp.linalg.norm(
+                (state.human_pos - state.pos)[:, jnp.array([0, 2])], axis=-1
+            )
+            measures["did_agents_collide"] = (d_ag < 0.5).astype(jnp.float32)
+            measures["num_agents_collide"] = measures["did_agents_collide"]
         if self.task in ("open", "close"):
             art_t = self.table.art_target[state.ep_idx]
             q = state.art_q[n_idx, art_t]
@@ -949,6 +1030,17 @@ class RearrangeBatchedEnv:
             motor_target=jnp.broadcast_to(self._resting, (n, self.n_joints)),
             held=jnp.full((n,), -1, jnp.int32),
             ever_held=jnp.zeros((n,), bool),
+            # humanoid spawns a couple of meters behind the robot start,
+            # snapped to the navgrid (the generator has no humanoid start;
+            # reference hab3 episodes carry one)
+            human_pos=jax.vmap(
+                functools.partial(ng.snap_to_navigable, self.pack)
+            )(
+                self.table.nav.scene_idx[ep_idx],
+                pos + yaw_to_forward(yaw + jnp.pi) * 2.0,
+            ),
+            human_yaw=yaw,
+            human_held=jnp.full((n,), -1, jnp.int32),
             accum_force=jnp.zeros((n,), jnp.float32),
             stop_called=jnp.zeros((n,), bool),
             collided=jnp.zeros((n,), bool),
@@ -981,9 +1073,17 @@ class RearrangeBatchedEnv:
             # commands; the rest of the step consumes the merged cmd
             acts_f = actions.astype(jnp.float32)
             off = 0
+            cmd1: Dict[str, Any] = {}  # humanoid (agent_1) lane
             for spec in self.action_specs:
                 w = spec.dims(self)
-                spec.contribute(self, state, acts_f[:, off : off + w], cmd)
+                x = acts_f[:, off : off + w]
+                if self.with_humanoid and spec.agent_idx >= 1:
+                    spec.contribute(
+                        self, state, x, cmd1,
+                        pose=(state.human_pos, state.human_yaw),
+                    )
+                else:
+                    spec.contribute(self, state, x, cmd)
                 off += w
             lo = jnp.asarray(self.rparams.joint_limits_lower, jnp.float32)
             hi = jnp.asarray(self.rparams.joint_limits_upper, jnp.float32)
@@ -1141,6 +1241,45 @@ class RearrangeBatchedEnv:
                 new_pos = jnp.where(do_nav[:, None], snap_e, new_pos)
                 yaw = jnp.where(do_nav, face_yaw, yaw)
 
+        # -- humanoid (agent_1) lane: same motion semantics on its own pose
+        new_h_pos, new_h_yaw = state.human_pos, state.human_yaw
+        if self.with_humanoid:
+            h_lin = jnp.clip(jnp.asarray(cmd1.get("lin", jnp.zeros((n,)))), -1.0, 1.0)
+            h_ang = jnp.clip(jnp.asarray(cmd1.get("ang", jnp.zeros((n,)))), -1.0, 1.0)
+            stop = stop | cmd1.get("stop", jnp.zeros((n,), bool))
+            new_h_yaw = state.human_yaw + h_ang * self.turn
+            h_target = state.human_pos + yaw_to_forward(new_h_yaw) * (
+                h_lin * self.fwd
+            )[:, None]
+            new_h_pos, _ = jax.vmap(functools.partial(ng.try_step, self.pack))(
+                sid, state.human_pos, h_target
+            )
+            if "pddl_apply" in cmd1:
+                # humanoid PddlApplyAction nav(e)
+                objs0h = self._obj_world(state)
+                ents0h = jnp.concatenate(
+                    [objs0h, self.table.target_pos[state.ep_idx]], axis=1
+                )
+                ev0h = jnp.concatenate(
+                    [self.table.obj_valid[state.ep_idx]] * 2, axis=1
+                )
+                nav1 = cmd1["pddl_apply"][:, 0]
+                neh = ents0h.shape[1]
+                e1_i = jnp.clip(nav1 - 1, 0, neh - 1)
+                n_i1 = jnp.arange(n)
+                do_nav1 = (nav1 >= 1) & (nav1 <= neh) & ev0h[n_i1, e1_i]
+                tgt1 = ents0h[n_i1, e1_i]
+                snap1 = jax.vmap(
+                    functools.partial(ng.snap_to_navigable, self.pack)
+                )(sid, tgt1)
+                face1 = tgt1 - snap1
+                new_h_pos = jnp.where(do_nav1[:, None], snap1, new_h_pos)
+                new_h_yaw = jnp.where(
+                    do_nav1,
+                    jnp.arctan2(-face1[:, 0], -face1[:, 2]),
+                    new_h_yaw,
+                )
+
         state = dataclasses.replace(
             state,
             pos=new_pos,
@@ -1149,6 +1288,8 @@ class RearrangeBatchedEnv:
             joints=new_joints,
             joint_vel=new_joint_vel,
             motor_target=new_motor,
+            human_pos=new_h_pos,
+            human_yaw=new_h_yaw,
             stop_called=stop,
             collided=collided,
             collision_count=state.collision_count + collided.astype(jnp.int32),
@@ -1314,6 +1455,79 @@ class RearrangeBatchedEnv:
         held = jnp.where(can_grab, nearest, held)
         tgt = self._target_obj(state)
         ever_held = state.ever_held | (held == tgt)
+
+        # -- humanoid grasp lane (agent_1 HumanoidPickAction / PddlApply) --
+        human_held = state.human_held
+        if self.with_humanoid:
+            o_lane_h = jnp.arange(self.num_objects)[None]
+            h_grab = jnp.zeros((n,), bool)
+            h_obj = jnp.zeros((n,), jnp.int32)
+            h_release = jnp.zeros((n,), bool)
+            h_drop = state.human_pos * jnp.array([1.0, 0.0, 1.0]) + jnp.stack(
+                [jnp.zeros((n,)), self.pack.floor_y[sid], jnp.zeros((n,))], -1
+            )
+            if "humanoid_pick" in cmd1:
+                hp_a, hp_t = cmd1["humanoid_pick"]
+                d_h = jnp.linalg.norm(objs - hp_t[:, None, :], axis=-1)
+                d_h = jnp.where(self.table.obj_valid[state.ep_idx], d_h, 1e6)
+                cand = jnp.argmin(d_h, axis=1).astype(jnp.int32)
+                g = (
+                    hp_a
+                    & (d_h[n_idx, cand] <= 0.4)
+                    & (
+                        jnp.linalg.norm(
+                            (hp_t - state.human_pos)[:, jnp.array([0, 2])],
+                            axis=-1,
+                        )
+                        <= 1.5
+                    )
+                    & (state.human_held < 0)
+                )
+                h_grab = h_grab | g
+                h_obj = jnp.where(g, cand, h_obj)
+            if "pddl_apply" in cmd1:
+                args1 = cmd1["pddl_apply"]
+                O = self.num_objects
+                p_arg1 = args1[:, 1]
+                p_obj1 = jnp.clip(p_arg1 - 1, 0, O - 1)
+                near1 = (
+                    jnp.linalg.norm(
+                        (objs[n_idx, p_obj1] - state.human_pos)[
+                            :, jnp.array([0, 2])
+                        ],
+                        axis=-1,
+                    )
+                    <= 2.0
+                )
+                g1 = (
+                    (p_arg1 >= 1)
+                    & (p_arg1 <= O)
+                    & self.table.obj_valid[state.ep_idx][n_idx, p_obj1]
+                    & near1
+                    & (state.human_held < 0)
+                )
+                h_grab = h_grab | g1
+                h_obj = jnp.where(g1, p_obj1, h_obj)
+                pl1 = args1[:, 2]
+                g1_i = jnp.clip(pl1 - 1 - O, 0, O - 1)
+                h_place = (
+                    (pl1 >= O + 1) & (pl1 <= 2 * O) & (state.human_held >= 0)
+                )
+                h_release = h_release | h_place
+                h_drop = jnp.where(
+                    h_place[:, None],
+                    self.table.target_pos[state.ep_idx][n_idx, g1_i],
+                    h_drop,
+                )
+            # the robot's held object is not grabbable by the humanoid
+            h_grab = h_grab & (h_obj != held)
+            obj_pos_h_sel = (
+                h_release[:, None] & (o_lane_h == jnp.maximum(state.human_held, 0)[:, None])
+            )[..., None]
+            obj_pos = jnp.where(obj_pos_h_sel, h_drop[:, None, :], obj_pos)
+            human_held = jnp.where(h_release, -1, state.human_held)
+            human_held = jnp.where(h_grab, h_obj, human_held)
+
         obj_vel = state.obj_vel
         step_force = jnp.zeros((n,), jnp.float32)
         if self.dynamics == "gravity":
@@ -1329,6 +1543,11 @@ class RearrangeBatchedEnv:
                 self.table.obj_valid[state.ep_idx]
                 & (o_lane != jnp.where(held < 0, -1, held)[:, None])
             )
+            if self.with_humanoid:
+                free = free & (
+                    o_lane
+                    != jnp.where(human_held < 0, -1, human_held)[:, None]
+                )
             v = obj_vel.at[..., 1].add(-g * dt)
             p = obj_pos + v * dt
             on_ground = p[..., 1] <= rest_y
@@ -1341,6 +1560,11 @@ class RearrangeBatchedEnv:
                 jnp.arange(self.num_objects)[None]
                 != jnp.where(held < 0, -1, held)[:, None]
             )
+            if self.with_humanoid:
+                free = free & (
+                    jnp.arange(self.num_objects)[None]
+                    != jnp.where(human_held < 0, -1, human_held)[:, None]
+                )
             obj_pos, obj_vel, step_force = contact_step(
                 obj_pos,
                 obj_vel,
@@ -1390,6 +1614,7 @@ class RearrangeBatchedEnv:
             obj_vel=obj_vel,
             held=held,
             ever_held=ever_held,
+            human_held=human_held,
             accum_force=state.accum_force + step_force,
         )
 
@@ -1454,6 +1679,9 @@ class RearrangeBatchedEnv:
             motor_target=sel(fresh.motor_target, state.motor_target),
             held=sel(fresh.held, state.held),
             ever_held=sel(fresh.ever_held, state.ever_held),
+            human_pos=sel(fresh.human_pos, state.human_pos),
+            human_yaw=sel(fresh.human_yaw, state.human_yaw),
+            human_held=sel(fresh.human_held, state.human_held),
             accum_force=sel(fresh.accum_force, state.accum_force),
             stop_called=sel(fresh.stop_called, state.stop_called),
             collided=sel(fresh.collided, state.collided),

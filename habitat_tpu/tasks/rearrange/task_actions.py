@@ -47,17 +47,30 @@ from habitat_tpu.core.registry import registry
 
 class BatchedTaskAction:
     """Base spec: a named slice of the flat action vector + a contribution
-    to the step command dict."""
+    to the step command dict.
+
+    Multi-agent configs declare per-agent prefixed action names
+    (``agent_1_oracle_nav_action`` — reference ArticulatedAgentAction's
+    ``_action_arg_prefix``); ``agent_idx`` is parsed from the name and the
+    env routes each spec's cmd dict to that agent's lane. ``pose`` is the
+    ACTING agent's (pos, yaw) so steering actions steer the right body."""
 
     def __init__(self, cfg=None, name: str = ""):
         self.cfg = cfg
         self.name = name
+        self.agent_idx = 0
+        if name.startswith("agent_"):
+            try:
+                self.agent_idx = int(name.split("_")[1])
+            except ValueError:
+                pass
 
     def dims(self, env) -> int:
         raise NotImplementedError
 
-    def contribute(self, env, state, x, cmd) -> None:
-        """x: (N, dims) f32 slice. Mutates cmd in place."""
+    def contribute(self, env, state, x, cmd, pose=None) -> None:
+        """x: (N, dims) f32 slice. Mutates cmd in place. ``pose`` is the
+        acting agent's (pos, yaw); None = (state.pos, state.yaw)."""
         raise NotImplementedError
 
     def _get(self, key, default):
@@ -93,7 +106,7 @@ class ArmAction(BatchedTaskAction):
         arm = 3 if self._is_ee() else env.n_joints
         return arm + (1 if self._has_grip() else 0)
 
-    def contribute(self, env, state, x, cmd) -> None:
+    def contribute(self, env, state, x, cmd, pose=None) -> None:
         x = jnp.clip(x, -1.0, 1.0)
         if self._is_ee():
             cmd["ee_delta"] = x[:, 0:3] * env.ee_delta
@@ -110,7 +123,7 @@ class BaseVelAction(BatchedTaskAction):
     def dims(self, env) -> int:
         return 2
 
-    def contribute(self, env, state, x, cmd) -> None:
+    def contribute(self, env, state, x, cmd, pose=None) -> None:
         x = jnp.clip(x, -1.0, 1.0)
         if not bool(self._get("allow_back", True)):
             x = x.at[:, 0].set(jnp.maximum(x[:, 0], 0.0))
@@ -131,7 +144,7 @@ class RearrangeStopAction(BatchedTaskAction):
     def dims(self, env) -> int:
         return 1
 
-    def contribute(self, env, state, x, cmd) -> None:
+    def contribute(self, env, state, x, cmd, pose=None) -> None:
         cmd["stop"] = cmd.get("stop", False) | (x[:, 0] > 0.0)
 
 
@@ -142,7 +155,7 @@ class EmptyAction(BatchedTaskAction):
     def dims(self, env) -> int:
         return 0
 
-    def contribute(self, env, state, x, cmd) -> None:
+    def contribute(self, env, state, x, cmd, pose=None) -> None:
         return None
 
 
@@ -161,7 +174,7 @@ def _entity_positions(env, state) -> Tuple[jnp.ndarray, jnp.ndarray]:
     )
 
 
-def _steer_to_target(env, state, target, active, cfg_get):
+def _steer_to_target(env, state, target, active, cfg_get, pose=None):
     """Greedy collision-resolved steering toward target (N,3).
 
     Batched equivalent of the reference's navmesh-path follower
@@ -178,10 +191,11 @@ def _steer_to_target(env, state, target, active, cfg_get):
     turn_v = float(cfg_get("turn_velocity", 1.0))
 
     sid = env._sid(state)
-    rel = target - state.pos
+    a_pos, a_yaw = pose if pose is not None else (state.pos, state.yaw)
+    rel = target - a_pos
     rel_xz = rel[:, jnp.array([0, 2])]
     dist = jnp.linalg.norm(rel_xz, axis=-1)
-    ang_to_obj = _wrap(_angle_to(rel_xz) - state.yaw)
+    ang_to_obj = _wrap(_angle_to(rel_xz) - a_yaw)
 
     # candidate ring: resolved one-step-lookahead euclidean descent
     n_dirs = 8
@@ -200,7 +214,7 @@ def _steer_to_target(env, state, target, active, cfg_get):
 
         return jax.vmap(one)(tgts)
 
-    d_cands = jax.vmap(cand_dist)(state.pos, state.yaw, target, sid)
+    d_cands = jax.vmap(cand_dist)(a_pos, a_yaw, target, sid)
     best = jnp.argmin(d_cands - jnp.zeros((n_dirs,)).at[0].set(1e-4), axis=-1)
     ang_err = _wrap(offs[best])
 
@@ -226,7 +240,7 @@ class OracleNavAction(BatchedTaskAction):
     def dims(self, env) -> int:
         return 1
 
-    def contribute(self, env, state, x, cmd) -> None:
+    def contribute(self, env, state, x, cmd, pose=None) -> None:
         idx = jnp.round(x[:, 0]).astype(jnp.int32)
         ents, valid = _entity_positions(env, state)
         ne = ents.shape[1]
@@ -236,7 +250,7 @@ class OracleNavAction(BatchedTaskAction):
         target = ents[n_idx, safe]
         active = active & valid[n_idx, safe]
         lin, ang, at_goal = _steer_to_target(
-            env, state, target, active, self._get
+            env, state, target, active, self._get, pose=pose
         )
         cmd["lin"] = cmd.get("lin", 0.0) + lin
         cmd["ang"] = cmd.get("ang", 0.0) + ang
@@ -251,11 +265,11 @@ class OracleNavCoordinateAction(BatchedTaskAction):
     def dims(self, env) -> int:
         return 3
 
-    def contribute(self, env, state, x, cmd) -> None:
+    def contribute(self, env, state, x, cmd, pose=None) -> None:
         target = x[:, 0:3]
         active = jnp.any(jnp.abs(target) > 1e-6, axis=-1)
         lin, ang, at_goal = _steer_to_target(
-            env, state, target, active, self._get
+            env, state, target, active, self._get, pose=pose
         )
         cmd["lin"] = cmd.get("lin", 0.0) + lin
         cmd["ang"] = cmd.get("ang", 0.0) + ang
@@ -285,7 +299,7 @@ class PddlApplyAction(BatchedTaskAction):
     def dims(self, env) -> int:
         return self.N_SCHEMAS
 
-    def contribute(self, env, state, x, cmd) -> None:
+    def contribute(self, env, state, x, cmd, pose=None) -> None:
         cmd["pddl_apply"] = jnp.round(x).astype(jnp.int32)  # (N, 3)
 
 
@@ -301,7 +315,7 @@ class HumanoidJointAction(BatchedTaskAction):
         nj = int(self._get("num_joints", 17))
         return 4 * nj + 32
 
-    def contribute(self, env, state, x, cmd) -> None:
+    def contribute(self, env, state, x, cmd, pose=None) -> None:
         base_T = x[:, -16:].reshape(-1, 4, 4)
         is_set = jnp.any(jnp.abs(x[:, -32:]) > 1e-8, axis=-1)
         # column-major Matrix4 convention: translation = last 4 entries
@@ -321,7 +335,7 @@ class HumanoidPickAction(BatchedTaskAction):
     def dims(self, env) -> int:
         return 3
 
-    def contribute(self, env, state, x, cmd) -> None:
+    def contribute(self, env, state, x, cmd, pose=None) -> None:
         target = x[:, 0:3]
         active = jnp.any(jnp.abs(target) > 1e-6, axis=-1)
         cmd["humanoid_pick"] = (active, target)
