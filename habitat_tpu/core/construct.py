@@ -608,6 +608,21 @@ def rearrange_env_from_config(
         if multi_agent:
             measure_keys = None
 
+    # dynamics mode: CONTACTS by default for reference rearrange YAMLs
+    # (VERDICT r2 #4 — the reference's default is Bullet dynamics,
+    # rearrange_sim.py:1017-1028; kinematic stays as the documented fast
+    # mode via habitat.simulator.tpu.dynamics=kinematic, mirroring the
+    # reference's own kinematic_mode recipe) + live force semantics from
+    # the declared ForceTerminate threshold.
+    dynamics = str(
+        config.get_path("habitat.simulator.tpu.dynamics", None) or "contacts"
+    )
+    max_accum_force = -1.0
+    for _, m_cfg in sorted(
+        (config.get_path("habitat.task.measurements", Config()) or Config()).items()
+    ):
+        if hasattr(m_cfg, "get") and m_cfg.get("type") == "ForceTerminate":
+            max_accum_force = float(m_cfg.get("max_accum_force", -1.0) or -1.0)
     robot = "FetchRobot"
     agents = config.get_path("habitat.simulator.agents", Config()) or Config()
     for _, ag in (agents.items() if hasattr(agents, "items") else []):
@@ -647,4 +662,6 @@ def rearrange_env_from_config(
         sensor_keys=sensor_keys,
         measure_keys=measure_keys,
         action_specs=action_specs,
+        dynamics=dynamics,
+        max_accum_force=max_accum_force,
     )

@@ -228,6 +228,13 @@ def build_rearrange_table(
 
     obj_init = np.zeros((E, O, 3), np.float32)
     obj_valid = np.zeros((E, O), bool)
+    # per-object upright-OBB shape from the ASSET: deterministic in the
+    # object name, the same dims the renderer draws (reference: Bullet
+    # builds collision shapes from the object asset's geometry,
+    # rearrange_sim.py object template managers). Episode transforms with a
+    # rotation contribute the spawn yaw.
+    obj_half = np.full((E, O, 3), 0.12, np.float32)
+    obj_yaw = np.zeros((E, O), np.float32)
     target_pos = np.zeros((E, O, 3), np.float32)
     target_mask = np.zeros((E, O), bool)
     pick_target = np.zeros((E,), np.int32)
@@ -242,11 +249,22 @@ def build_rearrange_table(
     rng_art = np.random.default_rng(1234)
     nav_episodes = []
 
+    import hashlib
+
+    def _asset_dims(name: str):
+        h = int(hashlib.md5(str(name).encode()).hexdigest()[:8], 16)
+        r = np.random.default_rng(h)
+        return (
+            r.uniform(0.07, 0.16, 3).astype(np.float32),
+            np.float32(r.uniform(0.0, np.pi)),
+        )
+
     for i, ep in enumerate(episodes):
         names = []
         for j, (name, pos) in enumerate(ep.rigid_objs[:O]):
             obj_init[i, j] = pos
             obj_valid[i, j] = True
+            obj_half[i, j], obj_yaw[i, j] = _asset_dims(name)
             names.append(name)
         first_target = None
         for name, goal in ep.targets.items():
@@ -318,6 +336,8 @@ def build_rearrange_table(
         nav=nav_table,
         obj_init=jnp.asarray(obj_init),
         obj_valid=jnp.asarray(obj_valid),
+        obj_half=jnp.asarray(obj_half),
+        obj_yaw=jnp.asarray(obj_yaw),
         target_pos=jnp.asarray(target_pos),
         target_mask=jnp.asarray(target_mask),
         pick_target=jnp.asarray(pick_target),

@@ -61,6 +61,11 @@ class RearrangeTable:
     nav: EpisodeTable
     obj_init: jnp.ndarray  # (E, O, 3)
     obj_valid: jnp.ndarray  # (E, O) bool
+    # collision/render shape per object: upright OBB half-extents + yaw
+    # (reference: Bullet collision shapes from the object asset; here the
+    # asset's box dims — VERDICT r2 #4 drops the one-size AABB restriction)
+    obj_half: jnp.ndarray  # (E, O, 3)
+    obj_yaw: jnp.ndarray  # (E, O)
     target_pos: jnp.ndarray  # (E, O, 3) goal position per object
     target_mask: jnp.ndarray  # (E, O) bool — objects that must move
     pick_target: jnp.ndarray  # (E,) int32 — focus object for pick/place
@@ -127,64 +132,121 @@ def contact_step(
     dt: float = 0.1,
     g: float = 9.8,
     n_substeps: int = 4,
-    half: float = OBJ_HALF,
+    half=OBJ_HALF,  # float | (N,O,3) per-object half-extents
+    yaw_o=None,  # None | (N,O) upright-OBB yaw about +Y
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Impulse/projection contact dynamics v2: AABB box-box (reference:
-    Bullet step_world, tasks/rearrange/rearrange_sim.py:1017-1028). The
-    contact shapes are the RENDERED geometry — axis-aligned ``half``-boxes
-    (objects don't spin in this kinematic world): semi-implicit Euler,
-    pairwise minimum-translation-vector projection along the least-
-    penetrated axis with zero restitution, flush stacking support (a box
-    dropped on a box rests face-on-face even at a lateral offset — the v1
-    sphere model kiss-contacted and slid off), floor support with ground
-    friction, and robot-cylinder pushout against the box's nearest surface
-    point whose penetration integrates into a pseudo contact force
-    (reference RobotForce, rearrange_sensors.py:814).
+    """Impulse/projection contact dynamics v3: UPRIGHT OBB box-box
+    (reference: Bullet step_world, tasks/rearrange/rearrange_sim.py:1017-
+    1028). The contact shapes ARE the rendered geometry — per-object
+    half-extent boxes yawed about +Y (gravity keeps them upright; they
+    don't tumble in this kinematic world). Separating-axis test over
+    {Y, u_i, w_i, u_j, w_j} (the two footprint axes of each box), MTV
+    projection along the least-penetrated axis with zero restitution,
+    flush stacking support, floor support with ground friction, and
+    robot-cylinder pushout against the OBB's nearest footprint point whose
+    penetration integrates into a pseudo contact force (reference
+    RobotForce, rearrange_sensors.py:814).
     Returns (obj_pos, obj_vel, robot_force)."""
     N, O, _ = obj_pos.shape
     sdt = dt / n_substeps
     eye = jnp.eye(O, dtype=bool)[None]
     freem = free[..., None]
     force = jnp.zeros((N,), jnp.float32)
-    # contact positions are box CENTERS: bottom + half
-    center_off = jnp.array([0.0, half, 0.0])
+    if jnp.ndim(half) == 0:
+        half = jnp.broadcast_to(
+            jnp.asarray([half, half, half], jnp.float32), (N, O, 3)
+        )
+    if yaw_o is None:
+        yaw_o = jnp.zeros((N, O), jnp.float32)
+    hy = half[..., 1]
+    # footprint axes u (local x) and w (local z) in the XZ plane
+    cy, sy = jnp.cos(yaw_o), jnp.sin(yaw_o)
+    u = jnp.stack([cy, -sy], axis=-1)  # (N,O,2)
+    w = jnp.stack([sy, cy], axis=-1)
+    # contact positions are box CENTERS: bottom + half_y
+    center_off = jnp.stack(
+        [jnp.zeros_like(hy), hy, jnp.zeros_like(hy)], axis=-1
+    )
     p = obj_pos + center_off
     v = obj_vel
+
+    def proj_radius(axis):
+        """Footprint projection radius of every box on axis (N,O,O,2)->i/j"""
+        # axis: (N,O,O,2); returns r_i, r_j (N,O,O)
+        ri = half[..., 0][:, :, None] * jnp.abs(
+            jnp.sum(u[:, :, None] * axis, -1)
+        ) + half[..., 2][:, :, None] * jnp.abs(jnp.sum(w[:, :, None] * axis, -1))
+        rj = half[..., 0][:, None, :] * jnp.abs(
+            jnp.sum(u[:, None, :] * axis, -1)
+        ) + half[..., 2][:, None, :] * jnp.abs(jnp.sum(w[:, None, :] * axis, -1))
+        return ri + rj
 
     fy_c = floor_y[:, None]
     for _ in range(n_substeps):
         v = jnp.where(freem, v.at[..., 1].add(-g * sdt), 0.0)
         p = jnp.where(freem, p + v * sdt, p)
 
-        # AABB-AABB: contact iff overlapped on ALL axes; resolve along the
+        # upright-OBB SAT: Y interval + 4 footprint axes; resolve along the
         # minimum-translation axis
         d = p[:, :, None, :] - p[:, None, :, :]  # (N,O,O,3) i<-j
-        pen3 = 2 * half - jnp.abs(d)  # per-axis penetration
+        dxz = d[..., jnp.array([0, 2])]  # (N,O,O,2)
+        pen_y = hy[:, :, None] + hy[:, None, :] - jnp.abs(d[..., 1])
+        axes = jnp.stack(
+            [
+                jnp.broadcast_to(u[:, :, None], dxz.shape),
+                jnp.broadcast_to(w[:, :, None], dxz.shape),
+                jnp.broadcast_to(u[:, None, :], dxz.shape),
+                jnp.broadcast_to(w[:, None, :], dxz.shape),
+            ],
+            axis=0,
+        )  # (4,N,O,O,2)
+        sep = jnp.sum(axes * dxz[None], -1)  # signed center gap on axis
+        pen_xz = jax.vmap(proj_radius)(axes) - jnp.abs(sep)  # (4,N,O,O)
         pair = free[:, :, None] & free[:, None, :] & ~eye
-        active = pair & jnp.all(pen3 > 0.0, axis=-1)
-        axis = jnp.argmin(pen3, axis=-1)  # (N,O,O) MTV axis
-        pen = jnp.min(pen3, axis=-1)
-        nrm = jax.nn.one_hot(axis, 3, dtype=p.dtype) * jnp.where(
-            d >= 0, 1.0, -1.0
-        )  # signed unit MTV normal pushing i away from j
+        active = pair & (pen_y > 0.0) & jnp.all(pen_xz > 0.0, axis=0)
+        # candidate MTVs: [y, 4 xz axes]
+        pens = jnp.concatenate([pen_y[None], pen_xz], axis=0)  # (5,N,O,O)
+        which = jnp.argmin(pens, axis=0)  # (N,O,O)
+        pen = jnp.min(pens, axis=0)
+        y_nrm = jnp.stack(
+            [
+                jnp.zeros_like(pen_y),
+                jnp.where(d[..., 1] >= 0, 1.0, -1.0),
+                jnp.zeros_like(pen_y),
+            ],
+            axis=-1,
+        )
+        sgn = jnp.where(sep >= 0, 1.0, -1.0)[..., None]  # (4,N,O,O,1)
+        xz_nrm = axes * sgn  # unit, pushing i away from j
+        nrm3 = jnp.stack(
+            [
+                jnp.stack(
+                    [xz_nrm[k][..., 0], jnp.zeros_like(pen_y), xz_nrm[k][..., 1]],
+                    axis=-1,
+                )
+                for k in range(4)
+            ],
+            axis=0,
+        )
+        cand = jnp.concatenate([y_nrm[None], nrm3], axis=0)  # (5,N,O,O,3)
+        nrm = jnp.take_along_axis(
+            cand, which[None, ..., None].astype(jnp.int32), axis=0
+        )[0]
         # separation split: grounded (or held) bodies act kinematic — the
         # free body takes the FULL correction (a half-correction pushed into
         # a grounded support gets undone by the floor clamp, leaving a
         # steady-state penetration of one gravity substep). One propagation
         # pass also anchors boxes resting ON an anchored box, so short
         # stacks are stable supports.
-        base = ~free | (p[..., 1] <= fy_c + half + 1e-3)  # held / on floor
-        support = active & (axis == 1) & (d[..., 1] > 0)  # j supports i
+        base = ~free | (p[..., 1] <= fy_c + hy + 1e-3)  # held / on floor
+        support = active & (which == 0) & (d[..., 1] > 0)  # j supports i
         sup_anchored = base | jnp.any(support & base[:, None, :], axis=2)
-        # receiving side uses BASE anchoring only (a box resting on a stack
-        # must still take the full correction or gravity sag accumulates);
-        # supporting side uses the propagated form so short stacks are
-        # stable supports
         ai = base[:, :, None]
         aj = sup_anchored[:, None, :]
-        w = jnp.where(aj & ~ai, 1.0, jnp.where(ai & ~aj, 0.0, 0.5))
+        wgt = jnp.where(aj & ~ai, 1.0, jnp.where(ai & ~aj, 0.0, 0.5))
         corr = jnp.sum(
-            jnp.where(active[..., None], (w * pen)[..., None] * nrm, 0.0), axis=2
+            jnp.where(active[..., None], (wgt * pen)[..., None] * nrm, 0.0),
+            axis=2,
         )
         p = p + corr
         # remove approaching relative normal velocity (restitution 0)
@@ -195,7 +257,7 @@ def contact_step(
 
         # floor/support: ground clamp; friction kills horizontal motion on
         # the floor AND on top of a supporting box
-        fy = fy_c + half
+        fy = fy_c + hy
         on_ground = p[..., 1] <= fy + 1e-4
         supported = jnp.any(support, axis=2)
         p = p.at[..., 1].set(jnp.maximum(p[..., 1], fy))
@@ -205,18 +267,23 @@ def contact_step(
             v,
         )
 
-        # robot cylinder vs box nearest-surface-point (xz) -> pseudo force
+        # robot cylinder vs OBB nearest footprint point -> pseudo force
         da = p - agent_pos[:, None, :]
         in_h = jnp.abs(da[..., 1]) < 1.2
-        near = jnp.clip(da[..., [0, 2]], -half, half)  # agent rel to box
-        gap = jnp.sqrt(jnp.sum((da[..., [0, 2]] - near) ** 2, axis=-1))
+        da_xz = da[..., jnp.array([0, 2])]  # box center rel agent, (N,O,2)
+        # agent offset in the box frame
+        lx = -jnp.sum(da_xz * u, -1)
+        lz = -jnp.sum(da_xz * w, -1)
+        nearx = jnp.clip(lx, -half[..., 0], half[..., 0])
+        nearz = jnp.clip(lz, -half[..., 2], half[..., 2])
+        gap = jnp.sqrt((lx - nearx) ** 2 + (lz - nearz) ** 2)
         pen_a = jnp.where(free & in_h, AGENT_RADIUS - gap, 0.0)
         hit_a = pen_a > 0.0
         # push direction: box center away from agent axis (robust when the
         # agent axis is inside the box footprint, where gap = 0)
-        da_xz = jnp.sqrt(da[..., 0] ** 2 + da[..., 2] ** 2)
-        nx = da[..., 0] / jnp.maximum(da_xz, 1e-6)
-        nz = da[..., 2] / jnp.maximum(da_xz, 1e-6)
+        dlen = jnp.sqrt(jnp.sum(da_xz**2, -1))
+        nx = da_xz[..., 0] / jnp.maximum(dlen, 1e-6)
+        nz = da_xz[..., 1] / jnp.maximum(dlen, 1e-6)
         p = p.at[..., 0].add(jnp.where(hit_a, pen_a * nx, 0.0))
         p = p.at[..., 2].add(jnp.where(hit_a, pen_a * nz, 0.0))
         force = force + FORCE_K * jnp.sum(jnp.where(hit_a, pen_a, 0.0), axis=1)
@@ -724,14 +791,14 @@ class RearrangeBatchedEnv:
         return tris, valid
 
     def _dynamic_geometry(self, state) -> Dict[str, jnp.ndarray]:
-        """Movable objects as boxes: (N, O*12, 3) triangles rebuilt per step."""
+        """Movable objects as upright OBBs (the SAME shapes the contact
+        solver uses — physics and pixels agree): (N, O*12, 3) triangles
+        rebuilt per step."""
         objs = self._obj_world(state)  # (N,O,3)
-        # unit cube triangles (12) centered at origin
-        c = OBJ_HALF
         corners = jnp.array(
             [
-                [-c, -c, -c], [c, -c, -c], [c, c, -c], [-c, c, -c],
-                [-c, -c, c], [c, -c, c], [c, c, c], [-c, c, c],
+                [-1.0, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+                [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
             ]
         )
         faces = jnp.array(
@@ -741,8 +808,19 @@ class RearrangeBatchedEnv:
                 [2, 6, 7], [2, 7, 3], [3, 7, 4], [3, 4, 0],
             ]
         )
-        tri = corners[faces]  # (12,3,3)
-        center = objs + jnp.array([0.0, OBJ_HALF, 0.0])  # sit on floor
+        unit_tri = corners[faces]  # (12,3,3) unit box
+        halves = self.table.obj_half[state.ep_idx]  # (N,O,3)
+        yaws = self.table.obj_yaw[state.ep_idx]  # (N,O)
+        scaled = unit_tri[None, None] * halves[:, :, None, None, :]
+        cyo, syo = jnp.cos(yaws), jnp.sin(yaws)
+        rx = scaled[..., 0] * cyo[..., None, None] + scaled[..., 2] * syo[..., None, None]
+        rz = -scaled[..., 0] * syo[..., None, None] + scaled[..., 2] * cyo[..., None, None]
+        obj_tri = jnp.stack([rx, scaled[..., 1], rz], axis=-1)  # (N,O,12,3,3)
+        center = objs + jnp.concatenate(
+            [jnp.zeros_like(halves[..., :1]), halves[..., 1:2],
+             jnp.zeros_like(halves[..., :1])], -1
+        )  # sit on floor
+        tri = unit_tri * OBJ_HALF  # articulated boxes keep the legacy scale
         # articulated objects render as larger boxes: drawers slide along
         # their axis, fridge doors swing about the vertical hinge
         A = self.table.art_pos.shape[1]
@@ -771,7 +849,7 @@ class RearrangeBatchedEnv:
         centers = jnp.concatenate([center, art_center], axis=1)
         tris_all = jnp.concatenate(
             [
-                jnp.broadcast_to(tri, (self.num_envs, self.num_objects, 12, 3, 3)),
+                obj_tri,
                 jnp.broadcast_to(art_tri, (self.num_envs, A, 12, 3, 3)),
             ],
             axis=1,
@@ -1195,8 +1273,12 @@ class RearrangeBatchedEnv:
         d_obj = jnp.linalg.norm(
             (objs_now - new_pos[:, None, :])[..., jnp.array([0, 2])], axis=-1
         )
+        obj_rad = jnp.maximum(
+            self.table.obj_half[state.ep_idx][..., 0],
+            self.table.obj_half[state.ep_idx][..., 2],
+        )
         obj_hit = jnp.any(
-            blockers & (d_obj < (AGENT_RADIUS + OBJ_HALF) * 0.9), axis=1
+            blockers & (d_obj < (AGENT_RADIUS + obj_rad) * 0.9), axis=1
         )
         new_pos = jnp.where(obj_hit[:, None], state.pos, new_pos)
         collided = collided | obj_hit
@@ -1571,6 +1653,8 @@ class RearrangeBatchedEnv:
                 free,
                 self.pack.floor_y[sid],
                 state.pos,
+                half=self.table.obj_half[state.ep_idx],
+                yaw_o=self.table.obj_yaw[state.ep_idx],
             )
 
         # -- grasp constraint violation ----------------------------------
@@ -1582,13 +1666,22 @@ class RearrangeBatchedEnv:
         # (default_structured_configs.py:1489-1490).
         carried = ee  # held box hangs bottom-anchored at the EE
         pen_floor = jnp.maximum(self.pack.floor_y[sid] - carried[:, 1], 0.0)
-        c_held = carried + jnp.array([0.0, OBJ_HALF, 0.0])
-        centers = obj_pos + jnp.array([0.0, OBJ_HALF, 0.0])
+        halves = self.table.obj_half[state.ep_idx]  # (N,O,3)
+        h_held = halves[n_idx, jnp.maximum(held, 0)]  # (N,3)
+        c_held = carried + jnp.stack(
+            [jnp.zeros((n,)), h_held[:, 1], jnp.zeros((n,))], -1
+        )
+        centers = obj_pos + jnp.concatenate(
+            [jnp.zeros((n, self.num_objects, 1)), halves[..., 1:2],
+             jnp.zeros((n, self.num_objects, 1))], -1
+        )
         o_lane = jnp.arange(self.num_objects)[None]
         o_other = self.table.obj_valid[state.ep_idx] & (
             o_lane != jnp.where(held < 0, -1, held)[:, None]
         )
-        pen3 = 2 * OBJ_HALF - jnp.abs(c_held[:, None, :] - centers)
+        pen3 = (h_held[:, None] + halves) - jnp.abs(
+            c_held[:, None, :] - centers
+        )
         pen_obj = jnp.max(
             jnp.where(
                 o_other & jnp.all(pen3 > 0, axis=-1),

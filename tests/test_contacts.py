@@ -112,3 +112,62 @@ def test_contacts_env_end_to_end():
         state, obs, r, d, info = env.step_fn(state, a)
     assert np.all(np.isfinite(np.asarray(state.obj_pos)))
     assert "robot_force" in info and np.all(np.asarray(info["robot_force"]) >= 0)
+
+
+def test_obb_stacking_non_axis_aligned():
+    """Contacts v3 (VERDICT r2 #4): upright OBBs with per-object extents +
+    yaw. A box dropped onto a YAWED support box rests ON TOP of it (SAT
+    over the footprint axes), and two yawed boxes that only overlap under
+    an AABB approximation do NOT collide."""
+    far = jnp.full((1, 3), 1e6)
+    # support box: 0.2 x 0.1 x 0.2 halves, yawed 40deg; dropped box above it
+    half = jnp.asarray([[[0.2, 0.1, 0.2], [0.1, 0.1, 0.1]]], jnp.float32)
+    yaw = jnp.asarray([[0.7, 0.0]], jnp.float32)
+    p = jnp.asarray([[[0.0, 0.0, 0.0], [0.05, 0.8, 0.05]]], jnp.float32)
+    v = jnp.zeros_like(p)
+    free = jnp.ones((1, 2), bool)
+    for _ in range(50):
+        p, v, f = contact_step(
+            p, v, free, jnp.zeros((1,)), far, half=half, yaw_o=yaw
+        )
+    # dropped box settles on the support's top face: bottom at support top
+    assert abs(float(p[0, 1, 1]) - 0.2) < 2e-2, np.asarray(p)
+    assert float(jnp.abs(v).max()) < 5e-2
+
+    # diagonal-gap case: two long thin boxes yawed 45deg, offset so their
+    # AABBs overlap but the OBBs do not -> no contact impulse, no motion
+    # tall plates: Y overlap (1.0) exceeds any footprint penetration, so
+    # the MTV is an XZ axis — the case AABB contacts get wrong
+    half2 = jnp.asarray([[[0.30, 0.5, 0.02], [0.30, 0.5, 0.02]]], jnp.float32)
+    yaw2 = jnp.asarray([[np.pi / 4, np.pi / 4]], jnp.float32)
+    # offset along the plates' THIN axis w=(sin, cos)/|.|: |d.w|=0.14 > 0.04
+    # separates the OBBs while the ~0.23-half AABBs still overlap
+    p2 = jnp.asarray([[[0.0, 0.0, 0.0], [0.1, 0.0, 0.1]]], jnp.float32)
+    v2 = jnp.zeros_like(p2)
+    p2b, v2b, _ = contact_step(
+        p2, v2, jnp.ones((1, 2), bool), jnp.zeros((1,)), far,
+        half=half2, yaw_o=yaw2,
+    )
+    # same-yaw parallel plates offset along the diagonal: separated
+    assert float(jnp.abs(p2b[..., [0, 2]] - p2[..., [0, 2]]).max()) < 1e-4
+
+    # rotate the second plate to cross the first -> OBB contact resolves
+    yaw3 = jnp.asarray([[np.pi / 4, -np.pi / 4]], jnp.float32)
+    p3 = jnp.asarray([[[0.0, 0.0, 0.0], [0.02, 0.0, 0.0]]], jnp.float32)
+    p3b, v3b, _ = contact_step(
+        p3, jnp.zeros_like(p3), jnp.ones((1, 2), bool), jnp.zeros((1,)), far,
+        half=half2, yaw_o=yaw3,
+    )
+    assert float(jnp.abs(p3b[..., [0, 2]] - p3[..., [0, 2]]).max()) > 1e-3
+
+
+def test_obb_default_matches_legacy_aabb():
+    """Scalar half + no yaw reproduces the v2 axis-aligned behavior."""
+    p = jnp.array([[[0.0, 0.0, 0.0], [0.1, 0.5, 0.0]]])
+    v = jnp.zeros_like(p)
+    free = jnp.ones((1, 2), bool)
+    far = jnp.full((1, 3), 1e6)
+    for _ in range(40):
+        p, v, _ = contact_step(p, v, free, jnp.zeros((1,)), far)
+    # stacked flush: top box bottom at 2*OBJ_HALF
+    assert abs(float(p[0, 1, 1]) - 2 * OBJ_HALF) < 2e-2, np.asarray(p)
