@@ -83,6 +83,13 @@ class TpuSim(Simulator):
         self._collided = False
         self._rng = np.random.default_rng(0)
         self._sensor_cfgs = self._collect_sensor_cfgs(config)
+        # jitted sliding step (the eager op-by-op try_step cost ~190 ms on
+        # CPU — the HITL interactive loop needs milliseconds)
+        import functools as _ft
+
+        self._jit_try_step = jax.jit(
+            _ft.partial(ng.try_step, self.pack, jnp.int32(0))
+        )
         self._field_cache: Dict[Any, np.ndarray] = {}
         self._semantic_scene = None
         self.reset()
@@ -143,8 +150,9 @@ class TpuSim(Simulator):
                 fwd = np.array([-np.sin(self._yaw), 0.0, -np.cos(self._yaw)], np.float32)
                 target = self._pos + fwd * lin * dt
                 import jax.numpy as _jnp
-                new_pos, collided = ng.try_step(
-                    self.pack, _jnp.int32(0), _jnp.asarray(self._pos), _jnp.asarray(target)
+                new_pos, collided = self._jit_try_step(
+                    _jnp.asarray(self._pos, _jnp.float32),
+                    _jnp.asarray(target, _jnp.float32),
                 )
                 self._pos = np.asarray(new_pos)
                 self._collided = bool(collided)
@@ -157,8 +165,9 @@ class TpuSim(Simulator):
                 [-np.sin(self._yaw), 0.0, -np.cos(self._yaw)], np.float32
             )
             target = self._pos + fwd * self._fwd_step
-            new_pos, collided = ng.try_step(
-                self.pack, jnp.int32(0), jnp.asarray(self._pos), jnp.asarray(target)
+            new_pos, collided = self._jit_try_step(
+                jnp.asarray(self._pos, jnp.float32),
+                jnp.asarray(target, jnp.float32),
             )
             self._pos = np.asarray(new_pos)
             self._collided = bool(collided)
@@ -183,17 +192,30 @@ class TpuSim(Simulator):
                 max_d = float(c.get("max_depth", 10.0))
                 norm = bool(c.get("normalize_depth", True))
         cam = self._pos + np.array([0.0, 1.25, 0.0], np.float32)
-        out = render_batch(
+        # jit the per-step render once (static camera model): the eager
+        # op-by-op path cost ~300 ms/frame on CPU — far below the 30 SPS
+        # interactive target the HITL loop serves
+        key = (h, w, min_d, max_d, norm)
+        if getattr(self, "_jit_render_key", None) != key:
+            import functools as _ft
+
+            self._jit_render = jax.jit(
+                _ft.partial(
+                    render_batch,
+                    height=h,
+                    width=w,
+                    min_depth=min_d,
+                    max_depth=max_d,
+                    normalize_depth=norm,
+                )
+            )
+            self._jit_render_key = key
+        out = self._jit_render(
             self.pack,
             jnp.zeros((1,), jnp.int32),
-            jnp.asarray(cam)[None],
-            jnp.asarray(self._yaw)[None],
-            jnp.asarray(self._pitch)[None],
-            height=h,
-            width=w,
-            min_depth=min_d,
-            max_depth=max_d,
-            normalize_depth=norm,
+            jnp.asarray(cam, jnp.float32)[None],
+            jnp.asarray(self._yaw, jnp.float32)[None],
+            jnp.asarray(self._pitch, jnp.float32)[None],
         )
         obs = {k: np.asarray(v[0]) for k, v in out.items()}
         return obs

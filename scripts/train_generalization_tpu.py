@@ -27,6 +27,8 @@ from habitat_tpu.models.rnn_state_encoder import initial_hidden_state
 
 S = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 BUDGET_S = float(sys.argv[2]) if len(sys.argv) > 2 else 1500.0
+BACKBONE = sys.argv[3] if len(sys.argv) > 3 else "resnet9"
+HIDDEN = int(sys.argv[4]) if len(sys.argv) > 4 else 256
 N_EVAL_SCENES = 16
 SENSORS = (
     ("HabitatSimDepthSensor", {"height": 64, "width": 64}),
@@ -55,7 +57,7 @@ def main():
     )
     env = build(tr_scenes, tr_eps, tr_fields, num_envs=128)
     policy = make_pointnav_resnet_policy(
-        len(env.actions), backbone="resnet9", hidden_size=256
+        len(env.actions), backbone=BACKBONE, hidden_size=HIDDEN
     )
     learner = PPOLearner(
         env, policy, PPOConfig(num_steps=32, num_mini_batch=2, ppo_epoch=2)
