@@ -93,16 +93,164 @@ def main() -> None:
     dt = (timed(c2) - timed(c1)) / (k2 - k1)
     sps = num_envs * num_steps / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "PointNav 128x128 RGBD env-steps/sec/chip (render+step+PPO, resnet18+LSTM512)",
-                "value": round(sps, 1),
-                "unit": "env-steps/s/chip",
-                "vs_baseline": round(sps / 50000.0, 4),
-            }
-        )
+    out = {
+        "metric": "PointNav 128x128 RGBD env-steps/sec/chip (render+step+PPO, resnet18+LSTM512)",
+        "value": round(sps, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(sps / 50000.0, 4),
+    }
+
+    # ---- scan-scene row (VERDICT r2 #2: driver-captured every round) ----
+    # Full train-step rate + culling exactness on a ~690k-tri scan-density
+    # scene through the v10 stream path. Guarded: a scan failure must not
+    # cost the headline metric.
+    try:
+        out.update(_scan_scene_row(num_envs))
+    except Exception as e:  # noqa: BLE001
+        out["scan_error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(out))
+
+
+def _scan_scene_row(N: int):
+    import numpy as np
+    import jax.numpy as jnp
+    from habitat_tpu.sims.procedural import generate_scan_apartment, build_lod_scene
+    from habitat_tpu.sims.scene import pack_scenes
+    from habitat_tpu.baselines.ppo import PPOConfig, PPOLearner
+    from habitat_tpu.core.env_factory import make_nav_env
+    from habitat_tpu.datasets.pointnav import generate_pointnav_episode
+    from habitat_tpu.models.policy import make_pointnav_resnet_policy
+    from habitat_tpu.utils.geometry import camera_rays
+    from habitat_tpu.ops.raycast import ray_feature_matrix, select_chunks_occluded, _lod_band_ok
+    from habitat_tpu.ops.raycast_pallas import group_tri_mat_pad16, raycast_pallas_stream_t
+
+    scene = generate_scan_apartment(0, tess=0.04, n_clutter=40)
+    lod = build_lod_scene(scene, cells=(0.08, 0.25, 0.6), bands=(1.2, 3.0, 8.0))
+    lod.scene_id = scene.scene_id
+    pack = pack_scenes([lod])
+
+    # culling exactness at the deployed policy: stream(K) vs band-valid
+    # all-chunks oracle, both plane-exact (bench_large_scene.py protocol)
+    rng = np.random.default_rng(0)
+    n_val = 2
+    H = W = 64
+    pos = np.stack([scene.sample_navigable_point(rng) for _ in range(n_val)])
+    pos[:, 1] = scene.floor_y + 1.2
+    posj = jnp.asarray(pos, jnp.float32)
+    yawj = jnp.asarray(rng.uniform(0, 2 * np.pi, n_val), jnp.float32)
+    pitchj = jnp.zeros((n_val,), jnp.float32)
+    svids = jnp.zeros((n_val,), jnp.int32)
+    d4 = jax.vmap(
+        lambda y: camera_rays(y, jnp.float32(0.0), jnp.deg2rad(90.0), H, W)
+    )(yawj).reshape(n_val, -1, 3)
+    o4 = jnp.broadcast_to(posj[:, None, :], d4.shape)
+
+    def blk(x, inv=False):
+        tail = x.shape[2:]
+        if inv:
+            x = x.reshape((n_val, H // 32, W // 32, 32, 32) + tail)
+        else:
+            x = x.reshape((n_val, H // 32, 32, W // 32, 32) + tail)
+        x = jnp.swapaxes(x, 2, 3)
+        return x.reshape((n_val, H * W) + tail)
+
+    C_big = pack.tri_mat.shape[3] // pack.chunk_bounds.shape[1]
+    gm = group_tri_mat_pad16(pack.tri_mat, C_big)
+    d_cam = camera_rays(
+        jnp.float32(0.0), jnp.float32(0.0), jnp.deg2rad(90.0), H, W
+    ).reshape(-1, 3)
+    dcb = blk(jnp.broadcast_to(d_cam, (n_val, H * W, 3)))[0]
+    d_aug = jnp.concatenate([dcb, jnp.ones((H * W, 1), jnp.float32)], -1)
+    nt = (H * W) // 1024
+    d_t = jnp.pad(
+        d_aug.reshape(nt, 1024, 4).transpose(0, 2, 1), ((0, 0), (0, 4), (0, 0))
     )
+    Bt = jnp.pad(
+        ray_feature_matrix(posj, yawj, pitchj).transpose(0, 2, 1),
+        ((0, 0), (0, 6), (0, 0)),
+    )
+
+    def run_stream(ids, cnt):
+        t, idx = raycast_pallas_stream_t(
+            gm, svids, ids, cnt, d_t, Bt, ray_tile=1024, tri_chunk=C_big
+        )
+        t, idx = blk(t, inv=True), blk(idx, inv=True)
+        hit = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        nrm = pack.tri_attr[svids[:, None], safe, 0:3]
+        v0g = pack.tri_v0[svids[:, None], safe]
+        nd = jnp.sum(nrm * d4, axis=-1)
+        num = jnp.sum(nrm * (v0g - o4), axis=-1)
+        ok = hit & (jnp.abs(nd) > 1e-6)
+        return jnp.where(ok, num / jnp.where(ok, nd, 1.0), 1e6), idx
+
+    NC = pack.chunk_bounds.shape[1]
+    ob, db = blk(o4), blk(d4)
+    cb = pack.chunk_bounds[svids]
+    o_t = ob.reshape(n_val, nt, 1024, 3)[:, :, 0]
+    dist_c = jnp.linalg.norm(cb[:, None, :, :3] - o_t[:, :, None, :], axis=-1)
+    valid_c = (cb[..., 3] > 0)[:, None, :] & _lod_band_ok(cb, dist_c)
+    score_c = jnp.where(
+        valid_c, jnp.maximum(dist_c - cb[..., 3][:, None], 0.0), 1e9
+    )
+    neg_c, idx_c = jax.lax.top_k(-score_c, NC)
+    cnt_all = jnp.sum(neg_c > -1e8, axis=-1).astype(jnp.int32)
+    dmin_c = jnp.clip(jnp.floor(-neg_c * 1e2), 0, 8191).astype(jnp.int32)
+    pos_c = jnp.arange(NC, dtype=jnp.int32)
+    in_c = pos_c[None, None, :] < cnt_all[..., None]
+    ids_all = (
+        (jnp.where(in_c, dmin_c, 0) << 18) | jnp.where(in_c, idx_c, 0)
+    ).astype(jnp.int32)
+    t_full, i_full = jax.jit(run_stream)(ids_all, cnt_all)
+    t_full = np.asarray(t_full)
+    hit_full = np.asarray(i_full) >= 0
+
+    K = 160
+    ids, cnt = select_chunks_occluded(
+        pack.tri_mat, cb, svids, ob, db, 1024, K, with_cnt=True
+    )
+    tK, iK = jax.jit(run_stream)(ids, cnt)
+    tK = np.asarray(tK)
+    hitK = np.asarray(iK) >= 0
+    both = hit_full & hitK
+    err = np.abs(t_full[both] - tK[both])
+    row = {
+        "scan_tris": int(lod.num_triangles),
+        "scan_cull_hitmatch": round(float((hit_full == hitK).mean()), 4),
+        "scan_cull_t_agree_5mm": round(float((err < 5e-3).mean()), 4),
+    }
+
+    # full train-step rate (render+step+PPO) on the scan scene
+    erng = np.random.default_rng(0)
+    pairs = [generate_pointnav_episode(scene, str(i), erng) for i in range(16)]
+    pairs = [p for p in pairs if p is not None]
+    env = make_nav_env(
+        [lod], [p[0] for p in pairs], num_envs=N, max_episode_steps=500,
+        precomputed_fields={e.episode_id: f for (e, f) in pairs},
+        sensor_specs=(
+            ("HabitatSimDepthSensor", {"height": 128, "width": 128}),
+            ("HabitatSimRGBSensor", {"height": 128, "width": 128}),
+            ("PointGoalWithGPSCompassSensor", None),
+        ),
+    )
+    policy = make_pointnav_resnet_policy(
+        len(env.actions), backbone="resnet18", hidden_size=512
+    )
+    learner = PPOLearner(
+        env, policy, PPOConfig(num_steps=32, num_mini_batch=2, ppo_epoch=2)
+    )
+    data = env.env_data
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0), data)
+    step = jax.jit(learner.train_step, donate_argnums=(0,))
+    ts, m = step(ts, data)
+    float(jnp.asarray(m["losses/learner_loss"]).ravel()[0])
+    t0 = time.time()
+    for _ in range(2):
+        ts, m = step(ts, data)
+    float(jnp.asarray(m["losses/learner_loss"]).ravel()[0])
+    row["scan_train_sps"] = round(N * 32 * 2 / (time.time() - t0), 1)
+    return row
 
 
 if __name__ == "__main__":

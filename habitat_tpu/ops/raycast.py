@@ -366,6 +366,7 @@ def select_chunks_occluded(
     lowres_stride: int = 64,
     depth_margin: float = 1.0,
     pre_chunks: int = 16,
+    with_cnt: bool = False,
 ) -> jnp.ndarray:
     """Occlusion-aware chunk selection: a low-res raycast (1/stride of the
     rays) bounds each tile's max depth; only cone-visible chunks NEARER than
@@ -403,7 +404,9 @@ def select_chunks_occluded(
         # keeps fine chunks out of the proxy unless there are few coarse ones
         coarse = chunk_bounds[..., 5] > 1e8
         cdist = jnp.where(coarse, cdist, cdist + 1e6)
-        kp = min(max(pre_chunks, 192), NC)
+        # proxy size in TRIS stays constant across chunk granularities
+        C_here = pack_tri_mat.shape[3] // NC
+        kp = min(max(pre_chunks, 192 * 128 // C_here), NC)
     else:
         kp = min(pre_chunks, NC)
     _, near_ids = jax.lax.top_k(-cdist, kp)  # (N,kp)
@@ -443,8 +446,34 @@ def select_chunks_occluded(
         1e9,
     )
     kk = min(k, score.shape[-1])
-    _, idx = jax.lax.top_k(-score, kk)
-    return idx.astype(jnp.int32)
+    neg, idx = jax.lax.top_k(-score, kk)
+    if not with_cnt:
+        return idx.astype(jnp.int32)
+    # stream-kernel contract: valid survivors NEAREST-FIRST (top_k's score
+    # order IS ascending min-possible-distance), tail duplicate-padded with
+    # the last survivor, per-(env, tile) survivor counts. Each slot PACKS
+    # the chunk's min possible distance (centimeters, 13 bits, floor —
+    # rounding DOWN keeps the early-out conservative; capped at 81.9 m)
+    # above the 18-bit chunk id in one i32: two separate (N*nt*K) scalar-
+    # prefetch arrays overflowed the 1 MB SMEM budget at scan-bench shape
+    # (2x 512 KB). Front-to-back early termination: once every ray of the
+    # tile has a hit nearer than chunk c's min distance (ascending by
+    # construction), no later chunk can beat it.
+    valid_sel = neg > -1e8
+    cnt = jnp.sum(valid_sel, axis=-1).astype(jnp.int32)  # (N, n_tiles)
+    ids = idx.astype(jnp.int32)
+    last = jnp.take_along_axis(
+        ids, jnp.maximum(cnt - 1, 0)[..., None], axis=-1
+    )
+    pos = jnp.arange(kk, dtype=jnp.int32)
+    ids = jnp.where(pos[None, None, :] < cnt[..., None], ids, last)
+    ids = jnp.where(cnt[..., None] > 0, ids, 0)
+    dmin_cm = jnp.clip(jnp.floor(-neg * 1e2), 0, 8191).astype(jnp.int32)
+    dmin_cm = jnp.where(valid_sel, dmin_cm, 0)
+    # duplicate-padded tail slots keep dmin 0 (never read: loop bound = cnt)
+    dmin_cm = jnp.where(pos[None, None, :] < cnt[..., None], dmin_cm, 0)
+    packed = (dmin_cm << 18) | ids
+    return packed.astype(jnp.int32), cnt
 
 
 def tile_plane_normals_cam(
@@ -652,7 +681,7 @@ def render_batch(
     ray_tile: int = 0,
     backend: str = "auto",
     dynamic: Optional[Dict[str, jnp.ndarray]] = None,
-    cull_k: int = 48,
+    cull_k: Optional[int] = None,
     projection: str = "pinhole",  # pinhole | equirect | fisheye
 ) -> Dict[str, jnp.ndarray]:
     """Render all envs: (N,H,W,C) frames, one fused raycast.
@@ -672,12 +701,20 @@ def render_batch(
     N = sids.shape[0]
     be_early = _pick_backend(backend)
     n_chunks_early = pack.tri_mat.shape[3] // 128
+    # cull_k=None -> auto: the small/mid-scene path boundary stays at the
+    # historical 48 (96-chunk scenes and below keep the whole-scene-in-VMEM
+    # fused kernels), while the large-scene STREAM path deploys K=160 — the
+    # measured exactness knee on the scan bench (K=96: hitmatch 0.979,
+    # K=160: 1.0 / t-agree 0.9994 vs the band-valid all-chunks oracle).
+    cull_boundary = cull_k if cull_k is not None else 48
+    if cull_k is None:
+        cull_k = 160
     if (
         be_early == "pallas"
         and projection == "pinhole"
         and dynamic is None
         and (height * width) % 1024 == 0
-        and not (n_chunks_early > 2 * cull_k)
+        and not (n_chunks_early > 2 * cull_boundary)
     ):
         # FAST PATH: matrix ray generation. Pinhole rays are a CONSTANT
         # camera-frame pixel grid rotated per env, and the MT ray features
@@ -830,7 +867,7 @@ def render_batch(
         )
 
         n_chunks = pack.tri_mat.shape[3] // 128
-        if n_chunks > 2 * cull_k and R % 1024 == 0:
+        if n_chunks > 2 * cull_boundary and R % 1024 == 0:
             # large scene: occlusion-aware per-ray-tile culling (low-res
             # depth prepass bounds each tile's max depth; the K nearest
             # cone-visible chunks within that bound are tested) — work
@@ -860,25 +897,81 @@ def render_batch(
                 origins_c, dirs_c = to_blocks(origins), to_blocks(dirs)
             else:
                 origins_c, dirs_c = origins, dirs
-            ids = select_chunks_occluded(
-                pack.tri_mat, pack.chunk_bounds[sids], sids, origins_c, dirs_c,
-                1024, cull_k,
-            )
-            from habitat_tpu.ops.raycast_pallas import raycast_pallas_culled_t
-
-            t, attrs_t = raycast_pallas_culled_t(
-                pack.tri_mat,
-                jnp.swapaxes(pack.tri_attr, 1, 2),
-                ids,
-                sids,
-                ray_features_t(origins_c, dirs_c, 1024),
-                ray_tile=1024,
-            )
-            attrs = jnp.swapaxes(attrs_t, 1, 2)  # (N,R,8) for the epilogue
             if blocked:
+                # v8 STREAM path: survivor counts gate a dynamic in-kernel
+                # chunk loop with double-buffered HBM DMA (the round-2 grid
+                # (N, tiles, K) form paid ~200k grid steps at scan-bench
+                # shape, valid or not). t is recovered PLANE-EXACTLY in the
+                # epilogue from true (exact) attribute gathers.
+                from habitat_tpu.ops.raycast_pallas import (
+                    group_tri_mat_pad16,
+                    raycast_pallas_stream_t,
+                )
+
+                ids, cnt = select_chunks_occluded(
+                    pack.tri_mat, pack.chunk_bounds[sids], sids,
+                    origins_c, dirs_c, 1024, cull_k, with_cnt=True,
+                )
+                d_cam_l = camera_rays(
+                    jnp.float32(0.0), jnp.float32(0.0),
+                    jnp.deg2rad(hfov_deg), height, width,
+                ).reshape(-1, 3)
+                dcb = jnp.swapaxes(
+                    d_cam_l.reshape(height // 32, 32, width // 32, 32, 3),
+                    1, 2,
+                ).reshape(R, 3)  # (R,3) camera frame, 32x32 block order
+                d_aug_l = jnp.concatenate(
+                    [dcb, jnp.ones((R, 1), jnp.float32)], axis=-1
+                )
+                nt_l = R // 1024
+                d_t_l = jnp.pad(
+                    d_aug_l.reshape(nt_l, 1024, 4).transpose(0, 2, 1),
+                    ((0, 0), (0, 4), (0, 0)),
+                )  # (nt, 8, 1024)
+                B_l = ray_feature_matrix(cam_pos, yaw, pitch)
+                Bt_l = jnp.pad(
+                    B_l.transpose(0, 2, 1), ((0, 0), (0, 6), (0, 0))
+                )
+                C_big = pack.tri_mat.shape[3] // pack.chunk_bounds.shape[1]
+                t, idx = raycast_pallas_stream_t(
+                    group_tri_mat_pad16(pack.tri_mat, C_big),
+                    sids, ids, cnt, d_t_l, Bt_l,
+                    ray_tile=1024, tri_chunk=C_big,
+                )
                 t = from_blocks(t)
-                attrs = from_blocks(attrs)
-            hit = attrs[..., 7] > 0.5
+                idx = from_blocks(idx)
+                hit = idx >= 0
+                safe_idx = jnp.maximum(idx, 0)
+                attrs = pack.tri_attr[sids[:, None], safe_idx] * hit[
+                    ..., None
+                ].astype(jnp.float32)  # (N,R,8) true gather = exact copy
+                v0g = pack.tri_v0[sids[:, None], safe_idx]  # (N,R,3)
+                nd = jnp.sum(attrs[..., 0:3] * dirs, axis=-1)
+                num = jnp.sum(attrs[..., 0:3] * (v0g - origins), axis=-1)
+                ok = hit & (jnp.abs(nd) > 1e-6)
+                # plane-exact t: the kernel's default-precision G matmul
+                # leaves ~bf16 mantissa depth error (round-2's 0.73
+                # scan-scene agreement); exact f32 n.(v0-o)/(n.d) fixes it
+                t = jnp.where(ok, num / jnp.where(ok, nd, 1.0), t)
+            else:
+                ids = select_chunks_occluded(
+                    pack.tri_mat, pack.chunk_bounds[sids], sids, origins_c,
+                    dirs_c, 1024, cull_k,
+                )
+                from habitat_tpu.ops.raycast_pallas import (
+                    raycast_pallas_culled_t,
+                )
+
+                t, attrs_t = raycast_pallas_culled_t(
+                    pack.tri_mat,
+                    jnp.swapaxes(pack.tri_attr, 1, 2),
+                    ids,
+                    sids,
+                    ray_features_t(origins_c, dirs_c, 1024),
+                    ray_tile=1024,
+                )
+                attrs = jnp.swapaxes(attrs_t, 1, 2)  # (N,R,8)
+                hit = attrs[..., 7] > 0.5
         else:
             rt = 2048 if R % 2048 == 0 else R
             t, idx = raycast_pallas_index_t(

@@ -425,6 +425,15 @@ def group_tri_mat(tri_mat: jnp.ndarray, tri_chunk: int = 128) -> jnp.ndarray:
     )
 
 
+def group_tri_mat_pad16(tri_mat: jnp.ndarray, tri_chunk: int = 128) -> jnp.ndarray:
+    """group_tri_mat padded to 16 sublane rows (rows 10:16 zero): manual
+    chunk DMAs slice the sublane dim, and Mosaic requires slices there to
+    be 8-aligned — 10 is not, 16 is."""
+    g = group_tri_mat(tri_mat, tri_chunk)
+    S, _, T4 = g.shape
+    return jnp.concatenate([g, jnp.zeros((S, 6, T4), jnp.float32)], axis=1)
+
+
 def raycast_pallas_fused_t(
     tri_mat_c: jnp.ndarray,  # (S, 10, 4T) from group_tri_mat
     sids: jnp.ndarray,  # (N,) int32
@@ -881,6 +890,262 @@ def attr16_table(
         axis=1,
     )  # (S, 16, T)
     return flat.reshape(S, 16, T // C, C).transpose(0, 2, 1, 3)
+
+
+def _stream_kernel_t(
+    sids_ref,  # scalar-prefetch (N,)
+    cnt_ref,  # scalar-prefetch (N*nt,) FLAT survivor counts
+    b_ref,  # (1, 16, 4) SMEM — B[env]^T ray-feature matrix
+    d_ref,  # (1, 8, ray_tile) VMEM — camera-frame [d, 1] transposed tile
+    chunks_hbm,  # (N*nt, 1, K) HBM — PACKED survivor slots, NEAREST-FIRST:
+    #              (dmin_cm << 18) | chunk_id. Rows are DMA'd into SMEM per
+    #              tile (scalar-prefetching the whole table overflowed the
+    #              1 MB SMEM budget at scan shape; 3D so the per-tile slice
+    #              is a free leading-dim slice — 2D i32 memrefs are
+    #              (8,128)-tiled even in HBM and reject 1-row slices)
+    m_hbm,  # (S, 16, 4T) ANY/HBM — CHUNK-GROUPED scene matrix, sublane-
+    #         padded to 16 rows (group_tri_mat_pad16; the scene stays in
+    #         HBM, chunks are DMA'd manually)
+    t_out,  # (1, 1, 1, ray_tile) f32
+    i_out,  # (1, 1, 1, ray_tile) i32 — global tri index, -1 = miss
+    ch_smem,  # SMEM scratch (K,) i32 — this tile's survivor row
+    mbuf,  # VMEM scratch (NSLOT, 16, 4C) — prefetch ring
+    tb_ref,  # VMEM scratch (1, ray_tile) f32 — best-t accumulator (pl.when
+    #          bodies cannot return into the fori carry; refs carry state)
+    ib_ref,  # VMEM scratch (1, ray_tile) i32
+    row_sem,  # DMA semaphore () — survivor-row fetch
+    sem,  # DMA semaphores (NSLOT,)
+    *,
+    tri_chunk: int,
+    n_tiles: int,
+    max_chunks: int,
+    nslot: int,
+    lookahead: int,
+):
+    """v10 large-scene kernel: per-tile culled chunk streaming, nearest
+    first, with early termination gating BOTH the hit test and the DMA
+    stream, behind a deep prefetch ring.
+
+    The round-2 culled kernel put the K candidate-chunk axis on the Pallas
+    grid — 200k grid steps at the scan-bench shape, every one paying grid
+    overhead whether or not its chunk was real. The v9 rework streamed
+    chunks through a double buffer, but one 32 KB HBM DMA in flight at a
+    time left the loop LATENCY-bound (~3 us per chunk-step ≈ the measured
+    400 ms/step at scan shape, 30x the compute). Here:
+
+    - survivor rows live in HBM and are DMA'd per tile into SMEM (a
+      scalar-prefetched (N*nt*K) table hit the 1 MB SMEM ceiling, so K was
+      capped at ~32 — the round-2 fidelity floor, hitmatch 0.73 from
+      chunk starvation);
+    - a ring of `nslot` chunk buffers keeps `lookahead` DMAs in flight, so
+      the per-chunk cost approaches max(compute, bandwidth) instead of
+      round-trip latency (requires lookahead <= nslot - 1: a slot's next
+      issue happens no earlier than one iteration after its wait);
+    - chunks stream NEAREST-FIRST (ascending min possible distance dmin,
+      packed in the high bits) with EARLY TERMINATION: once every ray of
+      the tile holds a hit nearer than the next chunk's dmin, no remaining
+      chunk can beat it, and BOTH the test and the remaining DMA issue stop
+      (the issue predicate uses the pre-test best, which only overshoots —
+      at most `lookahead` extra chunks stream).
+
+    The winner is the global min-t over tested chunks — exact regardless
+    of order. Attribute extraction and plane-exact t live in the XLA
+    epilogue: at scan-scene table sizes the per-ray gather is a true
+    (exact) HBM gather, so n/v0 arrive bit-exact without in-kernel
+    extraction matmuls."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    C = tri_chunk
+    tile = i * n_tiles + j
+    row = pltpu.make_async_copy(chunks_hbm.at[tile], ch_smem, row_sem)
+    row.start()
+
+    D = d_ref[0]  # (8, Rt)
+    Rt = D.shape[1]
+    rows = []
+    for f in range(10):
+        acc = b_ref[0, f, 0] * D[0:1, :]
+        for k in range(1, 4):
+            acc = acc + b_ref[0, f, k] * D[k : k + 1, :]
+        rows.append(acc)
+    rows.append(jnp.zeros((6, Rt), jnp.float32))  # match the 16-row pad
+    F = jnp.concatenate(rows, axis=0)  # (16, Rt) f32
+
+    nch = cnt_ref[tile]
+    sid = sids_ref[i]
+    row.wait()
+
+    def unpack(c):
+        v = ch_smem[0, jnp.minimum(c, max_chunks - 1)]
+        return v & 0x3FFFF, (v >> 18).astype(jnp.float32) * 1e-2
+
+    def chunk_dma(slot, cid):
+        return pltpu.make_async_copy(
+            m_hbm.at[sid, :, pl.ds(cid * 4 * C, 4 * C)],
+            mbuf.at[slot],
+            sem.at[slot],
+        )
+
+    # warm-up: fill the pipeline (ET unknown yet — best_t starts at _TMAX,
+    # which exceeds every dmin, so these issues are never wasted work the
+    # ET would have skipped)
+    for s in range(lookahead):
+        @pl.when(s < nch)
+        def _(s=s):
+            cid_s, _d = unpack(jnp.int32(s))
+            chunk_dma(s % nslot, cid_s).start()
+
+    tb_ref[0] = jnp.full((Rt,), _TMAX, jnp.float32)
+    ib_ref[0] = jnp.full((Rt,), -1, jnp.int32)
+    n_iss0 = jnp.minimum(jnp.int32(lookahead), nch)
+
+    def body(c, carry):
+        best_t, best_i, n_iss = carry
+        worst = jnp.max(best_t)
+        # issue the next unissued chunk (keeps the ring `lookahead` deep);
+        # stop issuing once even its dmin can't beat the worst current hit
+        cid_n, dmin_n = unpack(n_iss)
+        do_issue = (n_iss < nch) & (n_iss <= c + lookahead) & (worst > dmin_n)
+
+        @pl.when(do_issue)
+        def _():
+            chunk_dma(lax.rem(n_iss, nslot), cid_n).start()
+
+        n_iss = n_iss + do_issue.astype(jnp.int32)
+
+        cid_c, dmin_c = unpack(c)
+        slot = lax.rem(c, nslot)
+
+        @pl.when(c < n_iss)
+        def _():
+            chunk_dma(slot, cid_c).wait()
+
+            @pl.when(worst > dmin_c)
+            def _():
+                G = jax.lax.dot_general(
+                    mbuf[slot],
+                    F,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (4C, Rt)
+                detA = G[0 * C : 1 * C]
+                tnum = G[1 * C : 2 * C]
+                unum = G[2 * C : 3 * C]
+                vnum = G[3 * C : 4 * C]
+                aa = detA * detA
+                p = unum * detA
+                q = vnum * detA
+                w = tnum * detA
+                m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
+                m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
+                hit = (m1 >= 0.0) & (m2 > 0.0)
+                t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
+                tmin = jnp.min(t, axis=0)  # (Rt,)
+                win = jnp.argmin(t, axis=0).astype(jnp.int32)
+                better = tmin < best_t
+                tb_ref[0] = jnp.where(better, tmin, best_t)
+                ib_ref[0] = jnp.where(better, cid_c * C + win, best_i)
+
+        return (tb_ref[0], ib_ref[0], n_iss)
+
+    best_t, best_i, _ = lax.fori_loop(
+        0, nch, body, (tb_ref[0], ib_ref[0], n_iss0)
+    )
+    miss = best_t >= _TMAX * 0.5
+    t_out[0, 0] = jnp.where(miss, _TMAX, best_t)[None, :]
+    i_out[0, 0] = jnp.where(miss, -1, best_i)[None, :]
+
+
+def raycast_pallas_stream_t(
+    tri_mat_c: jnp.ndarray,  # (S, 16, 4T) group_tri_mat_pad16 layout
+    sids: jnp.ndarray,  # (N,) int32
+    chunk_ids: jnp.ndarray,  # (N, nt, K) i32 PACKED (dmin_cm<<18 | id),
+    #                          survivors first, ascending dmin
+    cnt: jnp.ndarray,  # (N, nt) i32 survivor counts
+    d_t: jnp.ndarray,  # (n_tiles, 8, ray_tile) camera [d,1] transposed
+    Bt: jnp.ndarray,  # (N, 16, 4) ray-feature matrices (B^T)
+    ray_tile: int = 1024,
+    tri_chunk: int = 128,
+    nslot: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming tile-culled closest hit for large scenes. Returns
+    (t (N,R) f32, idx (N,R) i32, -1 miss); extract attributes + recover
+    plane-exact t in XLA (true gathers at this table size)."""
+    N = sids.shape[0]
+    n_tiles, K8, Rt = d_t.shape
+    assert K8 == 8 and Rt == ray_tile
+    S, S16, T4 = tri_mat_c.shape
+    assert S16 == 16, "use group_tri_mat_pad16"
+    C = tri_chunk
+    assert (T4 // 4) % C == 0
+    assert (T4 // 4) // C <= (1 << 18), "packed chunk id is 18 bits"
+    nt, K = chunk_ids.shape[1], chunk_ids.shape[2]
+    assert nt == n_tiles and chunk_ids.shape[0] == N
+    R = nt * ray_tile
+    lookahead = nslot - 1
+    # lane-dim DMA slices must be 128-aligned: pad the survivor axis
+    Kp = -(-K // 128) * 128
+    if Kp != K:
+        chunk_ids = jnp.pad(chunk_ids, ((0, 0), (0, 0), (0, Kp - K)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N, nt),
+        in_specs=[
+            pl.BlockSpec((1, 16, 4), lambda i, j, s, cn: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, ray_tile),
+                         lambda i, j, s, cn: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # survivor table MUST stay in HBM: under ANY the compiler put
+            # the small-shape case in VMEM, where a 1-row slice of an i32
+            # (8,128)-tiled memref is illegal (Mosaic alignment error)
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, ray_tile),
+                         lambda i, j, s, cn: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, ray_tile),
+                         lambda i, j, s, cn: (i, j, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1, Kp), jnp.int32),
+            pltpu.VMEM((nslot, 16, 4 * tri_chunk), jnp.float32),
+            pltpu.VMEM((1, ray_tile), jnp.float32),
+            pltpu.VMEM((1, ray_tile), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((nslot,)),
+        ],
+    )
+    t, idx = pl.pallas_call(
+        functools.partial(
+            _stream_kernel_t,
+            tri_chunk=tri_chunk,
+            n_tiles=nt,
+            max_chunks=K,
+            nslot=nslot,
+            lookahead=lookahead,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, n_tiles, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((N, n_tiles, 1, ray_tile), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * R * (K * C // 2) * 10 * 4,
+            bytes_accessed=N * R * 44 + N * nt * K * C * 160,
+            transcendentals=0,
+        ),
+    )(
+        sids.astype(jnp.int32),
+        cnt.astype(jnp.int32).reshape(-1),
+        Bt.astype(jnp.float32),
+        d_t,
+        chunk_ids.astype(jnp.int32).reshape(N * nt, 1, Kp),
+        tri_mat_c,
+    )
+    return t.reshape(N, R), idx.reshape(N, R)
 
 
 def _culled_kernel_t(

@@ -399,6 +399,12 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
     assert len(scenes) > 0
     tri_pad = max(tri_pad, TRI_CHUNK)
     t_max = _round_up(max(s.num_triangles for s in scenes), tri_pad)
+    # culling-chunk granularity: 128 tris normally; 256 at scan scale
+    # (>=256k padded tris) — halves the stream kernel's per-tile iteration
+    # count, whose fixed per-chunk overhead dominates at 5k+ chunks. The
+    # consumers derive C from tri_mat.shape[3] // chunk_bounds.shape[1].
+    chunk = 256 if t_max >= 262144 else TRI_CHUNK
+    t_max = _round_up(t_max, chunk)
     grids = [s.nav_occ.shape for s in scenes]
     nx = max(g[0] for g in grids)
     nz = max(g[1] for g in grids)
@@ -417,7 +423,7 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
     lo = np.zeros((S, 2), np.float32)
     fy = np.zeros((S,), np.float32)
 
-    n_chunks = t_max // TRI_CHUNK
+    n_chunks = t_max // chunk
     # bounding spheres + LOD render band: [cx, cy, cz, r, dmin, dmax]
     cb = np.zeros((S, n_chunks, 6), np.float32)
 
@@ -445,7 +451,7 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
         cb[i, :, 1] = -1e6
         cb[i, :, 5] = 1e9  # default band: always rendered
         for c in range(n_chunks):
-            a, b = c * TRI_CHUNK, min((c + 1) * TRI_CHUNK, n)
+            a, b = c * chunk, min((c + 1) * chunk, n)
             if a >= n:
                 break
             pts = v[a:b].reshape(-1, 3)

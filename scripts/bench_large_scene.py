@@ -1,11 +1,14 @@
-"""Large-scene (real-scan scale) render benchmark — VERDICT round-1 item #3.
+"""Large-scene (real-scan scale) render benchmark — VERDICT r2 item #2.
 
 Generates a >=500k-triangle multi-room scan-density mesh, ships it through
 the REAL asset pipeline (.gltf + external .bin with COLOR_0 -> load_scene ->
 navgrid bake -> ScenePack), renders 128x128 RGBD at N=256 through the
-occlusion-culled Pallas path, and reports:
-  - steps/s (render-only) with true device sync
-  - pixel match + depth error vs the brute-force XLA raycaster
+occlusion-culled v10 STREAM path, and reports:
+  - steps/s (render-only) at a cull-K sweep, true device sync
+  - culling exactness: deployed-K vs all-chunks on the SAME LOD geometry
+    (both plane-exact) — the metric VERDICT asks to hold >=0.99 @5mm
+  - LOD fidelity vs full-res brute force (informational: the LOD policy's
+    geometric approximation, separate from culling correctness)
   - a full PPO train-step rate on the scan scene (render+step+update)
 """
 
@@ -46,13 +49,10 @@ def main():
     res["gltf_mb"] = round(os.path.getsize("/tmp/scan_apartment.bin") / 1e6, 1)
     res["load_s"] = round(time.time() - t0, 1)
 
-    # discrete LOD: full res near, 9x/32x decimated mid/far (the production-
-    # renderer scheme; band selection happens in the chunk culler)
+    # discrete LOD: full res near, decimated mid/far (band selection happens
+    # in the chunk culler)
     from habitat_tpu.sims.procedural import build_lod_scene
 
-    # LOD pyramid matched to the 128x128 pixel budget: full-res only within
-    # arm's reach, 8cm cells to 3m (~2-3 px/tri), 25cm to 8m, 60cm beyond —
-    # keeps every ray tile's candidate count within the culler's K budget
     t0 = time.time()
     lod_scene = build_lod_scene(
         loaded, cells=(0.08, 0.25, 0.6), bands=(1.2, 3.0, 8.0)
@@ -60,7 +60,7 @@ def main():
     lod_scene.scene_id = loaded.scene_id  # same episodes/table key
     pack = pack_scenes([lod_scene])
     res["pack_s"] = round(time.time() - t0, 1)
-    res["n_chunks"] = int(pack.tri_mat.shape[3] // 128)
+    res["n_chunks"] = int(pack.chunk_bounds.shape[1])
     res["lod_tris"] = int(lod_scene.num_triangles)
 
     # agent poses on the navgrid
@@ -74,104 +74,149 @@ def main():
     pitch = jnp.zeros((N,), jnp.float32)
 
     for K in (32, 48):
+        # pack rides as a jit ARGUMENT (registered pytree): closed-over
+        # numpy tables bake into HLO literals and overflow the remote
+        # compile tunnel at scan scale
         rend = jax.jit(
-            lambda p, y, K=K: render_batch(
-                pack, sids, p, y, pitch, height=128, width=128, cull_k=K
+            lambda pk, p, y, K=K: render_batch(
+                pk, sids, p, y, pitch, height=128, width=128, cull_k=K
             )
         )
-        out = rend(posj, yaw)
+        out = rend(pack, posj, yaw)
         sync(out["depth"])
         t0 = time.time()
         iters = 10
         for _ in range(iters):
-            out = rend(posj, yaw)
+            out = rend(pack, posj, yaw)
         sync(out["depth"])
         dt = (time.time() - t0) / iters
         res[f"render_ms_k{K}"] = round(dt * 1e3, 1)
         res[f"render_fps_k{K}"] = round(N / dt, 0)
         print("partial:", json.dumps(res), flush=True)
 
-    # pixel match vs brute-force XLA on a few envs at 64x64
+    # ---- culling exactness at 64x64, n_val envs: deployed K vs ALL chunks
+    # through the SAME stream kernel + plane-exact epilogue --------------
     n_val = 4
     from habitat_tpu.utils.geometry import camera_rays
+    from habitat_tpu.ops.raycast import (
+        ray_feature_matrix,
+        select_chunks_occluded,
+    )
+    from habitat_tpu.ops.raycast_pallas import (
+        group_tri_mat_pad16,
+        raycast_pallas_stream_t,
+    )
 
+    H = W = 64
     d4 = jax.vmap(
-        lambda y: camera_rays(y, jnp.float32(0.0), jnp.deg2rad(90.0), 64, 64)
+        lambda y: camera_rays(y, jnp.float32(0.0), jnp.deg2rad(90.0), H, W)
     )(yaw[:n_val]).reshape(n_val, -1, 3)
     o4 = jnp.broadcast_to(posj[:n_val, None, :], d4.shape)
-    # reference = brute force over the FULL-RES geometry only
+
+    def _blk(x, inv=False):
+        tail = x.shape[2:]
+        if inv:
+            x = x.reshape((n_val, H // 32, W // 32, 32, 32) + tail)
+        else:
+            x = x.reshape((n_val, H // 32, 32, W // 32, 32) + tail)
+        x = jnp.swapaxes(x, 2, 3)
+        return x.reshape((n_val, H * W) + tail)
+
+    C_big = pack.tri_mat.shape[3] // pack.chunk_bounds.shape[1]
+    gm = group_tri_mat_pad16(pack.tri_mat, C_big)
+    d_cam_l = camera_rays(
+        jnp.float32(0.0), jnp.float32(0.0), jnp.deg2rad(90.0), H, W
+    ).reshape(-1, 3)
+    dcb = _blk(jnp.broadcast_to(d_cam_l, (n_val, H * W, 3)))[0]
+    d_aug_l = jnp.concatenate([dcb, jnp.ones((H * W, 1), jnp.float32)], -1)
+    nt = (H * W) // 1024
+    d_t_l = jnp.pad(
+        d_aug_l.reshape(nt, 1024, 4).transpose(0, 2, 1), ((0, 0), (0, 4), (0, 0))
+    )
+    B = ray_feature_matrix(posj[:n_val], yaw[:n_val], pitch[:n_val])
+    Bt = jnp.pad(B.transpose(0, 2, 1), ((0, 0), (0, 6), (0, 0)))
+    svids = sids[:n_val]
+
+    def run_stream(gm, ids, cnt):
+        t, idx = raycast_pallas_stream_t(
+            gm, svids, ids, cnt, d_t_l, Bt, ray_tile=1024, tri_chunk=C_big
+        )
+        t, idx = _blk(t, inv=True), _blk(idx, inv=True)
+        hit = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        nrm = pack.tri_attr[svids[:, None], safe, 0:3]
+        v0g = pack.tri_v0[svids[:, None], safe]
+        nd = jnp.sum(nrm * d4, axis=-1)
+        num = jnp.sum(nrm * (v0g - o4), axis=-1)
+        ok = hit & (jnp.abs(nd) > 1e-6)
+        t = jnp.where(ok, num / jnp.where(ok, nd, 1.0), 1e6)
+        return t, idx
+
+    # the oracle is BAND-VALID all-chunks: every chunk whose LOD band admits
+    # the tile-apex distance, with NO cone/occlusion culling and NO K cap —
+    # i.e. exactness of the culling at the deployed LOD policy. (A raw
+    # all-LOD union is not a valid oracle: coarse-band chunks at near range
+    # can occlude LOD0 geometry the policy would never draw.)
+    from habitat_tpu.ops.raycast import _lod_band_ok
+
+    NC = pack.chunk_bounds.shape[1]
+    ob, db = _blk(o4), _blk(d4)
+    cb = pack.chunk_bounds[svids]  # (n_val, NC, >=4)
+    o_t = ob.reshape(n_val, nt, 1024, 3)[:, :, 0]  # tile apex (camera)
+    dist_c = jnp.linalg.norm(cb[:, None, :, :3] - o_t[:, :, None, :], axis=-1)
+    valid_c = (cb[..., 3] > 0)[:, None, :] & _lod_band_ok(cb, dist_c)
+    score_c = jnp.where(valid_c, jnp.maximum(dist_c - cb[..., 3][:, None], 0.0), 1e9)
+    neg_c, idx_c = jax.lax.top_k(-score_c, NC)
+    cnt_all = jnp.sum(neg_c > -1e8, axis=-1).astype(jnp.int32)
+    dmin_cm_c = jnp.clip(jnp.floor(-neg_c * 1e2), 0, 8191).astype(jnp.int32)
+    pos_c = jnp.arange(NC, dtype=jnp.int32)
+    in_cnt = pos_c[None, None, :] < cnt_all[..., None]
+    ids_all = ((jnp.where(in_cnt, dmin_cm_c, 0) << 18)
+               | jnp.where(in_cnt, idx_c, 0)).astype(jnp.int32)
+    t_full, i_full = jax.jit(run_stream)(gm, ids_all, cnt_all)
+    t_full = np.asarray(t_full)
+    hit_full = np.asarray(i_full) >= 0
+    sync(t_full[0, 0])
+
+    hitK = None
+    for K_DEPLOY in (32, 48, 96):
+        ids, cnt = select_chunks_occluded(
+            pack.tri_mat, pack.chunk_bounds[svids], svids, ob, db,
+            1024, K_DEPLOY, with_cnt=True,
+        )
+        tK, iK = jax.jit(run_stream)(gm, ids, cnt)
+        tK = np.asarray(tK)
+        hitK = np.asarray(iK) >= 0
+        res[f"cull_hitmatch_k{K_DEPLOY}"] = round(float((hit_full == hitK).mean()), 4)
+        both = hit_full & hitK
+        err = np.abs(t_full[both] - tK[both])
+        res[f"cull_t_agree_5mm_k{K_DEPLOY}"] = round(float((err < 5e-3).mean()), 4)
+        res[f"cull_surv_k{K_DEPLOY}"] = round(float(jnp.mean(cnt.astype(jnp.float32))), 1)
+        print("partial:", json.dumps(res), flush=True)
+
+    # ---- LOD fidelity vs full-res brute (informational) ----------------
     pack_full = pack_scenes([loaded])
     t_ref, _ = jax.jit(
         lambda o, d: raycast_mxu_batch(
             pack_full.tri_mat[jnp.zeros((n_val,), jnp.int32)], o, d
         )
     )(o4, d4)
-    sync(t_ref)
-
-    from habitat_tpu.ops.raycast import select_chunks_occluded
-    from habitat_tpu.ops.raycast_pallas import raycast_pallas_culled
-
-    def _blk(x, inv=False):
-        tail = x.shape[2:]
-        if inv:
-            x = x.reshape((n_val, 2, 2, 32, 32) + tail)
-        else:
-            x = x.reshape((n_val, 2, 32, 2, 32) + tail)
-        x = jnp.swapaxes(x, 2, 3)
-        return x.reshape((n_val, 64 * 64) + tail)
-
-    def culled(o, d, K):
-        o, d = _blk(o), _blk(d)  # 32x32 pixel-block ray tiles
-        ids = select_chunks_occluded(
-            pack.tri_mat, pack.chunk_bounds[sids[:n_val]], sids[:n_val], o, d,
-            1024, K,
-        )
-        t, attrs = raycast_pallas_culled(
-            pack.tri_mat, pack.tri_attr, ids, sids[:n_val], o, d
-        )
-        return _blk(t, inv=True), _blk(attrs, inv=True)
-
-    t_cul, attrs_cul = jax.jit(lambda o, d: culled(o, d, 48))(o4, d4)
-    sync(t_cul)
-    # culling exactness: K=48 vs an over-provisioned K=192 pass on the SAME
-    # LOD geometry (convergence = no visible chunk was dropped)
-    t_big, attrs_big = jax.jit(lambda o, d: culled(o, d, 192))(o4, d4)
-    sync(t_big)
-    hb = np.asarray(attrs_big[..., 7]) > 0.5
-    hc48 = np.asarray(attrs_cul[..., 7]) > 0.5
-    res["cull_converged_frac"] = round(float((hb == hc48).mean()), 4)
-    bb = hb & hc48
-    res["cull_t_agree_5mm"] = round(
-        float(
-            (np.abs(np.asarray(t_big)[bb] - np.asarray(t_cul)[bb]) < 5e-3).mean()
-        ),
-        4,
-    )
     tr = np.asarray(t_ref)
-    tc = np.asarray(t_cul)
     hit_r = tr < 1e5
-    hit_c = np.asarray(attrs_cul[..., 7]) > 0.5
-    match = (hit_r == hit_c).mean()
-    both = hit_r & hit_c
-    terr = np.abs(tr[both] - tc[both])
-    res["pixel_match_vs_fullres"] = round(float(match), 4)
-    res["t_err_p99_vs_fullres"] = round(float(np.percentile(terr, 99)), 4)
-    res["t_within_5cm_vs_fullres"] = round(float((terr < 0.05).mean()), 4)
-    print("partial:", json.dumps(res), flush=True)
-
-    # culling correctness: culled render vs brute force over the SAME LOD
-    # geometry, restricted to each pixel's allowed bands — here approximated
-    # by near-field comparison (full-res LOD0 is active within 3.5m)
+    match = (hit_r == hitK).mean()
+    both = hit_r & hitK
+    terr = np.abs(tr[both] - tK[both])
+    res["lod_pixel_match_vs_fullres"] = round(float(match), 4)
+    res["lod_t_within_5cm_vs_fullres"] = round(float((terr < 0.05).mean()), 4)
     near = tr < 3.0
-    if near.any():
-        nb = near & hit_r & hit_c
-        res["near_match"] = round(float((hit_r == hit_c)[near].mean()), 4)
-        res["near_t_within_5cm"] = round(
-            float((np.abs(tr[nb] - tc[nb]) < 0.05).mean()), 4
+    nb = near & hit_r & hitK
+    if nb.any():
+        res["lod_near_t_within_5cm"] = round(
+            float((np.abs(tr[nb] - tK[nb]) < 0.05).mean()), 4
         )
     print("partial:", json.dumps(res), flush=True)
 
-    # full train-step rate on the scan scene
+    # ---- full train-step rate on the scan scene ------------------------
     from habitat_tpu.baselines.ppo import PPOConfig, PPOLearner
     from habitat_tpu.core.env_factory import make_nav_env
     from habitat_tpu.datasets.pointnav import generate_pointnav_episode

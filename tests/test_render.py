@@ -301,3 +301,113 @@ def test_frustum_tile_culling_conservative():
             hit_tris = idx[j * th : (j + 1) * th].reshape(-1)
             for tri in np.unique(hit_tris[hit_tris >= 0]):
                 assert tri // 32 in surv, (n, j, tri)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() in ("cpu",),
+    reason="pallas stream kernel needs the TPU backend",
+)
+def test_scan_scene_culling_agreement_floor():
+    """Culling exactness floor on a scan-density scene (VERDICT r2 #2):
+    the deployed stream path must agree with the band-valid all-chunks
+    oracle to >=0.99 within 5 mm (plane-exact depth, same LOD policy)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from habitat_tpu.sims.procedural import generate_scan_apartment
+    from habitat_tpu.sims.scene import pack_scenes
+    from habitat_tpu.ops.raycast import (
+        _lod_band_ok,
+        ray_feature_matrix,
+        select_chunks_occluded,
+    )
+    from habitat_tpu.ops.raycast_pallas import (
+        group_tri_mat_pad16,
+        raycast_pallas_stream_t,
+    )
+    from habitat_tpu.utils.geometry import camera_rays
+
+    scene = generate_scan_apartment(0, tess=0.15, n_clutter=8)
+    pack = pack_scenes([scene])
+    rng = np.random.default_rng(0)
+    n_val, H, W = 2, 64, 64
+    pos = np.stack([scene.sample_navigable_point(rng) for _ in range(n_val)])
+    pos[:, 1] = scene.floor_y + 1.2
+    posj = jnp.asarray(pos, jnp.float32)
+    yawj = jnp.asarray(rng.uniform(0, 2 * np.pi, n_val), jnp.float32)
+    svids = jnp.zeros((n_val,), jnp.int32)
+    d4 = jax.vmap(
+        lambda y: camera_rays(y, jnp.float32(0.0), jnp.deg2rad(90.0), H, W)
+    )(yawj).reshape(n_val, -1, 3)
+    o4 = jnp.broadcast_to(posj[:, None, :], d4.shape)
+
+    def blk(x, inv=False):
+        tail = x.shape[2:]
+        if inv:
+            x = x.reshape((n_val, H // 32, W // 32, 32, 32) + tail)
+        else:
+            x = x.reshape((n_val, H // 32, 32, W // 32, 32) + tail)
+        x = jnp.swapaxes(x, 2, 3)
+        return x.reshape((n_val, H * W) + tail)
+
+    C = pack.tri_mat.shape[3] // pack.chunk_bounds.shape[1]
+    gm = group_tri_mat_pad16(pack.tri_mat, C)
+    d_cam = camera_rays(
+        jnp.float32(0.0), jnp.float32(0.0), jnp.deg2rad(90.0), H, W
+    ).reshape(-1, 3)
+    dcb = blk(jnp.broadcast_to(d_cam, (n_val, H * W, 3)))[0]
+    d_aug = jnp.concatenate([dcb, jnp.ones((H * W, 1), jnp.float32)], -1)
+    nt = (H * W) // 1024
+    d_t = jnp.pad(
+        d_aug.reshape(nt, 1024, 4).transpose(0, 2, 1), ((0, 0), (0, 4), (0, 0))
+    )
+    Bt = jnp.pad(
+        ray_feature_matrix(posj, yawj, jnp.zeros((n_val,))).transpose(0, 2, 1),
+        ((0, 0), (0, 6), (0, 0)),
+    )
+
+    def run(ids, cnt):
+        t, idx = raycast_pallas_stream_t(
+            gm, svids, ids, cnt, d_t, Bt, ray_tile=1024, tri_chunk=C
+        )
+        t, idx = blk(t, inv=True), blk(idx, inv=True)
+        hit = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        nrm = pack.tri_attr[svids[:, None], safe, 0:3]
+        v0g = pack.tri_v0[svids[:, None], safe]
+        nd = jnp.sum(nrm * d4, axis=-1)
+        num = jnp.sum(nrm * (v0g - o4), axis=-1)
+        ok = hit & (jnp.abs(nd) > 1e-6)
+        return jnp.where(ok, num / jnp.where(ok, nd, 1.0), 1e6), idx
+
+    NC = pack.chunk_bounds.shape[1]
+    ob, db = blk(o4), blk(d4)
+    cb = pack.chunk_bounds[svids]
+    o_t = ob.reshape(n_val, nt, 1024, 3)[:, :, 0]
+    dist_c = jnp.linalg.norm(cb[:, None, :, :3] - o_t[:, :, None, :], axis=-1)
+    valid_c = (cb[..., 3] > 0)[:, None, :] & _lod_band_ok(cb, dist_c)
+    score_c = jnp.where(
+        valid_c, jnp.maximum(dist_c - cb[..., 3][:, None], 0.0), 1e9
+    )
+    neg_c, idx_c = jax.lax.top_k(-score_c, NC)
+    cnt_all = jnp.sum(neg_c > -1e8, axis=-1).astype(jnp.int32)
+    dmin = jnp.clip(jnp.floor(-neg_c * 1e2), 0, 8191).astype(jnp.int32)
+    in_c = jnp.arange(NC, dtype=jnp.int32)[None, None, :] < cnt_all[..., None]
+    ids_all = (
+        (jnp.where(in_c, dmin, 0) << 18) | jnp.where(in_c, idx_c, 0)
+    ).astype(jnp.int32)
+    t_full, i_full = jax.jit(run)(ids_all, cnt_all)
+    t_full = np.asarray(t_full)
+    hit_full = np.asarray(i_full) >= 0
+
+    ids, cnt = select_chunks_occluded(
+        pack.tri_mat, cb, svids, ob, db, 1024, min(192, NC), with_cnt=True
+    )
+    tK, iK = jax.jit(run)(ids, cnt)
+    tK = np.asarray(tK)
+    hitK = np.asarray(iK) >= 0
+    hitmatch = (hit_full == hitK).mean()
+    both = hit_full & hitK
+    agree = (np.abs(t_full[both] - tK[both]) < 5e-3).mean()
+    assert hitmatch >= 0.98, hitmatch
+    assert agree >= 0.99, agree
