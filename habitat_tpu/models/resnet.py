@@ -46,9 +46,17 @@ class StemConv(nn.Module):
     equivalence-tested in tests/test_stem_conv.py): the full train step went
     14.1k -> 11.7k sps — the 268MB space-to-depth pack/unpack transposes and
     their transposed counterparts in the backward pass cost more than the
-    30ms wgrad win. A Pallas stem that fuses the packing into the conv's VMEM
-    tiling (no HBM round-trip) is the follow-up; the index math here is the
-    spec for it.
+    30ms wgrad win.
+
+    ROUND-3 FOLLOW-UP, ALSO NEGATIVE (scripts/exp_stem_packed.py): packing
+    obs once at render time (fwd-only, 10.3 ms @ B=4096) and consuming the
+    packed layout directly — packed 3x3 conv + PACKED maxpool (max over 9
+    lane-sliced shifted views, no depth-to-space round trip) — measured
+    36.6 ms fwd+bwd vs 20.5 ms for the plain conv1+pool at B=4096. The
+    emitter's packed conv + the 9-view pool backward cost more than the
+    Cin=4 degeneracy they remove. With the 5 round-2 Pallas formulations
+    (Mosaic relayout costs) this closes the whole shifted/packed stem
+    family; conv1 stays on the plain XLA conv.
     """
 
     features: int

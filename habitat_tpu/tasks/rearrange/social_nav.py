@@ -58,6 +58,15 @@ class SocialNavState:
     follow_steps: jnp.ndarray  # (N,) consecutive steps in the follow band
     found_steps: jnp.ndarray  # (N,) total steps with humanoid detected
     min_human_dist: jnp.ndarray  # (N,)
+    # SocialNavStats accumulators (reference social_nav_sensors.py:185-462)
+    found_ever: jnp.ndarray  # (N,) bool — has_found_human
+    found_step: jnp.ndarray  # (N,) i32 — step of the first encounter
+    dis_sum: jnp.ndarray  # (N,) f32 — sum of robot-human distance
+    dis_after_sum: jnp.ndarray  # (N,) f32 — same, after first encounter
+    after_found_times: jnp.ndarray  # (N,) i32 — detections after encounter
+    step_after_found: jnp.ndarray  # (N,) i32 — steps after first encounter
+    backup_count: jnp.ndarray  # (N,) i32 — backing up near the human
+    yield_count: jnp.ndarray  # (N,) i32 — standing still near the human
     stop_called: jnp.ndarray
     collided: jnp.ndarray
     agents_collide: jnp.ndarray  # (N,) robot-humanoid collision happened
@@ -247,6 +256,24 @@ class SocialNavBatchedEnv:
         )
         in_band = (dist >= self.follow_band[0]) & (dist <= self.follow_band[1])
         seek_success = (state.follow_steps >= self.need_to_face).astype(jnp.float32)
+        stepf = jnp.maximum(state.step.astype(jnp.float32), 1.0)
+        saf = jnp.maximum(state.step_after_found.astype(jnp.float32), 1.0)
+        # min steps robot-start -> human-start at the step size (the
+        # reference uses the navmesh shortest path; straight-line here —
+        # a LOWER bound, so first_encounter_spl stays <= the true SPL)
+        start_d = jnp.linalg.norm(
+            (
+                self.table.human_start[state.ep_idx]
+                - self.table.start_pos[state.ep_idx]
+            )[:, jnp.array([0, 2])],
+            axis=-1,
+        )
+        min_steps = jnp.maximum(start_d / self.fwd, 1.0)
+        found_stepf = jnp.maximum(state.found_step.astype(jnp.float32), 1.0)
+        fes = state.found_ever.astype(jnp.float32) * (
+            min_steps / jnp.maximum(min_steps, found_stepf)
+        )
+        total = float(self.max_episode_steps)
         return {
             # reference SocialNavSeekSuccess: found + facing for K steps
             "nav_seek_success": seek_success,
@@ -257,6 +284,43 @@ class SocialNavBatchedEnv:
             "found_human_rate": state.found_steps.astype(jnp.float32)
             / jnp.maximum(state.step.astype(jnp.float32), 1.0),
             "num_steps": state.step.astype(jnp.float32),
+            # full SocialNavStats field set (reference
+            # social_nav_sensors.py:427-462; flattened measure.subkey names)
+            "social_nav_stats.has_found_human": state.found_ever.astype(
+                jnp.float32
+            ),
+            "social_nav_stats.found_human_rate_over_epi": (
+                state.found_steps.astype(jnp.float32) / stepf
+            ),
+            "social_nav_stats.found_human_rate_after_encounter_over_epi": (
+                state.after_found_times.astype(jnp.float32) / saf
+            ),
+            "social_nav_stats.avg_robot_to_human_dis_over_epi": (
+                state.dis_sum / stepf
+            ),
+            "social_nav_stats.avg_robot_to_human_after_encounter_dis_over_epi": (
+                state.dis_after_sum / saf
+            ),
+            "social_nav_stats.first_encounter_spl": fes,
+            "social_nav_stats.frist_ecnounter_steps": (
+                state.found_step.astype(jnp.float32)
+            ),
+            "social_nav_stats.frist_ecnounter_steps_ratio": (
+                found_stepf / min_steps
+            ),
+            "social_nav_stats.follow_human_steps_after_frist_encounter": (
+                state.after_found_times.astype(jnp.float32)
+            ),
+            "social_nav_stats.follow_human_steps_ratio_after_frist_encounter": (
+                state.after_found_times.astype(jnp.float32)
+                / jnp.maximum(total - min_steps, 1.0)
+            ),
+            "social_nav_stats.backup_ratio": (
+                state.backup_count.astype(jnp.float32) / stepf
+            ),
+            "social_nav_stats.yield_ratio": (
+                state.yield_count.astype(jnp.float32) / stepf
+            ),
         }
 
     # -- humanoid script ----------------------------------------------------
@@ -290,6 +354,14 @@ class SocialNavBatchedEnv:
             follow_steps=jnp.zeros((n,), jnp.int32),
             found_steps=jnp.zeros((n,), jnp.int32),
             min_human_dist=jnp.full((n,), 1e6, jnp.float32),
+            found_ever=jnp.zeros((n,), bool),
+            found_step=jnp.full((n,), self.max_episode_steps, jnp.int32),
+            dis_sum=jnp.zeros((n,), jnp.float32),
+            dis_after_sum=jnp.zeros((n,), jnp.float32),
+            after_found_times=jnp.zeros((n,), jnp.int32),
+            step_after_found=jnp.zeros((n,), jnp.int32),
+            backup_count=jnp.zeros((n,), jnp.int32),
+            yield_count=jnp.zeros((n,), jnp.int32),
             stop_called=jnp.zeros((n,), bool),
             collided=jnp.zeros((n,), bool),
             agents_collide=jnp.zeros((n,), bool),
@@ -320,6 +392,7 @@ class SocialNavBatchedEnv:
             a = actions.astype(jnp.int32)
             ah = None
 
+        prev_pos_stats = state.pos
         stop = state.stop_called | (a == A_STOP)
         yaw = state.yaw + jnp.where(a == A_LEFT, self.turn, 0.0) - jnp.where(
             a == A_RIGHT, self.turn, 0.0
@@ -361,10 +434,35 @@ class SocialNavBatchedEnv:
         visible, _ = self._detected(state)
         in_band = (dist >= self.follow_band[0]) & (dist <= self.follow_band[1])
         facing = visible & in_band
+        # SocialNavStats accumulators (reference social_nav_sensors.py:
+        # 313-462): first-encounter bookkeeping, distance sums, backup/yield
+        # counts near the human (backup = moving against the robot's own
+        # forward axis; yield = standing nearly still)
+        found_now = state.found_ever | visible
+        found_step = jnp.where(
+            visible & ~state.found_ever, state.step, state.found_step
+        )
+        disp = new_pos - prev_pos_stats
+        fwd_axis = yaw_to_forward(yaw)
+        move_vel = jnp.sum(disp * fwd_axis, axis=-1)  # m/step along forward
+        near = dist <= 1.5
+        backup = near & (move_vel < -1e-3)
+        yield_ = near & (jnp.abs(move_vel) < 0.02) & ~backup
         state = dataclasses.replace(
             state,
             follow_steps=jnp.where(facing, state.follow_steps + 1, 0),
             found_steps=state.found_steps + visible.astype(jnp.int32),
+            found_ever=found_now,
+            found_step=found_step,
+            dis_sum=state.dis_sum + dist,
+            dis_after_sum=state.dis_after_sum
+            + jnp.where(found_now, dist, 0.0),
+            after_found_times=state.after_found_times
+            + (found_now & visible).astype(jnp.int32),
+            step_after_found=state.step_after_found
+            + found_now.astype(jnp.int32),
+            backup_count=state.backup_count + backup.astype(jnp.int32),
+            yield_count=state.yield_count + yield_.astype(jnp.int32),
         )
 
         m = self._measures(state)
@@ -405,6 +503,18 @@ class SocialNavBatchedEnv:
             follow_steps=sel(fresh.follow_steps, state.follow_steps),
             found_steps=sel(fresh.found_steps, state.found_steps),
             min_human_dist=sel(fresh.min_human_dist, state.min_human_dist),
+            found_ever=sel(fresh.found_ever, state.found_ever),
+            found_step=sel(fresh.found_step, state.found_step),
+            dis_sum=sel(fresh.dis_sum, state.dis_sum),
+            dis_after_sum=sel(fresh.dis_after_sum, state.dis_after_sum),
+            after_found_times=sel(
+                fresh.after_found_times, state.after_found_times
+            ),
+            step_after_found=sel(
+                fresh.step_after_found, state.step_after_found
+            ),
+            backup_count=sel(fresh.backup_count, state.backup_count),
+            yield_count=sel(fresh.yield_count, state.yield_count),
             stop_called=sel(fresh.stop_called, state.stop_called),
             collided=sel(fresh.collided, state.collided),
             agents_collide=sel(fresh.agents_collide, state.agents_collide),
