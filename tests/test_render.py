@@ -327,6 +327,11 @@ def test_scan_scene_culling_agreement_floor():
     )
     from habitat_tpu.utils.geometry import camera_rays
 
+    # conftest pins the default DEVICE to cpu for the virtual mesh; this
+    # test must run on the real TPU, so enter its device context explicitly
+    tpu_dev = jax.devices()[0]
+    ctx = jax.default_device(tpu_dev)
+    ctx.__enter__()
     scene = generate_scan_apartment(0, tess=0.15, n_clutter=8)
     pack = pack_scenes([scene])
     rng = np.random.default_rng(0)
@@ -409,5 +414,6 @@ def test_scan_scene_culling_agreement_floor():
     hitmatch = (hit_full == hitK).mean()
     both = hit_full & hitK
     agree = (np.abs(t_full[both] - tK[both]) < 5e-3).mean()
+    ctx.__exit__(None, None, None)
     assert hitmatch >= 0.98, hitmatch
     assert agree >= 0.99, agree
