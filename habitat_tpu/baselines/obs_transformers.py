@@ -4,8 +4,8 @@ projection converters :234-1244).
 
 Functional: each transform declares the transformed observation space and a
 pure batched apply(obs) usable inside the jitted rollout. Projection
-converters (cube↔equirect↔fisheye) are planned with the corresponding
-sensors; the registry names are reserved.
+converters (cube↔equirect↔fisheye) are implemented below as precomputed
+bilinear gather plans (build_projection_plan / apply_projection_plan).
 """
 
 from __future__ import annotations

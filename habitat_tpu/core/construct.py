@@ -664,4 +664,7 @@ def rearrange_env_from_config(
         action_specs=action_specs,
         dynamics=dynamics,
         max_accum_force=max_accum_force,
+        pddl_domain=str(
+            config.get_path("habitat.task.pddl_domain_def", None) or "fp"
+        ),
     )

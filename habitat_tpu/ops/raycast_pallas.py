@@ -1148,6 +1148,226 @@ def raycast_pallas_stream_t(
     return t.reshape(N, R), idx.reshape(N, R)
 
 
+def _exactsel_kernel_t(
+    sids_ref,  # scalar-prefetch (N,)
+    cnt_ref,  # scalar-prefetch (N*nt,) FLAT survivor chunklet counts
+    b_ref,  # (1, 16, 4) SMEM — B[env]^T ray-feature matrix (rows 10:16 pad)
+    d_ref,  # (1, 8, ray_tile) VMEM — camera-frame [d, 1] transposed tile
+    ids_hbm,  # (N*nt, 1, Kf) HBM — chunklet ids, survivors first ascending,
+    #           tail duplicate-padded with the LAST survivor
+    m_hbm,  # (S, 16, 4T) ANY/HBM — CHUNK-GROUPED scene matrix at chunklet
+    #         granularity c (group_tri_mat_pad16(tri_mat, c))
+    t_out,  # (1, 1, 1, ray_tile) f32
+    i_out,  # (1, 1, 1, ray_tile) i32 — global tri index, -1 = miss
+    ch_smem,  # SMEM scratch (1, Kf) i32 — this tile's survivor row
+    mbuf,  # VMEM scratch (NSLOT, 16, U*4c) — prefetch ring, U chunklets/slot
+    tb_ref,  # VMEM scratch (1, ray_tile) f32
+    ib_ref,  # VMEM scratch (1, ray_tile) i32
+    row_sem,  # DMA semaphore ()
+    sem,  # DMA semaphores (NSLOT, U)
+    *,
+    tri_chunk: int,  # c — chunklet granularity (gather unit)
+    n_tiles: int,
+    kf: int,
+    nslot: int,
+    unroll: int,
+):
+    """v11 packed-stream kernel (VERDICT r3 missing #1): the per-tile
+    candidate set is the EXACT-culled chunklet list from
+    select_chunklets_exact — mean ~54 32-tri chunklets per 32x32-px tile on
+    the scan bench vs the ~145 256-tri chunks the v10 stream kernel tested
+    (~22x fewer (ray, tri) pairs through the VPU hit-test epilogue, which
+    bound v10 at ~1.5us per chunk-step).
+
+    Per fori iteration, ``unroll`` chunklets are DMA'd (one 128-lane copy
+    each — Mosaic's dynamic-lane-slice alignment floor) into one ring slot
+    and hit-tested through ONE (16, U*4c) x (16, Rt) matmul, so the VPU
+    epilogue stays at v10's efficient large-G shape while the candidate set
+    shrinks to the exact survivors. Winner semantics are unchanged:
+    ascending chunklet order, strict < across iterations, argmin-first
+    within a chunklet (global tri index = cid*c + argmin row). No early
+    termination: the cull's occlusion bound already prunes the depth tail,
+    and a static loop keeps the ring fully pipelined."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    c = tri_chunk
+    U = unroll
+    tile = i * n_tiles + j
+    row = pltpu.make_async_copy(ids_hbm.at[tile], ch_smem, row_sem)
+    row.start()
+
+    D = d_ref[0]  # (8, Rt)
+    Rt = D.shape[1]
+    rows = []
+    for f in range(10):
+        acc = b_ref[0, f, 0] * D[0:1, :]
+        for k in range(1, 4):
+            acc = acc + b_ref[0, f, k] * D[k : k + 1, :]
+        rows.append(acc)
+    rows.append(jnp.zeros((6, Rt), jnp.float32))  # 16-row pad
+    F = jnp.concatenate(rows, axis=0)  # (16, Rt) f32
+
+    nch = cnt_ref[tile]
+    n_iter = lax.div(nch + (U - 1), U)
+    sid = sids_ref[i]
+    row.wait()
+
+    def chunk_dma(slot, u, it):
+        cid = ch_smem[0, jnp.minimum(it * U + u, kf - 1)]
+        return pltpu.make_async_copy(
+            m_hbm.at[sid, :, pl.ds(cid * 4 * c, 4 * c)],
+            mbuf.at[slot, :, pl.ds(u * 4 * c, 4 * c)],
+            sem.at[slot, u],
+        )
+
+    lookahead = nslot - 1
+    for it0 in range(nslot - 1):
+        @pl.when(it0 < n_iter)
+        def _(it0=it0):
+            for u in range(U):
+                chunk_dma(it0 % nslot, u, jnp.int32(it0)).start()
+
+    tb_ref[0] = jnp.full((Rt,), _TMAX, jnp.float32)
+    ib_ref[0] = jnp.full((Rt,), -1, jnp.int32)
+
+    def body(it, carry):
+        best_t, best_i = carry
+        slot = lax.rem(it, nslot)
+
+        @pl.when(it + lookahead < n_iter)
+        def _():
+            for u in range(U):
+                chunk_dma(lax.rem(it + lookahead, nslot), u, it + lookahead).start()
+
+        for u in range(U):
+            chunk_dma(slot, u, it).wait()
+        G = jax.lax.dot_general(
+            mbuf[slot],
+            F,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (U*4c, Rt)
+        for u in range(U):
+            base = u * 4 * c
+            detA = G[base + 0 * c : base + 1 * c]
+            tnum = G[base + 1 * c : base + 2 * c]
+            unum = G[base + 2 * c : base + 3 * c]
+            vnum = G[base + 3 * c : base + 4 * c]
+            aa = detA * detA
+            p = unum * detA
+            q = vnum * detA
+            w = tnum * detA
+            m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
+            m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
+            hit = (m1 >= 0.0) & (m2 > 0.0)
+            t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
+            tmin = jnp.min(t, axis=0)  # (Rt,)
+            win = jnp.argmin(t, axis=0).astype(jnp.int32)
+            cid = ch_smem[0, jnp.minimum(it * U + u, kf - 1)]
+            valid_u = (it * U + u) < nch
+            better = (tmin < best_t) & valid_u
+            best_t = jnp.where(better, tmin, best_t)
+            best_i = jnp.where(better, cid * c + win, best_i)
+        tb_ref[0] = best_t
+        ib_ref[0] = best_i
+        return (best_t, best_i)
+
+    best_t, best_i = lax.fori_loop(
+        0, n_iter, body, (tb_ref[0], ib_ref[0])
+    )
+    miss = best_t >= _TMAX * 0.5
+    t_out[0, 0] = jnp.where(miss, _TMAX, best_t)[None, :]
+    i_out[0, 0] = jnp.where(miss, -1, best_i)[None, :]
+
+
+def raycast_pallas_exactsel_t(
+    tri_mat_c: jnp.ndarray,  # (S, 16, 4T) group_tri_mat_pad16(tri_mat, c)
+    sids: jnp.ndarray,  # (N,) int32
+    chunk_ids: jnp.ndarray,  # (N, nt, Kf) i32 exact-culled chunklet ids,
+    #                          survivors first ascending, tail = last
+    cnt: jnp.ndarray,  # (N, nt) i32 survivor counts
+    d_t: jnp.ndarray,  # (nt, 8, ray_tile) camera [d,1] transposed
+    Bt: jnp.ndarray,  # (N, 16, 4) ray-feature matrices (B^T)
+    ray_tile: int = 1024,
+    tri_chunk: int = 32,
+    nslot: int = 4,
+    unroll: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact-culled packed-stream closest hit for large scenes (v11).
+    Same contract as raycast_pallas_stream_t: (t (N,R) f32, idx (N,R) i32,
+    -1 miss); extract attributes + plane-exact t in XLA."""
+    N = sids.shape[0]
+    n_tiles, K8, Rt = d_t.shape
+    assert K8 == 8 and Rt == ray_tile
+    S, S16, T4 = tri_mat_c.shape
+    assert S16 == 16, "use group_tri_mat_pad16"
+    c = tri_chunk
+    assert 4 * c >= 128 and (4 * c) % 128 == 0, (
+        "chunklet DMA slices must be 128-lane aligned (c >= 32)"
+    )
+    assert (T4 // 4) % c == 0
+    nt, Kf = chunk_ids.shape[1], chunk_ids.shape[2]
+    assert nt == n_tiles and chunk_ids.shape[0] == N
+    assert Kf % 128 == 0, "SMEM id-row DMA needs a 128-multiple lane dim"
+    R = nt * ray_tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N, nt),
+        in_specs=[
+            pl.BlockSpec((1, 16, 4), lambda i, j, s, cn: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, ray_tile),
+                         lambda i, j, s, cn: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, ray_tile),
+                         lambda i, j, s, cn: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, ray_tile),
+                         lambda i, j, s, cn: (i, j, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1, Kf), jnp.int32),
+            pltpu.VMEM((nslot, 16, unroll * 4 * c), jnp.float32),
+            pltpu.VMEM((1, ray_tile), jnp.float32),
+            pltpu.VMEM((1, ray_tile), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((nslot, unroll)),
+        ],
+    )
+    t, idx = pl.pallas_call(
+        functools.partial(
+            _exactsel_kernel_t,
+            tri_chunk=c,
+            n_tiles=nt,
+            kf=Kf,
+            nslot=nslot,
+            unroll=unroll,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, n_tiles, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((N, n_tiles, 1, ray_tile), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * R * (Kf * c // 2) * 10 * 4,
+            bytes_accessed=N * R * 44 + N * nt * Kf * c * 160,
+            transcendentals=0,
+        ),
+    )(
+        sids.astype(jnp.int32),
+        cnt.astype(jnp.int32).reshape(-1),
+        Bt.astype(jnp.float32),
+        d_t,
+        chunk_ids.astype(jnp.int32).reshape(N * nt, 1, Kf),
+        tri_mat_c,
+    )
+    return t.reshape(N, R), idx.reshape(N, R)
+
+
 def _culled_kernel_t(
     sids_ref,  # scalar-prefetch (N,)
     chunks_ref,  # scalar-prefetch (N, n_tiles, K)

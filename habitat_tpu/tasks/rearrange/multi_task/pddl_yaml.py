@@ -25,6 +25,7 @@ articulated types bind to articulated-object slots in declaration order;
 from __future__ import annotations
 
 import dataclasses
+import itertools
 import re
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
@@ -97,10 +98,24 @@ def entity_object_index(env, state, ent: PddlEntity) -> jnp.ndarray:
     return _kth_target_obj(env, state, _entity_index(ent.name))
 
 
+def _is_second_agent(ent: PddlEntity) -> bool:
+    """robot_1 / agent_1 names address the humanoid lane of the batched
+    multi-agent env (hab3: RearrangeState.human_*)."""
+    return ent.name.rsplit("_", 1)[-1] == "1"
+
+
+def _robot_held(env, state, ent: PddlEntity) -> jnp.ndarray:
+    if _is_second_agent(ent):
+        return state.human_held
+    return state.held
+
+
 def entity_position(env, state, ent: PddlEntity, art_slots: Dict[str, int]):
     """(N,3) world position of an entity, per env."""
     n_idx = jnp.arange(env.num_envs)
     if ent.expr_type == ROBOT_TYPE:
+        if _is_second_agent(ent):
+            return state.human_pos
         return state.pos
     if ent.expr_type == GOAL_TYPE:
         k = _kth_target_obj(env, state, _entity_index(ent.name))
@@ -129,18 +144,25 @@ def _horiz_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def _fac_is_robot_hold_match(args, art_slots, hold_state=True, **_):
     objs = [a for a in args if a.expr_type != ROBOT_TYPE]
+    robots = [a for a in args if a.expr_type == ROBOT_TYPE]
+    robot = robots[0] if robots else PddlEntity("robot_0", ROBOT_TYPE)
 
     def valid(env, state):
+        held = _robot_held(env, state, robot)
         if hold_state and objs:
-            return state.held == entity_object_index(env, state, objs[0])
+            return held == entity_object_index(env, state, objs[0])
         if hold_state:
-            return state.held >= 0
-        return state.held < 0
+            return held >= 0
+        return held < 0
 
     def set_state(env, state):
+        field = "human_held" if _is_second_agent(robot) else "held"
+        held = _robot_held(env, state, robot)
         if hold_state and objs:
-            return _replace(state, held=entity_object_index(env, state, objs[0]))
-        return _replace(state, held=jnp.full_like(state.held, -1))
+            return _replace(
+                state, **{field: entity_object_index(env, state, objs[0])}
+            )
+        return _replace(state, **{field: jnp.full_like(held, -1)})
 
     return valid, set_state
 
@@ -242,6 +264,12 @@ class GroundedPredicate:
     def __repr__(self):
         return f"{self.name}({', '.join(a.name for a in self.args)})"
 
+    @property
+    def compact_str(self) -> str:
+        """Reference Predicate.compact_str format (pddl_predicate.py:145-147)
+        — the GlobalPredicatesSensor ordering key."""
+        return f"{self.name}({','.join(a.name for a in self.args)})"
+
 
 @dataclasses.dataclass
 class PredicateSchema:
@@ -335,6 +363,30 @@ class YamlPddlDomain:
     def _entities_of_type(self, t: str, extra: Dict[str, PddlEntity]):
         pool = {**self.constants, **extra}
         return [e for e in pool.values() if self.types.is_subtype(e.expr_type, t)]
+
+    def get_possible_predicates(
+        self, extra: Dict[str, PddlEntity]
+    ) -> List[GroundedPredicate]:
+        """All type-compatible groundings of every predicate schema over
+        constants + ``extra`` entities, sorted by compact_str — the
+        reference's GlobalPredicatesSensor universe (pddl_domain.py:420-439:
+        itertools.combinations over all_entities filtered by
+        are_args_compatible, then sorted by compact_str). Entity insertion
+        order decides which argument ORDERINGS get tried (combinations, not
+        permutations) — pass ``extra`` with objects/goals/receptacles before
+        robots so (obj, robot)-style signatures ground."""
+        pool = {**self.constants, **extra}
+        ents = list(pool.values())
+        out: List[GroundedPredicate] = []
+        for schema in self.predicates.values():
+            for combo in itertools.combinations(ents, len(schema.param_types)):
+                if not all(
+                    self.types.is_subtype(e.expr_type, t)
+                    for e, t in zip(combo, schema.param_types)
+                ):
+                    continue
+                out.append(self.ground_predicate(schema.name, list(combo)))
+        return sorted(out, key=lambda p: p.compact_str)
 
     def parse_expr(self, node, scope: Dict[str, PddlEntity]):
         """YAML expression node -> LogicalExpr/GroundedPredicate. Handles

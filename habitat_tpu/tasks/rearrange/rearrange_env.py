@@ -11,9 +11,11 @@ Re-architecture of the reference rearrangement runtime (SURVEY §2.3):
 - Pick/Place sub-tasks + their reward/success measures
   (sub_tasks/pick_task.py:21, place_task.py:13, rearrange_sensors.py).
 
-Dynamics are kinematic (objects static unless held); the dynamic rigid-body
-stepper is the planned round-2 extension. Movable objects render through the
-dynamic pass of ops/raycast.render_batch.
+Dynamics modes: "kinematic" (objects static unless held — the reference's
+kinematic_mode=True recipe) and "contacts" (upright-OBB SAT contact solve
+with gravity, settling, and live ForceTerminate — the DEFAULT for
+config-built rearrange envs since round 3; see contact_step below).
+Movable objects render through the dynamic pass of ops/raycast.render_batch.
 """
 
 from __future__ import annotations
@@ -344,6 +346,9 @@ class RearrangeBatchedEnv:
         # concatenation of each spec's slice (reference gym flattening,
         # gym_wrapper.py:102-161) and step_fn composes their contributions
         action_specs: Optional[list] = None,
+        # PDDL domain for GlobalPredicatesSensor grounding (reference
+        # habitat.task.pddl_domain_def; "fp" | "tpu_rearrange" | a path).
+        pddl_domain: str = "fp",
     ):
         self.pack = pack
         self.table = table
@@ -397,6 +402,30 @@ class RearrangeBatchedEnv:
         self.with_humanoid = bool(self.action_specs) and any(
             s.agent_idx >= 1 for s in self.action_specs
         )
+        # GlobalPredicatesSensor / MultiAgentGlobalPredicatesSensor
+        # (reference multi_task/pddl_sensors.py:25-57, multi_agent_sensors.py
+        # :121-156): ground every type-compatible predicate over the env's
+        # entity universe once at construction; is_true evaluates batched
+        # in-jit. Built when the declared sensors ask for it, or always on
+        # multi-agent envs (plan_pop.yaml declares all_predicates).
+        want_preds = self.with_humanoid or any(
+            k in ("all_predicates", "multi_agent_all_predicates")
+            for k in (sensor_keys or ())
+        )
+        self._grounded_preds = (
+            self._ground_all_predicates(pddl_domain) if want_preds else None
+        )
+        # extra reference sensors emitted only when declared (the default
+        # obs layout of existing single-agent envs stays unchanged)
+        self._extra_sensors = tuple(
+            k
+            for k in (
+                "obj_goal_pos_sensor",
+                "initial_gps_compass_sensor",
+                "nav_to_skill_sensor",
+            )
+            if k in (sensor_keys or ())
+        )
         if self.action_specs is not None:
             # composed registry-resolved actions: flat Box in declaration
             # order; grasp uses suction semantics when any grip slice exists
@@ -442,6 +471,24 @@ class RearrangeBatchedEnv:
             "obj_start_gps_compass": spaces.Box(-np.inf, np.inf, (2,), np.float32),
             "obj_goal_gps_compass": spaces.Box(-np.inf, np.inf, (2,), np.float32),
         }
+        if self._grounded_preds is not None:
+            P = len(self._grounded_preds)
+            obs_spaces["all_predicates"] = spaces.Box(0, 1, (P,), np.float32)
+            obs_spaces["multi_agent_all_predicates"] = spaces.Box(
+                0, 1, (P,), np.float32
+            )
+        if "obj_goal_pos_sensor" in self._extra_sensors:
+            obs_spaces["obj_goal_pos_sensor"] = spaces.Box(
+                -np.inf, np.inf, (3,), np.float32
+            )
+        if "initial_gps_compass_sensor" in self._extra_sensors:
+            obs_spaces["initial_gps_compass_sensor"] = spaces.Box(
+                -np.inf, np.inf, (2,), np.float32
+            )
+        if "nav_to_skill_sensor" in self._extra_sensors:
+            obs_spaces["nav_to_skill_sensor"] = spaces.Box(
+                0, 1, (8,), np.float32
+            )
         if self.with_visual:
             h, w = render_size
             obs_spaces["robot_head_depth"] = spaces.Box(0, 1, (h, w, 1), np.float32)
@@ -498,6 +545,75 @@ class RearrangeBatchedEnv:
                     )
         self._jit_reset = jax.jit(self.reset_fn)
         self._jit_step = jax.jit(self.step_fn, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def _ground_all_predicates(self, pddl_domain: str):
+        """Reference GlobalPredicatesSensor universe (pddl_domain.py:420-439):
+        all type-compatible groundings over constants + the env's entities —
+        movable targets, their goals, articulated receptacles, robots —
+        sorted by compact_str. Entity order puts objects before robots so
+        (obj, robot)-style signatures ground (combinations, not perms)."""
+        import os as _os
+
+        from habitat_tpu.tasks.rearrange.multi_task.pddl_yaml import (
+            GOAL_TYPE,
+            MOVABLE_TYPE,
+            ROBOT_TYPE,
+            PddlEntity,
+            YamlPddlDomain,
+        )
+
+        name = str(pddl_domain or "fp")
+        if not name.endswith(".yaml"):
+            base = _os.path.join(
+                _os.path.dirname(
+                    _os.path.abspath(
+                        __import__(
+                            "habitat_tpu.tasks.rearrange.multi_task.pddl_yaml",
+                            fromlist=["__file__"],
+                        ).__file__
+                    )
+                ),
+                "domain_configs",
+            )
+            path = _os.path.join(base, f"{name}.yaml")
+            if not _os.path.exists(path):
+                path = _os.path.join(base, "fp.yaml")
+        else:
+            path = name
+        dom = YamlPddlDomain.from_yaml(path)
+        ents = {}
+        O = self.num_objects
+        for i in range(O):
+            ents[f"any_targets|{i}"] = PddlEntity(
+                f"any_targets|{i}", MOVABLE_TYPE
+            )
+        for i in range(O):
+            ents[f"TARGET_any_targets|{i}"] = PddlEntity(
+                f"TARGET_any_targets|{i}", GOAL_TYPE
+            )
+        is_rev = np.asarray(self.table.art_is_revolute)
+        for j in range(int(self.table.art_pos.shape[1])):
+            t = "fridge_type" if bool(is_rev[:, j].any()) else "cab_type"
+            if t == "fridge_type" and not dom.types.is_subtype(
+                t, "art_receptacle_entity_type"
+            ):
+                t = "cab_type"
+            ent = PddlEntity(f"art_{j}", t)
+            ents[ent.name] = ent
+            dom.art_slots.setdefault(ent.name, j)
+        ents["robot_0"] = PddlEntity("robot_0", ROBOT_TYPE)
+        if self.with_humanoid:
+            ents["robot_1"] = PddlEntity("robot_1", ROBOT_TYPE)
+        return tuple(dom.get_possible_predicates(ents))
+
+    def _predicate_vector(self, state) -> jnp.ndarray:
+        """(N, P) f32 truth values, one lane per grounded predicate."""
+        vals = [
+            p.is_true(self, state).astype(jnp.float32).reshape(self.num_envs)
+            for p in self._grounded_preds
+        ]
+        return jnp.stack(vals, axis=-1)
 
     # ------------------------------------------------------------------
     def _sid(self, state) -> jnp.ndarray:
@@ -673,6 +789,37 @@ class RearrangeBatchedEnv:
             "obj_start_gps_compass": gps_compass(rel_start),
             "obj_goal_gps_compass": gps_compass(rel_goal),
         }
+        if self._grounded_preds is not None:
+            # GlobalPredicatesSensor truth vector (pddl_sensors.py:25-57);
+            # MultiAgentGlobalPredicatesSensor emits the same universe per
+            # agent (multi_agent_sensors.py:121-156)
+            preds = self._predicate_vector(state)
+            obs["all_predicates"] = preds
+            obs["multi_agent_all_predicates"] = preds
+        if self._extra_sensors:
+            # TargetCurrentSensor (rearrange_sensors.py:52-80): target object
+            # position in the end-effector frame (EE origin; orientation
+            # approximated by the base frame — the batched FK chain carries
+            # no full EE rotation matrix in obs)
+            if "obj_goal_pos_sensor" in self._extra_sensors:
+                obs["obj_goal_pos_sensor"] = rotate_world_to_agent(
+                    tgt_pos - ee, state.yaw
+                ).astype(jnp.float32)
+            # InitialGpsCompassSensor (social_nav_sensors.py:655-695):
+            # (rho, -phi) of the current base pos in the episode-start frame
+            if "initial_gps_compass_sensor" in self._extra_sensors:
+                st_pos = self.table.nav.start_pos[state.ep_idx]
+                st_yaw = self.table.nav.start_yaw[state.ep_idx]
+                rel_init = rotate_world_to_agent(state.pos - st_pos, st_yaw)
+                obs["initial_gps_compass_sensor"] = gps_compass(rel_init)
+            # NavToSkillSensor (config default_structured_configs.py:716-718,
+            # num_skills one-hot): the skill the oracle plan runs at the nav
+            # goal — pick (1) while the target is not held, place (2) after
+            if "nav_to_skill_sensor" in self._extra_sensors:
+                skill = jnp.where(state.held >= 0, 2, 1)
+                obs["nav_to_skill_sensor"] = jax.nn.one_hot(
+                    skill, 8, dtype=jnp.float32
+                )
         if self.with_visual:
             h, w = self.render_size
             dyn = self._dynamic_geometry(state)
@@ -708,7 +855,15 @@ class RearrangeBatchedEnv:
                 (state.human_pos - state.pos)[:, jnp.array([0, 2])], axis=-1
             )
             within = (dist_ag < 2.0).astype(jnp.float32)[:, None]
+            # all_predicates is task-level (unprefixed) in the reference;
+            # multi_agent_all_predicates is per-agent prefixed
+            preds_ma = obs.pop("all_predicates", None)
+            obs.pop("multi_agent_all_predicates", None)
             m_obs = {f"agent_0_{k}": v for k, v in obs.items()}
+            if preds_ma is not None:
+                m_obs["all_predicates"] = preds_ma
+                m_obs["agent_0_multi_agent_all_predicates"] = preds_ma
+                m_obs["agent_1_multi_agent_all_predicates"] = preds_ma
             m_obs.update(
                 {
                     "agent_1_localization_sensor": jnp.concatenate(
@@ -1163,6 +1318,17 @@ class RearrangeBatchedEnv:
                 else:
                     spec.contribute(self, state, x, cmd)
                 off += w
+            if "sel_arm" in cmd:
+                # SelectBaseOrArmAction (reference actions.py:74-99): base
+                # and arm may not move in the same step — the selection
+                # gates whichever group is deselected
+                sel = cmd["sel_arm"]  # (N,) bool, True = arm
+                for k in ("dq", "ee_delta"):
+                    if k in cmd:
+                        cmd[k] = jnp.where(sel[:, None], cmd[k], 0.0)
+                for k in ("lin", "ang"):
+                    if k in cmd:
+                        cmd[k] = jnp.where(sel, 0.0, cmd[k])
             lo = jnp.asarray(self.rparams.joint_limits_lower, jnp.float32)
             hi = jnp.asarray(self.rparams.joint_limits_upper, jnp.float32)
             if "dq" in cmd:

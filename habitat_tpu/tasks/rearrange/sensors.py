@@ -159,6 +159,18 @@ _spec("sensor", "HasFinishedHumanoidPickSensor", ["has_finished_human_pick"])
 _spec("sensor", "NavGoalPointGoalSensor", ["goal_to_agent_gps_compass"])
 _spec("sensor", "SpotHeadStereoDepthSensor", ["spot_head_stereo_depth_sensor"])
 _spec("sensor", "ArmDepthBBoxSensor", ["arm_depth_bbox_sensor"])
+_spec("sensor", "TargetCurrentSensor", ["obj_goal_pos_sensor"])
+_spec("sensor", "InitialGpsCompassSensor", ["initial_gps_compass_sensor"])
+_spec("sensor", "NavToSkillSensor", ["nav_to_skill_sensor"])
+# PDDL predicate truth vectors (multi_task/pddl_sensors.py:25-57 and
+# multi_agent_sensors.py:121-156): grounded over the env's entity universe
+# through YamlPddlDomain.get_possible_predicates, evaluated batched in-jit
+_spec("sensor", "GlobalPredicatesSensor", ["all_predicates"])
+_spec(
+    "sensor",
+    "MultiAgentGlobalPredicatesSensor",
+    ["multi_agent_all_predicates"],
+)
 _spec("measure", "DidAgentsCollide", ["did_agents_collide"])
 _spec("measure", "NumAgentsCollide", ["num_agents_collide"])
 _spec("measure", "RearrangeCooperateReward", ["rearrange_cooperate_reward"])

@@ -148,6 +148,19 @@ class RearrangeStopAction(BatchedTaskAction):
         cmd["stop"] = cmd.get("stop", False) | (x[:, 0] > 0.0)
 
 
+@registry.register_task_action(name="SelectBaseOrArmAction")
+class SelectBaseOrArmAction(BatchedTaskAction):
+    """Base-xor-arm selection (reference actions.py:74-99): one scalar
+    ``a_selection_of_base_or_arm``; > 0 selects the arm, otherwise the base.
+    The env gates the deselected group's commands for this step."""
+
+    def dims(self, env) -> int:
+        return 1
+
+    def contribute(self, env, state, x, cmd, pose=None) -> None:
+        cmd["sel_arm"] = x[:, 0] > 0.0
+
+
 @registry.register_task_action(name="EmptyAction")
 class EmptyAction(BatchedTaskAction):
     """No-op with an EmptySpace action space (0 flat dims)."""
