@@ -306,6 +306,7 @@ def select_chunks(
     dirs: jnp.ndarray,  # (N, R, 3)
     ray_tile: int,
     k: int,
+    with_cnt: bool = False,
 ) -> jnp.ndarray:
     """Per-ray-tile top-K candidate chunks by cone/sphere culling.
 
@@ -338,7 +339,10 @@ def select_chunks(
     valid = valid & _lod_band_ok(chunk_bounds, dist)
     score = jnp.where(visible & valid, jnp.maximum(dist - r[:, None, :], 0.0), 1e9)
     k = min(k, score.shape[-1])
-    _, idx = jax.lax.top_k(-score, k)  # nearest K
+    neg, idx = jax.lax.top_k(-score, k)  # nearest K
+    if with_cnt:
+        cnt = jnp.sum(neg > -1e8, axis=-1).astype(jnp.int32)
+        return idx.astype(jnp.int32), cnt
     return idx.astype(jnp.int32)
 
 
@@ -530,32 +534,40 @@ def select_chunklets_exact(
     planes_cam: jnp.ndarray,  # (nt, 4, 3) tile_plane_normals_cam
     ids0: jnp.ndarray,  # (N, nt, K0) L0 surviving PARENT chunk ids
     cnt0: jnp.ndarray,  # (N, nt)
-    dmax_tile: jnp.ndarray,  # (N, nt) occlusion depth bound
     parent_c: int,  # parent chunk granularity (tris)
     c: int = 32,  # chunklet granularity (kernel gather unit)
-    k_aabb: int = 384,
-    k_final: int = 256,
+    k_aabb: int = 512,
+    k_final: int = 384,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """v11 hierarchical EXACT chunklet selection (VERDICT r3 missing #1).
 
     Level 1 expands each L0 parent-chunk survivor into its c-granularity
     chunklets and culls by the AABB positive-vertex rule (the box corner
     most inside each tile plane — if even it is outside, every triangle in
-    the box is) + the occlusion bound. Level 2 runs bin_tris_tiles' EXACT
-    3-vertex plane test on the survivors' gathered triangles (same -1e-3
-    conservative margin — see bin_tris_tiles for the rounding analysis), so
-    a culled chunklet provably contains no triangle any tile ray can hit:
-    the packed-stream kernel result is bit-identical to brute force AT THE
-    SAME LOD-band selection (bands are applied at parent level in L0,
-    matching the band-valid oracle's chunk-granularity rule).
+    the box is). Level 2 runs bin_tris_tiles' EXACT 3-vertex plane test on
+    the survivors' gathered triangles (same -1e-3 conservative margin —
+    see bin_tris_tiles for the rounding analysis), so a culled chunklet
+    provably contains no triangle any tile ray can hit: the packed-stream
+    kernel result matches brute force AT THE SAME LOD-band selection
+    (bands apply at parent level in L0, the band-valid oracle's rule).
+
+    NO occlusion pre-cull: the round-3 low-res depth-prepass bound is a
+    sampled-ray heuristic (1 ray per 8x8 px * 1.2 + 1 m) that provably can
+    drop true winners through unsampled sightlines (a doorway ray found
+    exactly that in test_exact_chunklet_culling_conservative). Occlusion is
+    instead exploited EXACTLY by the kernel: survivors stream nearest-first
+    (dmin packed in the high bits, v10's encoding) and early termination
+    stops once every ray of the tile holds a hit nearer than the next
+    chunklet's minimum possible distance.
 
     Measured on the 860k-tri scan bench (scripts/exp_exact_cull_stats.py):
     sphere-only c=16 admits 322 chunklets/tile; AABB c=32 admits 134; the
-    exact test keeps 53.5 (p90 98, max 171) -> ~1.7k tris tested per ray vs
-    v10's ~37k.
+    exact test keeps 53.5 with a tight depth bound — the ET-reachable
+    floor — and ~100-200 without one (the list the kernel streams from).
 
-    Returns (ids (N, nt, k_final) int32 chunklet ids ascending, survivors
-    first, tail duplicate-padded; cnt (N, nt) int32 clipped to k_final)."""
+    Returns (packed (N, nt, k_final) int32 = (dmin_cm << 18) | chunklet_id,
+    ascending dmin (ids tie-break), survivors first, tail duplicate-padded;
+    cnt (N, nt) int32 clipped to k_final)."""
     from habitat_tpu.utils.geometry import view_rotation_matrix
 
     N, nt, K0 = ids0.shape
@@ -575,9 +587,10 @@ def select_chunklets_exact(
         + jnp.arange(expand, dtype=jnp.int32)[None, None, None, :]
     ).reshape(N, nt, Kc)  # (N, nt, Kc) chunklet ids
     pos0 = jnp.arange(K0, dtype=jnp.int32)
-    cand_valid = (pos0[None, None, :, None] < cnt0[..., None, None]).reshape(
-        N, nt, Kc
-    )  # L0 tail is duplicate-padded; gate by position to avoid re-tests
+    cand_valid = jnp.broadcast_to(
+        pos0[None, None, :, None] < cnt0[..., None, None],
+        (N, nt, K0, expand),
+    ).reshape(N, nt, Kc)  # L0 tail is padding; gate by position
     flat_ab = aabbs.reshape(S * NCH, 6)
     ab = flat_ab[sids[:, None, None] * NCH + cand]  # (N, nt, Kc, 6)
     ctr = ab[..., 0:3] - cam_pos[:, None, None, :]  # box center rel apex
@@ -586,15 +599,17 @@ def select_chunklets_exact(
     pv = ctr[..., None, :] + jnp.sign(nw[:, :, None, :, :]) * half[..., None, :]
     d = jnp.sum(pv * nw[:, :, None, :, :], axis=-1)  # (N, nt, Kc, 4)
     inside = jnp.all(d > -1e-3, axis=-1)
-    dmin_box = jnp.linalg.norm(ctr, axis=-1) - jnp.linalg.norm(half, axis=-1)
-    near = dmin_box <= dmax_tile[..., None]
-    surv1 = inside & near & cand_valid
-    # compact: survivors first, ascending original candidate order
-    order1 = jnp.argsort(~surv1, axis=-1, stable=True)
+    surv1 = inside & cand_valid
+    # compact SORTED BY CHUNKLET ID (L0's top_k emits nearest-first parent
+    # order; the kernel's tie-break contract needs ascending ids): value-
+    # sort survivors' ids with culled slots pushed to a big sentinel
     ka = min(k_aabb, Kc)
-    order1 = order1[..., :ka]
-    ids1 = jnp.take_along_axis(cand, order1, axis=-1)  # (N, nt, ka)
+    key1 = jnp.where(surv1, cand, jnp.int32(1 << 30))
+    ord1 = jnp.argsort(key1, axis=-1)[..., :ka]  # candidate slots, id-sorted
+    ids1 = jnp.take_along_axis(cand, ord1, axis=-1)  # (N, nt, ka)
     cnt1 = jnp.minimum(jnp.sum(surv1, axis=-1), ka).astype(jnp.int32)
+    ctr1 = jnp.take_along_axis(ctr, ord1[..., None], axis=2)
+    half1 = jnp.take_along_axis(half, ord1[..., None], axis=2)
 
     # ---- L2: exact any-triangle 3-vertex plane test -----------------------
     flat_key = sids[:, None, None] * NCH + ids1
@@ -614,19 +629,28 @@ def select_chunklets_exact(
     surv2 = jnp.any(tri_in, axis=-1) & (
         pos1[None, None, :] < cnt1[..., None]
     )
-    order2 = jnp.argsort(~surv2, axis=-1, stable=True)
+    # pack (dmin_cm << 18 | id) — v10's stream encoding: the kernel streams
+    # nearest-first and EARLY-TERMINATES once every ray beats the next
+    # chunklet's min possible distance. dmin from the box, FLOORED (rounding
+    # down keeps the early-out conservative), capped at 81.9 m.
+    assert NCH <= (1 << 18), "packed chunklet id is 18 bits"
+    dmin1 = jnp.maximum(
+        jnp.linalg.norm(ctr1, axis=-1) - jnp.linalg.norm(half1, axis=-1), 0.0
+    )
+    dmin_cm = jnp.clip(jnp.floor(dmin1 * 1e2), 0, 8191).astype(jnp.int32)
+    packed = (dmin_cm << 18) | ids1
     kf = min(k_final, ka)
-    order2 = order2[..., :kf]
-    ids2 = jnp.take_along_axis(ids1, order2, axis=-1)  # (N, nt, kf)
+    key2 = jnp.where(surv2, packed, jnp.int32(0x7FFFFFFF))
+    packed2 = jnp.sort(key2, axis=-1)[..., :kf]  # ascending dmin, id ties
     cnt2 = jnp.minimum(jnp.sum(surv2, axis=-1), kf).astype(jnp.int32)
     # duplicate-pad the tail with the last survivor (DMA-elision contract)
     last = jnp.take_along_axis(
-        ids2, jnp.maximum(cnt2 - 1, 0)[..., None], axis=-1
+        packed2, jnp.maximum(cnt2 - 1, 0)[..., None], axis=-1
     )
     posf = jnp.arange(kf, dtype=jnp.int32)
-    ids2 = jnp.where(posf[None, None, :] < cnt2[..., None], ids2, last)
-    ids2 = jnp.where(cnt2[..., None] > 0, ids2, 0)
-    return ids2.astype(jnp.int32), cnt2
+    packed2 = jnp.where(posf[None, None, :] < cnt2[..., None], packed2, last)
+    packed2 = jnp.where(cnt2[..., None] > 0, packed2, 0)
+    return packed2.astype(jnp.int32), cnt2
 
 
 def tile_plane_normals_cam(
@@ -852,6 +876,11 @@ def render_batch(
     from habitat_tpu.utils.geometry import equirect_rays, fisheye_rays
 
     N = sids.shape[0]
+    # backend="stream" forces the v10 nearest-first stream kernel on the
+    # blocked large-scene path (the v11 exact-cull path is the default)
+    stream_mode = backend == "stream"
+    if stream_mode:
+        backend = "pallas"
     be_early = _pick_backend(backend)
     n_chunks_early = pack.tri_mat.shape[3] // 128
     # cull_k=None -> auto: the small/mid-scene path boundary stays at the
@@ -1051,20 +1080,6 @@ def render_batch(
             else:
                 origins_c, dirs_c = origins, dirs
             if blocked:
-                # v8 STREAM path: survivor counts gate a dynamic in-kernel
-                # chunk loop with double-buffered HBM DMA (the round-2 grid
-                # (N, tiles, K) form paid ~200k grid steps at scan-bench
-                # shape, valid or not). t is recovered PLANE-EXACTLY in the
-                # epilogue from true (exact) attribute gathers.
-                from habitat_tpu.ops.raycast_pallas import (
-                    group_tri_mat_pad16,
-                    raycast_pallas_stream_t,
-                )
-
-                ids, cnt = select_chunks_occluded(
-                    pack.tri_mat, pack.chunk_bounds[sids], sids,
-                    origins_c, dirs_c, 1024, cull_k, with_cnt=True,
-                )
                 d_cam_l = camera_rays(
                     jnp.float32(0.0), jnp.float32(0.0),
                     jnp.deg2rad(hfov_deg), height, width,
@@ -1086,11 +1101,60 @@ def render_batch(
                     B_l.transpose(0, 2, 1), ((0, 0), (0, 6), (0, 0))
                 )
                 C_big = pack.tri_mat.shape[3] // pack.chunk_bounds.shape[1]
-                t, idx = raycast_pallas_stream_t(
-                    group_tri_mat_pad16(pack.tri_mat, C_big),
-                    sids, ids, cnt, d_t_l, Bt_l,
-                    ray_tile=1024, tri_chunk=C_big,
-                )
+                if not stream_mode and (pack.tri_mat.shape[3] % 32 == 0):
+                    # v11 EXACT-CULL packed stream (default): hierarchical
+                    # cone -> AABB -> exact 3-vertex plane culling shrinks
+                    # the per-tile candidate set to the provable survivors
+                    # (~75 x 32-tri chunklets/tile on the scan bench vs
+                    # v10's ~145 x 256-tri chunks), streamed nearest-first
+                    # U-at-a-time through v10-sized matmuls with exact
+                    # in-kernel early termination (~54 effective).
+                    from habitat_tpu.ops.raycast_pallas import (
+                        group_tri_mat_pad16,
+                        raycast_pallas_exactsel_t,
+                    )
+
+                    ids0, cnt0 = select_chunks(
+                        pack.chunk_bounds[sids], origins_c, dirs_c,
+                        1024, max(cull_k, 320), with_cnt=True,
+                    )
+                    planes_l = jnp.asarray(
+                        tile_plane_normals_cam(
+                            np.deg2rad(hfov_deg), height, width, 32, 32
+                        )
+                    )
+                    ab = chunklet_aabbs(
+                        pack.tri_v0, pack.tri_e1, pack.tri_e2,
+                        pack.tri_valid, c=32,
+                    )
+                    ids, cnt = select_chunklets_exact(
+                        pack.tri_v0, pack.tri_e1, pack.tri_e2,
+                        pack.tri_valid, ab, sids, cam_pos, yaw, pitch,
+                        planes_l, ids0, cnt0,
+                        parent_c=C_big, c=32,
+                    )
+                    t, idx = raycast_pallas_exactsel_t(
+                        group_tri_mat_pad16(pack.tri_mat, 32),
+                        sids, ids, cnt, d_t_l, Bt_l,
+                        ray_tile=1024, tri_chunk=32,
+                    )
+                else:
+                    # v10 STREAM path (backend="stream"): nearest-first
+                    # chunk streaming with in-kernel early termination.
+                    from habitat_tpu.ops.raycast_pallas import (
+                        group_tri_mat_pad16,
+                        raycast_pallas_stream_t,
+                    )
+
+                    ids, cnt = select_chunks_occluded(
+                        pack.tri_mat, pack.chunk_bounds[sids], sids,
+                        origins_c, dirs_c, 1024, cull_k, with_cnt=True,
+                    )
+                    t, idx = raycast_pallas_stream_t(
+                        group_tri_mat_pad16(pack.tri_mat, C_big),
+                        sids, ids, cnt, d_t_l, Bt_l,
+                        ray_tile=1024, tri_chunk=C_big,
+                    )
                 t = from_blocks(t)
                 idx = from_blocks(idx)
                 hit = idx >= 0

@@ -37,6 +37,8 @@ from habitat_tpu.articulated_agents.params import ROBOTS
 from habitat_tpu.core.dataset import EpisodeTable
 from habitat_tpu.core.registry import registry
 from habitat_tpu.ops import navgrid as ng
+from habitat_tpu.articulated_agents import legs as legs_mod
+from habitat_tpu.tasks.rearrange import rigid_body as rigid
 from habitat_tpu.ops.raycast import render_batch
 from habitat_tpu.sims.scene import ScenePack
 from habitat_tpu.utils.geometry import (
@@ -97,9 +99,17 @@ class RearrangeState:
     prev_pos: jnp.ndarray
     obj_pos: jnp.ndarray  # (N, O, 3)
     obj_vel: jnp.ndarray  # (N, O, 3) rigid-body velocity (gravity dynamics)
+    # contacts v4 rotational state (rigid_body.py): orientation quaternion
+    # (w,x,y,z) + world angular velocity — boxes tip, tumble, settle
+    obj_quat: jnp.ndarray  # (N, O, 4)
+    obj_omega: jnp.ndarray  # (N, O, 3)
     art_q: jnp.ndarray  # (N, A) joint states
     art_vel: jnp.ndarray  # (N, A) joint velocities (articulated dynamics)
     joints: jnp.ndarray  # (N, J) arm joint positions (real FK chain)
+    # legged base (reference articulated_agent_base.py leg_joint_pos): 12
+    # Spot leg joints held at leg_init during base motion, FK-rendered;
+    # (N, 0) for wheeled/non-legged robots
+    leg_q: jnp.ndarray  # (N, L)
     joint_vel: jnp.ndarray  # (N, J) arm joint velocities (arm_dynamics mode)
     motor_target: jnp.ndarray  # (N, J) accumulated PD motor targets
     #   (reference ArmRelPosAction integrates deltas on arm_motor_pos,
@@ -136,19 +146,30 @@ def contact_step(
     n_substeps: int = 4,
     half=OBJ_HALF,  # float | (N,O,3) per-object half-extents
     yaw_o=None,  # None | (N,O) upright-OBB yaw about +Y
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Impulse/projection contact dynamics v3: UPRIGHT OBB box-box
-    (reference: Bullet step_world, tasks/rearrange/rearrange_sim.py:1017-
-    1028). The contact shapes ARE the rendered geometry — per-object
-    half-extent boxes yawed about +Y (gravity keeps them upright; they
-    don't tumble in this kinematic world). Separating-axis test over
+    quat=None,  # None | (N,O,4) contacts v4 orientation state
+    omega=None,  # None | (N,O,3) world angular velocity
+):
+    """Impulse/projection contact dynamics (reference: Bullet step_world,
+    tasks/rearrange/rearrange_sim.py:1017-1028). The contact shapes ARE the
+    rendered geometry — per-object half-extent boxes.
+
+    v3 (quat=None): UPRIGHT OBBs yawed about +Y. Separating-axis test over
     {Y, u_i, w_i, u_j, w_j} (the two footprint axes of each box), MTV
     projection along the least-penetrated axis with zero restitution,
     flush stacking support, floor support with ground friction, and
     robot-cylinder pushout against the OBB's nearest footprint point whose
     penetration integrates into a pseudo contact force (reference
     RobotForce, rearrange_sensors.py:814).
-    Returns (obj_pos, obj_vel, robot_force)."""
+    Returns (obj_pos, obj_vel, robot_force).
+
+    v4 (quat given): full rotational state — gravity/integration/floor run
+    through rigid_body.box_floor_substep (8-corner sequential impulses:
+    overhanging boxes TIP, tumble, and settle on a face), while box-box and
+    robot contacts reuse the v3 translational SAT against each box's
+    CURRENT orientation (effective_upright_obb: exact for upright boxes, an
+    AABB-in-yaw-frame cover when tipped; box-box collisions push but do not
+    transfer torque — documented scope, rigid_body.py).
+    Returns (obj_pos, obj_vel, robot_force, quat, omega)."""
     N, O, _ = obj_pos.shape
     sdt = dt / n_substeps
     eye = jnp.eye(O, dtype=bool)[None]
@@ -160,45 +181,34 @@ def contact_step(
         )
     if yaw_o is None:
         yaw_o = jnp.zeros((N, O), jnp.float32)
-    hy = half[..., 1]
-    # footprint axes u (local x) and w (local z) in the XZ plane
-    cy, sy = jnp.cos(yaw_o), jnp.sin(yaw_o)
-    u = jnp.stack([cy, -sy], axis=-1)  # (N,O,2)
-    w = jnp.stack([sy, cy], axis=-1)
-    # contact positions are box CENTERS: bottom + half_y
-    center_off = jnp.stack(
-        [jnp.zeros_like(hy), hy, jnp.zeros_like(hy)], axis=-1
-    )
-    p = obj_pos + center_off
-    v = obj_vel
-
-    def proj_radius(axis):
-        """Footprint projection radius of every box on axis (N,O,O,2)->i/j"""
-        # axis: (N,O,O,2); returns r_i, r_j (N,O,O)
-        ri = half[..., 0][:, :, None] * jnp.abs(
-            jnp.sum(u[:, :, None] * axis, -1)
-        ) + half[..., 2][:, :, None] * jnp.abs(jnp.sum(w[:, :, None] * axis, -1))
-        rj = half[..., 0][:, None, :] * jnp.abs(
-            jnp.sum(u[:, None, :] * axis, -1)
-        ) + half[..., 2][:, None, :] * jnp.abs(jnp.sum(w[:, None, :] * axis, -1))
-        return ri + rj
-
     fy_c = floor_y[:, None]
-    for _ in range(n_substeps):
-        v = jnp.where(freem, v.at[..., 1].add(-g * sdt), 0.0)
-        p = jnp.where(freem, p + v * sdt, p)
 
-        # upright-OBB SAT: Y interval + 4 footprint axes; resolve along the
-        # minimum-translation axis
+    def sat_boxbox(p, v, half_c, hy_c, u_c, w_c, with_floor_anchor):
+        """One translational box-box SAT pass: MTV projection + restitution-0
+        impulses. Returns (p, v, support_any)."""
+
+        def proj_radius(axis):
+            ri = half_c[..., 0][:, :, None] * jnp.abs(
+                jnp.sum(u_c[:, :, None] * axis, -1)
+            ) + half_c[..., 2][:, :, None] * jnp.abs(
+                jnp.sum(w_c[:, :, None] * axis, -1)
+            )
+            rj = half_c[..., 0][:, None, :] * jnp.abs(
+                jnp.sum(u_c[:, None, :] * axis, -1)
+            ) + half_c[..., 2][:, None, :] * jnp.abs(
+                jnp.sum(w_c[:, None, :] * axis, -1)
+            )
+            return ri + rj
+
         d = p[:, :, None, :] - p[:, None, :, :]  # (N,O,O,3) i<-j
         dxz = d[..., jnp.array([0, 2])]  # (N,O,O,2)
-        pen_y = hy[:, :, None] + hy[:, None, :] - jnp.abs(d[..., 1])
+        pen_y = hy_c[:, :, None] + hy_c[:, None, :] - jnp.abs(d[..., 1])
         axes = jnp.stack(
             [
-                jnp.broadcast_to(u[:, :, None], dxz.shape),
-                jnp.broadcast_to(w[:, :, None], dxz.shape),
-                jnp.broadcast_to(u[:, None, :], dxz.shape),
-                jnp.broadcast_to(w[:, None, :], dxz.shape),
+                jnp.broadcast_to(u_c[:, :, None], dxz.shape),
+                jnp.broadcast_to(w_c[:, :, None], dxz.shape),
+                jnp.broadcast_to(u_c[:, None, :], dxz.shape),
+                jnp.broadcast_to(w_c[:, None, :], dxz.shape),
             ],
             axis=0,
         )  # (4,N,O,O,2)
@@ -206,7 +216,6 @@ def contact_step(
         pen_xz = jax.vmap(proj_radius)(axes) - jnp.abs(sep)  # (4,N,O,O)
         pair = free[:, :, None] & free[:, None, :] & ~eye
         active = pair & (pen_y > 0.0) & jnp.all(pen_xz > 0.0, axis=0)
-        # candidate MTVs: [y, 4 xz axes]
         pens = jnp.concatenate([pen_y[None], pen_xz], axis=0)  # (5,N,O,O)
         which = jnp.argmin(pens, axis=0)  # (N,O,O)
         pen = jnp.min(pens, axis=0)
@@ -235,12 +244,9 @@ def contact_step(
             cand, which[None, ..., None].astype(jnp.int32), axis=0
         )[0]
         # separation split: grounded (or held) bodies act kinematic — the
-        # free body takes the FULL correction (a half-correction pushed into
-        # a grounded support gets undone by the floor clamp, leaving a
-        # steady-state penetration of one gravity substep). One propagation
-        # pass also anchors boxes resting ON an anchored box, so short
-        # stacks are stable supports.
-        base = ~free | (p[..., 1] <= fy_c + hy + 1e-3)  # held / on floor
+        # free body takes the FULL correction. One propagation pass anchors
+        # boxes resting ON an anchored box (stable short stacks).
+        base = ~free | (p[..., 1] <= fy_c + hy_c + 1e-3)  # held / on floor
         support = active & (which == 0) & (d[..., 1] > 0)  # j supports i
         sup_anchored = base | jnp.any(support & base[:, None, :], axis=2)
         ai = base[:, :, None]
@@ -251,44 +257,90 @@ def contact_step(
             axis=2,
         )
         p = p + corr
-        # remove approaching relative normal velocity (restitution 0)
         rel = v[:, :, None, :] - v[:, None, :, :]
         vn = jnp.sum(rel * nrm, axis=-1)
         imp = jnp.where(active & (vn < 0), -0.5 * vn, 0.0)
         v = v + jnp.sum(imp[..., None] * nrm, axis=2)
+        return p, v, jnp.any(support, axis=2)
 
+    def robot_pushout(p, v, half_c, u_c, w_c, force):
+        """Robot cylinder vs OBB nearest footprint point -> pseudo force."""
+        da = p - agent_pos[:, None, :]
+        in_h = jnp.abs(da[..., 1]) < 1.2
+        da_xz = da[..., jnp.array([0, 2])]
+        lx = -jnp.sum(da_xz * u_c, -1)
+        lz = -jnp.sum(da_xz * w_c, -1)
+        nearx = jnp.clip(lx, -half_c[..., 0], half_c[..., 0])
+        nearz = jnp.clip(lz, -half_c[..., 2], half_c[..., 2])
+        gap = jnp.sqrt((lx - nearx) ** 2 + (lz - nearz) ** 2)
+        pen_a = jnp.where(free & in_h, AGENT_RADIUS - gap, 0.0)
+        hit_a = pen_a > 0.0
+        dlen = jnp.sqrt(jnp.sum(da_xz**2, -1))
+        nx = da_xz[..., 0] / jnp.maximum(dlen, 1e-6)
+        nz = da_xz[..., 1] / jnp.maximum(dlen, 1e-6)
+        p = p.at[..., 0].add(jnp.where(hit_a, pen_a * nx, 0.0))
+        p = p.at[..., 2].add(jnp.where(hit_a, pen_a * nz, 0.0))
+        force = force + FORCE_K * jnp.sum(
+            jnp.where(hit_a, pen_a, 0.0), axis=1
+        )
+        return p, force
+
+    if quat is not None:
+        # ---- contacts v4: rotational floor + translational box-box -------
+        q, wv = quat, omega
+        hy0 = half[..., 1]
+        center_off = jnp.stack(
+            [jnp.zeros_like(hy0), hy0, jnp.zeros_like(hy0)], axis=-1
+        )
+        p = obj_pos + center_off
+        v = obj_vel
+        for _ in range(n_substeps):
+            p, v, q, wv = rigid.box_floor_substep(
+                p, v, q, wv, half, free, floor_y, sdt, g=g
+            )
+            yaw_eff, half_eff = rigid.effective_upright_obb(q, half)
+            cy, sy = jnp.cos(yaw_eff), jnp.sin(yaw_eff)
+            u_c = jnp.stack([cy, -sy], axis=-1)
+            w_c = jnp.stack([sy, cy], axis=-1)
+            hy_c = half_eff[..., 1]
+            p, v, supported = sat_boxbox(p, v, half_eff, hy_c, u_c, w_c, True)
+            v = jnp.where(
+                supported[..., None], v * jnp.array([0.2, 0.0, 0.2]), v
+            )
+            p, force = robot_pushout(p, v, half_eff, u_c, w_c, force)
+        return (
+            p - center_off,
+            jnp.where(freem, v, 0.0),
+            force,
+            q,
+            jnp.where(freem, wv, 0.0),
+        )
+
+    # ---- contacts v3: upright OBBs (kinematic-plus fast mode) -------------
+    hy = half[..., 1]
+    cy, sy = jnp.cos(yaw_o), jnp.sin(yaw_o)
+    u = jnp.stack([cy, -sy], axis=-1)  # (N,O,2)
+    w = jnp.stack([sy, cy], axis=-1)
+    center_off = jnp.stack(
+        [jnp.zeros_like(hy), hy, jnp.zeros_like(hy)], axis=-1
+    )
+    p = obj_pos + center_off
+    v = obj_vel
+    for _ in range(n_substeps):
+        v = jnp.where(freem, v.at[..., 1].add(-g * sdt), 0.0)
+        p = jnp.where(freem, p + v * sdt, p)
+        p, v, supported = sat_boxbox(p, v, half, hy, u, w, True)
         # floor/support: ground clamp; friction kills horizontal motion on
         # the floor AND on top of a supporting box
         fy = fy_c + hy
         on_ground = p[..., 1] <= fy + 1e-4
-        supported = jnp.any(support, axis=2)
         p = p.at[..., 1].set(jnp.maximum(p[..., 1], fy))
         v = jnp.where(
             (on_ground | supported)[..., None],
             v * jnp.array([0.2, 0.0, 0.2]),  # friction + no bounce
             v,
         )
-
-        # robot cylinder vs OBB nearest footprint point -> pseudo force
-        da = p - agent_pos[:, None, :]
-        in_h = jnp.abs(da[..., 1]) < 1.2
-        da_xz = da[..., jnp.array([0, 2])]  # box center rel agent, (N,O,2)
-        # agent offset in the box frame
-        lx = -jnp.sum(da_xz * u, -1)
-        lz = -jnp.sum(da_xz * w, -1)
-        nearx = jnp.clip(lx, -half[..., 0], half[..., 0])
-        nearz = jnp.clip(lz, -half[..., 2], half[..., 2])
-        gap = jnp.sqrt((lx - nearx) ** 2 + (lz - nearz) ** 2)
-        pen_a = jnp.where(free & in_h, AGENT_RADIUS - gap, 0.0)
-        hit_a = pen_a > 0.0
-        # push direction: box center away from agent axis (robust when the
-        # agent axis is inside the box footprint, where gap = 0)
-        dlen = jnp.sqrt(jnp.sum(da_xz**2, -1))
-        nx = da_xz[..., 0] / jnp.maximum(dlen, 1e-6)
-        nz = da_xz[..., 1] / jnp.maximum(dlen, 1e-6)
-        p = p.at[..., 0].add(jnp.where(hit_a, pen_a * nx, 0.0))
-        p = p.at[..., 2].add(jnp.where(hit_a, pen_a * nz, 0.0))
-        force = force + FORCE_K * jnp.sum(jnp.where(hit_a, pen_a, 0.0), axis=1)
+        p, force = robot_pushout(p, v, half, u, w, force)
 
     return p - center_off, jnp.where(freem, v, 0.0), force
 
@@ -965,12 +1017,12 @@ class RearrangeBatchedEnv:
         )
         unit_tri = corners[faces]  # (12,3,3) unit box
         halves = self.table.obj_half[state.ep_idx]  # (N,O,3)
-        yaws = self.table.obj_yaw[state.ep_idx]  # (N,O)
         scaled = unit_tri[None, None] * halves[:, :, None, None, :]
-        cyo, syo = jnp.cos(yaws), jnp.sin(yaws)
-        rx = scaled[..., 0] * cyo[..., None, None] + scaled[..., 2] * syo[..., None, None]
-        rz = -scaled[..., 0] * syo[..., None, None] + scaled[..., 2] * cyo[..., None, None]
-        obj_tri = jnp.stack([rx, scaled[..., 1], rz], axis=-1)  # (N,O,12,3,3)
+        # contacts v4: full orientation from the quaternion state (physics
+        # and pixels agree — tipped boxes RENDER tipped); upright states
+        # reproduce the old yaw rotation exactly (quat_from_yaw convention)
+        Rq = rigid.quat_to_matrix(state.obj_quat)  # (N,O,3,3)
+        obj_tri = jnp.einsum("noij,noktj->nokti", Rq, scaled)  # (N,O,12,3,3)
         center = objs + jnp.concatenate(
             [jnp.zeros_like(halves[..., :1]), halves[..., 1:2],
              jnp.zeros_like(halves[..., :1])], -1
@@ -1029,6 +1081,25 @@ class RearrangeBatchedEnv:
             np.random.default_rng(7).uniform(0.3, 1.0, (n_dyn, 3)), jnp.float32
         )
         color = jnp.repeat(jnp.broadcast_to(palette[None], (N, n_dyn, 3)), 12, axis=1)
+        if self.rparams.leg_joints > 0:
+            # legged base (Spot): FK-posed leg segments render through the
+            # same dynamic pass — leg_q is load-bearing state
+            leg_v, leg_valid = legs_mod.leg_segment_boxes(
+                state.pos + jnp.array([0.0, 0.5, 0.0]), state.yaw, state.leg_q
+            )
+            v = jnp.concatenate([v, leg_v], axis=1)
+            valid = jnp.concatenate([valid, leg_valid], axis=1)
+            sem = jnp.concatenate(
+                [sem, jnp.full((N, leg_v.shape[1]), OBJ_SEM_BASE - 1, sem.dtype)],
+                axis=1,
+            )
+            color = jnp.concatenate(
+                [
+                    color,
+                    jnp.full((N, leg_v.shape[1], 3), 0.85, jnp.float32),
+                ],
+                axis=1,
+            )
         if self._arm_mode():
             # render the real arm through the same dynamic pass
             arm_v, arm_valid = self._arm_geometry(state)
@@ -1252,6 +1323,8 @@ class RearrangeBatchedEnv:
             prev_pos=pos,
             obj_pos=self.table.obj_init[ep_idx],
             obj_vel=jnp.zeros((n, self.num_objects, 3), jnp.float32),
+            obj_quat=rigid.quat_from_yaw(self.table.obj_yaw[ep_idx]),
+            obj_omega=jnp.zeros((n, self.num_objects, 3), jnp.float32),
             art_q=jnp.broadcast_to(
                 self.table.art_init_q[ep_idx][:, None],
                 (n, self.table.art_pos.shape[1]),
@@ -1259,6 +1332,10 @@ class RearrangeBatchedEnv:
             * self.table.art_valid[ep_idx],
             art_vel=jnp.zeros((n, self.table.art_pos.shape[1]), jnp.float32),
             joints=jnp.broadcast_to(self._resting, (n, self.n_joints)),
+            leg_q=jnp.broadcast_to(
+                jnp.asarray(legs_mod.LEG_INIT[: self.rparams.leg_joints]),
+                (n, self.rparams.leg_joints),
+            ),
             joint_vel=jnp.zeros((n, self.n_joints), jnp.float32),
             motor_target=jnp.broadcast_to(self._resting, (n, self.n_joints)),
             held=jnp.full((n,), -1, jnp.int32),
@@ -1777,6 +1854,8 @@ class RearrangeBatchedEnv:
             human_held = jnp.where(h_grab, h_obj, human_held)
 
         obj_vel = state.obj_vel
+        obj_quat = state.obj_quat
+        obj_omega = state.obj_omega
         step_force = jnp.zeros((n,), jnp.float32)
         if self.dynamics == "gravity":
             # semi-implicit Euler rigid-body step for free objects
@@ -1813,7 +1892,9 @@ class RearrangeBatchedEnv:
                     jnp.arange(self.num_objects)[None]
                     != jnp.where(human_held < 0, -1, human_held)[:, None]
                 )
-            obj_pos, obj_vel, step_force = contact_step(
+            # contacts v4: rotational state rides the pytree — boxes tip,
+            # tumble off supports, and settle on a face (rigid_body.py)
+            obj_pos, obj_vel, step_force, obj_quat, obj_omega = contact_step(
                 obj_pos,
                 obj_vel,
                 free,
@@ -1821,6 +1902,8 @@ class RearrangeBatchedEnv:
                 state.pos,
                 half=self.table.obj_half[state.ep_idx],
                 yaw_o=self.table.obj_yaw[state.ep_idx],
+                quat=state.obj_quat,
+                omega=state.obj_omega,
             )
 
         # -- grasp constraint violation ----------------------------------
@@ -1871,6 +1954,8 @@ class RearrangeBatchedEnv:
             state,
             obj_pos=obj_pos,
             obj_vel=obj_vel,
+            obj_quat=obj_quat,
+            obj_omega=obj_omega,
             held=held,
             ever_held=ever_held,
             human_held=human_held,
@@ -1931,9 +2016,12 @@ class RearrangeBatchedEnv:
             prev_pos=sel(fresh.prev_pos, state.prev_pos),
             obj_pos=sel(fresh.obj_pos, state.obj_pos),
             obj_vel=sel(fresh.obj_vel, state.obj_vel),
+            obj_quat=sel(fresh.obj_quat, state.obj_quat),
+            obj_omega=sel(fresh.obj_omega, state.obj_omega),
             art_q=sel(fresh.art_q, state.art_q),
             art_vel=sel(fresh.art_vel, state.art_vel),
             joints=sel(fresh.joints, state.joints),
+            leg_q=sel(fresh.leg_q, state.leg_q),
             joint_vel=sel(fresh.joint_vel, state.joint_vel),
             motor_target=sel(fresh.motor_target, state.motor_target),
             held=sel(fresh.held, state.held),

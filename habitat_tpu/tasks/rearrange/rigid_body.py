@@ -1,0 +1,245 @@
+"""Batched rigid-body box dynamics for contacts v4 (VERDICT r3 missing #3).
+
+The reference steps movable objects through Bullet's full rigid-body solver
+(tasks/rearrange/rearrange_sim.py:1017-1028: step_world -> btDiscreteDynamics
+World), so objects tip over ledges, tumble, and settle on a face. Rounds 2-3
+carried upright yaw-only OBBs (no angular state). This module adds the
+rotational half, TPU-style: quaternion + angular velocity lanes in the env
+pytree, solid-box inertia, and a SEQUENTIAL-IMPULSE floor contact solver
+over the 8 box corners — all batched over (N envs, O objects) with static
+shapes (the 8-corner Gauss-Seidel pass is a compile-time unroll, not a
+dynamic constraint set like Bullet's).
+
+Scope (documented, honest): floor contacts generate torque (tipping/
+tumbling/settling); box-box and robot-box contacts remain translational
+(resolved by the upright-OBB SAT in rearrange_env.contact_step against each
+body's CURRENT orientation footprint) — a box-box collision pushes but does
+not tip. Grasped objects are kinematic (reference kinematic_mode recipe).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# quaternion utilities (w, x, y, z)
+# ---------------------------------------------------------------------------
+
+
+def quat_identity(shape) -> jnp.ndarray:
+    q = jnp.zeros(tuple(shape) + (4,), jnp.float32)
+    return q.at[..., 0].set(1.0)
+
+
+def quat_from_yaw(yaw: jnp.ndarray) -> jnp.ndarray:
+    """Rotation about +Y by yaw, matching the v3 footprint/render
+    convention (local x -> (cos, 0, -sin), local z -> (sin, 0, cos)):
+    R = [[cos,0,sin],[0,1,0],[-sin,0,cos]] = quat (cos h, 0, sin h, 0)."""
+    h = 0.5 * yaw
+    z = jnp.zeros_like(yaw)
+    return jnp.stack([jnp.cos(h), z, jnp.sin(h), z], axis=-1)
+
+
+def quat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def quat_normalize(q: jnp.ndarray) -> jnp.ndarray:
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+
+
+def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) -> (..., 3, 3) rotation matrix (columns = body axes)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r = jnp.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return r.reshape(q.shape[:-1] + (3, 3))
+
+
+def quat_integrate(q: jnp.ndarray, omega: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """q' = normalize(q + dt/2 * [0, omega] * q) — world-frame omega."""
+    zero = jnp.zeros(omega.shape[:-1] + (1,), omega.dtype)
+    wq = jnp.concatenate([zero, omega], axis=-1)
+    return quat_normalize(q + 0.5 * dt * quat_mul(wq, q))
+
+
+def yaw_from_quat(q: jnp.ndarray) -> jnp.ndarray:
+    """Twist about +Y matching quat_from_yaw (upright boxes round-trip)."""
+    return jnp.arctan2(
+        2.0 * (q[..., 0] * q[..., 2] + q[..., 1] * q[..., 3]),
+        1.0 - 2.0 * (q[..., 2] ** 2 + q[..., 3] ** 2),
+    )
+
+
+_CORNERS = jnp.array(
+    [
+        [-1.0, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+        [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+    ],
+    jnp.float32,
+)  # (8, 3)
+
+
+def box_inertia_inv(half: jnp.ndarray, mass: float = 1.0) -> jnp.ndarray:
+    """Inverse inertia of a solid box in the BODY frame, diagonal (..., 3).
+    I = m/3 * (h_j^2 + h_k^2) per axis (half-extents h)."""
+    hx2 = half[..., 0] ** 2
+    hy2 = half[..., 1] ** 2
+    hz2 = half[..., 2] ** 2
+    i = (mass / 3.0) * jnp.stack([hy2 + hz2, hx2 + hz2, hx2 + hy2], axis=-1)
+    return 1.0 / jnp.maximum(i, 1e-8)
+
+
+def box_floor_substep(
+    p: jnp.ndarray,  # (N, O, 3) box CENTERS
+    v: jnp.ndarray,  # (N, O, 3)
+    q: jnp.ndarray,  # (N, O, 4)
+    w: jnp.ndarray,  # (N, O, 3) world angular velocity
+    half: jnp.ndarray,  # (N, O, 3)
+    free: jnp.ndarray,  # (N, O) bool
+    floor_y: jnp.ndarray,  # (N,)
+    dt: float,
+    g: float = 9.8,
+    mu: float = 0.5,
+    ang_damp: float = 0.985,
+    mass: float = 1.0,
+    ledges: jnp.ndarray = None,  # (N, L, 6) static AABBs [center3, half3]
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One rigid-body substep: gravity, integration, and 8-corner floor
+    contact with sequential normal+friction impulses at the corner (the
+    lever arm generates torque, so overhanging boxes TIP and tipped boxes
+    settle onto a face — Bullet step_world's observable behavior for the
+    box-floor case). Zero restitution; Coulomb friction clamped at mu*jn;
+    a final projection removes residual penetration translationally.
+
+    ``ledges`` adds static support boxes as a height function under each
+    corner (top-face contacts only): h(x,z) = max(floor, ledge tops whose
+    footprint contains (x,z)) — a box slid past a ledge edge loses corner
+    support, tips under the gravity torque, and tumbles off."""
+    freem = free[..., None]
+
+    def height_under(c):
+        """Support height below a world point (..., 3)."""
+        h = jnp.broadcast_to(floor_y[:, None], c.shape[:-1])
+        if ledges is None:
+            return h
+        lc, lh = ledges[..., 0:3], ledges[..., 3:6]
+        inx = jnp.abs(c[..., None, 0] - lc[..., None, :, 0]) <= lh[..., None, :, 0]
+        inz = jnp.abs(c[..., None, 2] - lc[..., None, :, 2]) <= lh[..., None, :, 2]
+        top = lc[..., None, :, 1] + lh[..., None, :, 1]
+        below = c[..., None, 1] <= top + 0.25  # only when near/below the top
+        cand = jnp.where(inx & inz & below, top, -jnp.inf)
+        return jnp.maximum(h, jnp.max(cand, axis=-1))
+    # free-fall integrate
+    v = jnp.where(freem, v.at[..., 1].add(-g * dt), 0.0)
+    w = jnp.where(freem, w * ang_damp, 0.0)
+    p = jnp.where(freem, p + v * dt, p)
+    q = jnp.where(freem, quat_integrate(q, w, dt), q)
+
+    R = quat_to_matrix(q)  # (N, O, 3, 3)
+    inv_m = 1.0 / mass
+    ii_body = box_inertia_inv(half, mass)  # (N, O, 3)
+    # world inverse inertia: R diag(ii) R^T
+    iw = jnp.einsum("...ij,...j,...kj->...ik", R, ii_body, R)
+    fy = floor_y[:, None]
+
+    # sequential impulses over the 8 corners (Gauss-Seidel, unrolled).
+    # TWO passes: a single pass leaves an order-bias torque (the first
+    # corner absorbs most of the landing impulse — measured as a slow
+    # parasitic yaw spin on a flat-resting box); the second pass
+    # equilibrates the contact forces.
+    for k in range(16):
+        k = k % 8
+        r = jnp.einsum("...ij,...j->...i", R, _CORNERS[k] * half)  # lever arm
+        c = p + r
+        pen = height_under(c) - c[..., 1]
+        touching = free & (pen > 0.0)
+        # relative velocity at the corner
+        vc = v + jnp.cross(w, r)
+        vn = vc[..., 1]  # normal = +Y
+        # normal impulse magnitude: jn = -vn / (1/m + (iw (r x n) x r)_y)
+        rxn = jnp.cross(r, jnp.array([0.0, 1.0, 0.0]))
+        ang = jnp.cross(jnp.einsum("...ij,...j->...i", iw, rxn), r)[..., 1]
+        k_n = inv_m + ang
+        jn = jnp.where(touching & (vn < 0.0), -vn / jnp.maximum(k_n, 1e-6), 0.0)
+        imp = jnp.stack([jnp.zeros_like(jn), jn, jnp.zeros_like(jn)], -1)
+        v = v + inv_m * imp
+        w = w + jnp.einsum(
+            "...ij,...j->...i", iw, jnp.cross(r, imp)
+        )
+        # Coulomb friction at the same corner (tangential, clamped mu*jn)
+        vc = v + jnp.cross(w, r)
+        vt = vc.at[..., 1].set(0.0)
+        vt_len = jnp.linalg.norm(vt, axis=-1)
+        t_dir = vt / jnp.maximum(vt_len, 1e-8)[..., None]
+        rxt = jnp.cross(r, -t_dir)
+        ang_t = jnp.sum(
+            jnp.cross(jnp.einsum("...ij,...j->...i", iw, rxt), r) * -t_dir,
+            axis=-1,
+        )
+        k_t = inv_m + ang_t
+        jt = jnp.where(
+            touching, jnp.minimum(vt_len / jnp.maximum(k_t, 1e-6), mu * jn), 0.0
+        )
+        imp_t = -t_dir * jt[..., None]
+        v = v + inv_m * imp_t
+        w = w + jnp.einsum("...ij,...j->...i", iw, jnp.cross(r, imp_t))
+
+    # positional projection: lift out of the support surface (translational)
+    corners = p[..., None, :] + jnp.einsum(
+        "...ij,kj->...ki", R, _CORNERS
+    ) * jnp.broadcast_to(half[..., None, :], p.shape[:-1] + (8, 3))
+    NN, OO = corners.shape[0], corners.shape[1]
+    hts = height_under(corners.reshape(NN, OO * 8, 3)).reshape(NN, OO, 8)
+    lift = jnp.max(jnp.maximum(hts - corners[..., 1], 0.0), axis=-1)
+    p = jnp.where(freem, p.at[..., 1].add(lift), p)
+    # sleeping (Bullet's rest semantics): a box supported on >= 3 corners
+    # with near-zero velocities is at rest — zero it out so residual
+    # impulse-order noise can't creep it. A box balanced on an edge
+    # (<= 2 corners) never sleeps, so ledge tipping proceeds.
+    n_touch = jnp.sum(hts - corners[..., 1] > -2e-3, axis=-1)
+    asleep = (
+        (n_touch >= 3)
+        & (jnp.linalg.norm(v, axis=-1) < 0.08)
+        & (jnp.linalg.norm(w, axis=-1) < 0.6)
+    )[..., None]
+    v = jnp.where(asleep, 0.0, v)
+    w = jnp.where(asleep, 0.0, w)
+    return p, jnp.where(freem, v, 0.0), q, jnp.where(freem, w, 0.0)
+
+
+def effective_upright_obb(
+    q: jnp.ndarray, half: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Upright-OBB approximation of a rotated box for the translational
+    box-box/robot SAT: (yaw, half_eff) where half_eff is the box's AABB in
+    its own yaw frame — EXACTLY (yaw, half) for upright boxes, a cover
+    otherwise."""
+    yaw = yaw_from_quat(q)
+    qy = quat_from_yaw(yaw)
+    # M = R(qy)^T R(q): residual (tip) rotation in the yaw frame
+    Ry = quat_to_matrix(qy)
+    Rq = quat_to_matrix(q)
+    M = jnp.einsum("...ji,...jk->...ik", Ry, Rq)
+    half_eff = jnp.einsum("...ij,...j->...i", jnp.abs(M), half)
+    return yaw, half_eff

@@ -171,3 +171,28 @@ for nn in range(NENV):
         rowsF.append((sub_ok & band32).sum())
 F = np.asarray(rowsF)
 print(f"subAABB(c=8)->c=32 units:    mean {F.mean():7.1f} p90 {np.percentile(F,90):6.0f} max {F.max()}  tris-tested/ray {F.mean()*c2:.0f}")
+
+# ---- exact c=32 WITHOUT occlusion bound (ET-kernel design point) ----------
+rowsG, rowsH = [], []
+for nn in range(NENV):
+    R3 = np.asarray(view_rotation_matrix(jnp.asarray(yaw[nn]), jnp.asarray(0.0)))
+    nw_all = planes @ R3.T
+    rel = ctr2 - pos[nn]
+    dist = np.linalg.norm(rel, axis=-1)
+    band = ((dist + r2) >= dmn2) & ((dist - r2) <= dmx2) & any2
+    relv = verts3 - pos[nn]
+    for p in range(npk):
+        nw = nw_all[p]
+        pv = rel[:, None, :] + np.sign(nw)[None, :, :] * half2[:, None, :]
+        inside = (np.einsum("npc,pc->np", pv, nw) > eps).all(1)
+        box = inside & band
+        rowsG.append(box.sum())
+        cand = np.nonzero(np.repeat(box, c2) & valid)[0]
+        d = np.einsum("tvc,pc->tvp", relv[cand], nw)
+        tri_in = ~((d < eps).all(axis=1).any(axis=1))
+        rowsH.append(len(np.unique((cand // c2)[tri_in])))
+G2, H2 = np.asarray(rowsG), np.asarray(rowsH)
+print(f"AABB  c=32 NO-occ:           mean {G2.mean():7.1f} p90 {np.percentile(G2,90):6.0f} max {G2.max()}")
+print(f"exact c=32 NO-occ:           mean {H2.mean():7.1f} p90 {np.percentile(H2,90):6.0f} max {H2.max()}  tris-tested/ray {H2.mean()*c2:.0f}")
+# parent-level (C=256) cone+band NO-occ counts (L0 sizing)
+relp = cb[:, :3] - pos[:, None, :]

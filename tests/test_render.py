@@ -417,3 +417,93 @@ def test_scan_scene_culling_agreement_floor():
     ctx.__exit__(None, None, None)
     assert hitmatch >= 0.98, hitmatch
     assert agree >= 0.99, agree
+
+
+def test_exact_chunklet_culling_conservative():
+    """select_chunklets_exact (v11 scan path): every triangle any tile ray
+    actually hits must be inside a selected chunklet of that tile;
+    survivors ascend in original chunklet order and the tail repeats the
+    last survivor (the packed kernel's duplicate-padding contract)."""
+    from habitat_tpu.ops.raycast import (
+        chunklet_aabbs,
+        raycast_rays,
+        select_chunklets_exact,
+        select_chunks,
+        tile_plane_normals_cam,
+    )
+    from habitat_tpu.utils.geometry import camera_rays
+
+    from habitat_tpu.sims.procedural import generate_scan_apartment
+
+    scenes = [
+        generate_scan_apartment(
+            seed=s, extent=6.0, n_rooms_per_axis=2, n_clutter=6, tess=0.35
+        )
+        for s in range(2)
+    ]
+    pack = pack_scenes(scenes)
+    S, T = pack.tri_v0.shape[:2]
+    parent_c = T // pack.chunk_bounds.shape[1]
+    assert T // 32 > 8, "need a multi-chunklet scene for this test"
+    N, H, W = 4, 64, 64
+    nt = (H // 32) * (W // 32)
+    planes = jnp.asarray(
+        tile_plane_normals_cam(np.deg2rad(90.0), H, W, 32, 32)
+    )
+    rng = np.random.RandomState(5)
+    pos = jnp.asarray(
+        np.array([[4.0, 1.25, 4.0]]) + rng.uniform(-1, 1, (N, 3)) * [1, 0, 1],
+        jnp.float32,
+    )
+    yaw = jnp.asarray(rng.uniform(-np.pi, np.pi, N).astype(np.float32))
+    pitch = jnp.zeros(N)
+    sids = jnp.asarray(rng.randint(0, 2, N).astype(np.int32))
+    # rays in 32x32 block order (the blocked path's tiling)
+    d_all = jax.vmap(
+        lambda y: camera_rays(y, jnp.float32(0.0), jnp.deg2rad(90.0), H, W)
+    )(yaw).reshape(N, -1, 3)
+
+    def to_blocks(x):
+        tail = x.shape[2:]
+        x = x.reshape((N, H // 32, 32, W // 32, 32) + tail)
+        return jnp.swapaxes(x, 2, 3).reshape((N, H * W) + tail)
+
+    d_blk = to_blocks(d_all)
+    o_blk = jnp.broadcast_to(pos[:, None, :], d_blk.shape)
+
+    @jax.jit
+    def run():
+        ids0, cnt0 = select_chunks(
+            pack.chunk_bounds[sids], o_blk, d_blk, 1024, 64, with_cnt=True
+        )
+        ab = chunklet_aabbs(
+            pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid, c=32
+        )
+        return select_chunklets_exact(
+            pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid, ab,
+            sids, pos, yaw, pitch, planes, ids0, cnt0,
+            parent_c=parent_c, c=32, k_aabb=128, k_final=128,
+        )
+
+    packed, cnt = map(np.asarray, run())
+    assert packed.shape == (N, nt, 128)
+    ids = packed & 0x3FFFF
+    dmin = (packed >> 18) * 1e-2
+    for n in range(N):
+        s = int(sids[n])
+        t, idx = raycast_rays(
+            pack.tri_v0[s], pack.tri_e1[s], pack.tri_e2[s],
+            pack.tri_valid[s], o_blk[n], d_blk[n],
+        )
+        idx = np.asarray(idx).reshape(nt, 1024)
+        for j in range(nt):
+            c = cnt[n, j]
+            surv = ids[n, j, :c].tolist()
+            assert len(surv) == len(set(surv))  # no dups
+            # nearest-first: packed dmin ascends over the survivors
+            assert (np.diff(dmin[n, j, :c]) >= 0).all()
+            if c:
+                assert (packed[n, j, c:] == packed[n, j, c - 1]).all()
+            hits = idx[j]
+            for tri in np.unique(hits[hits >= 0]):
+                assert tri // 32 in set(surv), (n, j, tri)
