@@ -538,6 +538,7 @@ def select_chunklets_exact(
     c: int = 32,  # chunklet granularity (kernel gather unit)
     k_aabb: int = 512,
     k_final: int = 384,
+    skip_exact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """v11 hierarchical EXACT chunklet selection (VERDICT r3 missing #1).
 
@@ -610,6 +611,34 @@ def select_chunklets_exact(
     cnt1 = jnp.minimum(jnp.sum(surv1, axis=-1), ka).astype(jnp.int32)
     ctr1 = jnp.take_along_axis(ctr, ord1[..., None], axis=2)
     half1 = jnp.take_along_axis(half, ord1[..., None], axis=2)
+
+    if skip_exact:
+        # L1-only mode: the AABB survivors go straight to the ET kernel
+        # (the kernel's brute MT test costs about the same per chunklet as
+        # the XLA exact pre-test — measured round 4 — so L2 only pays for
+        # itself when its output feeds something more expensive)
+        assert NCH <= (1 << 18), "packed chunklet id is 18 bits"
+        dmin1 = jnp.maximum(
+            jnp.linalg.norm(ctr1, axis=-1) - jnp.linalg.norm(half1, axis=-1),
+            0.0,
+        )
+        dmin_cm = jnp.clip(jnp.floor(dmin1 * 1e2), 0, 8191).astype(jnp.int32)
+        packed = (dmin_cm << 18) | ids1
+        pos1 = jnp.arange(ka, dtype=jnp.int32)
+        surv = pos1[None, None, :] < cnt1[..., None]
+        kf = min(k_final, ka)
+        key2 = jnp.where(surv, packed, jnp.int32(0x7FFFFFFF))
+        packed2 = jnp.sort(key2, axis=-1)[..., :kf]
+        cnt2 = jnp.minimum(cnt1, kf).astype(jnp.int32)
+        last = jnp.take_along_axis(
+            packed2, jnp.maximum(cnt2 - 1, 0)[..., None], axis=-1
+        )
+        posf = jnp.arange(kf, dtype=jnp.int32)
+        packed2 = jnp.where(
+            posf[None, None, :] < cnt2[..., None], packed2, last
+        )
+        packed2 = jnp.where(cnt2[..., None] > 0, packed2, 0)
+        return packed2.astype(jnp.int32), cnt2
 
     # ---- L2: exact any-triangle 3-vertex plane test -----------------------
     flat_key = sids[:, None, None] * NCH + ids1

@@ -442,3 +442,36 @@ def save_scene_gltf(scene: SceneData, path: str) -> None:
         f.write(blob)
     with open(base + ".gltf", "w") as f:
         json.dump(gltf, f)
+
+
+def resolve_scene_dataset(
+    config_path: str, scene_id: str
+) -> str:
+    """Resolve a scene id through a habitat `*.scene_dataset_config.json`
+    (the reference's on-disk dataset layout: habitat.simulator.scene_dataset
+    names the config, habitat.simulator.scene / episode scene_ids name a
+    stage — habitat_simulator.py:299-331). Supports the habitat-sim schema's
+    ``stages: {paths: {".glb": [globs...]}}`` section: globs are expanded
+    relative to the config's directory and the stage whose filename stem
+    matches the scene id's stem wins. Absolute/existing scene ids pass
+    through unchanged."""
+    import glob as _glob
+    import json as _json
+
+    if os.path.exists(scene_id):
+        return scene_id
+    base = os.path.dirname(os.path.abspath(config_path))
+    with open(config_path) as f:
+        cfg = _json.load(f)
+    stem = os.path.splitext(os.path.basename(scene_id))[0]
+    # hm3d-style ids carry double extensions (.basis.glb)
+    stem = stem.split(".")[0]
+    paths = (cfg.get("stages", {}) or {}).get("paths", {}) or {}
+    for _ext, globs in paths.items():
+        for g in globs:
+            for hit in sorted(_glob.glob(os.path.join(base, g))):
+                if os.path.splitext(os.path.basename(hit))[0].split(".")[0] == stem:
+                    return hit
+    raise FileNotFoundError(
+        f"scene {scene_id!r} not found in dataset {config_path!r}"
+    )
