@@ -367,6 +367,13 @@ class NetworkingServer:
         self._stop = False
         self.client_state = RemoteClientState()
         self.client_lag = 0  # keyframes sent but not yet acked
+        # multi-user input routing (reference habitat_hitl.core.user_mask
+        # Users/Mask: each connection owns a user index and its own input
+        # lane; rearrange_v2-style apps read per-user GuiInput here while
+        # single-user apps keep the merged driver.gui_input)
+        self.user_inputs: Dict[int, "GuiInput"] = {}
+        self.connection_records: Dict[int, Dict[str, Any]] = {}
+        self._next_user = 0
 
     def start(self):
         import asyncio
@@ -386,6 +393,13 @@ class NetworkingServer:
             )
 
             idx = 0
+            # per-connection user lane (multi-user apps route input by it)
+            from habitat_tpu.hitl.app_states import GuiInput as _GI
+
+            user_idx = self._next_user
+            self._next_user += 1
+            self.user_inputs[user_idx] = _GI()
+            self.connection_records[user_idx] = {"connection_id": user_idx}
             # Unity clients get the gfx-replay schema with the late-joiner
             # consolidated-first-keyframe rule; a session ingests EVERY
             # driver keyframe (including those before this connection).
@@ -437,16 +451,20 @@ class NetworkingServer:
                     data = json.loads(msg)
                     for key in data.get("keys_down", []):
                         self.driver.gui_input.press(key)
+                        self.user_inputs[user_idx].press(key)
                     for key in data.get("keys_up", []):
                         self.driver.gui_input.release(key)
+                        self.user_inputs[user_idx].release(key)
                     # Unity client-state schema: input buttons ride
                     # data["input"] (reference remote_client_state.py:274)
                     _, _, inp = parse_client_state(data)
                     if inp:
                         for key in inp.get("buttonDown", []):
                             self.driver.gui_input.press(key)
+                            self.user_inputs[user_idx].press(key)
                         for key in inp.get("buttonUp", []):
                             self.driver.gui_input.release(key)
+                            self.user_inputs[user_idx].release(key)
                     # client->server state channel (avatar poses, pointer,
                     # keyframe ack — reference remote_client_state.py)
                     self.client_state.update(data)

@@ -70,3 +70,20 @@ def test_vln_benchmark_example():
     assert n >= 8
     assert metrics["success"] >= 0.8
     assert metrics["spl"] >= 0.5
+
+
+def test_hitl_basic_viewer_app():
+    from examples.hitl_basic_viewer_app import main
+
+    app, driver = main()
+    # stepped through all 3 episodes with pause/single-step/orbit input
+    assert app.seen_episodes == [0, 1, 2]
+    assert len(driver.keyframes) > 30
+
+
+def test_hitl_rearrange_v2_app_scripted(tmp_path):
+    from examples.hitl_rearrange_v2_app import main
+
+    rec = main(output_path=str(tmp_path / "s.json.gz"))
+    assert rec["finished"] and len(rec["episodes"]) == 2
+    assert len(rec["users"]) == 2

@@ -347,3 +347,104 @@ def test_unity_live_session_30sps_with_late_joiner(tmp_path):
     p_first = np.asarray(driver.keyframes[5]["agent"]["position"])
     p_last = np.asarray(driver.keyframes[-1]["agent"]["position"])
     assert np.linalg.norm(p_last - p_first) > 0.2, (p_first, p_last)
+
+
+def test_rearrange_v2_session_app_multi_client_routing(tmp_path):
+    """rearrange_v2-style session app (VERDICT r4 #8): the lobby waits for
+    both users, each connected CLIENT's input rides its OWN user lane
+    (NetworkingServer.user_inputs) to its OWN agent — client 0's 'w' drives
+    the robot forward while client 1's 'd' turns the humanoid — and the
+    end-of-session recorder lands on disk with per-user step counts
+    (reference examples/hitl/rearrange_v2: session.py, app_state_*.py,
+    habitat_hitl.core.user_mask routing)."""
+    import json as _json
+    import gzip as _gzip
+    import socket
+    import threading
+    import time as _time
+
+    import numpy as np
+    from websockets.sync.client import connect
+
+    from examples.hitl_rearrange_v2_app import (
+        AppStateEndSession,
+        AppStateLobby,
+        RearrangeV2App,
+        _NullEnv,
+    )
+    from habitat_tpu.hitl.hitl_main import HitlDriver, NetworkingServer
+
+    out = str(tmp_path / "session.json.gz")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    app = RearrangeV2App(
+        n_users=2, n_episodes=1, max_episode_steps=12, output_path=out
+    )
+    driver = HitlDriver(app, env=_NullEnv(), record_video=False, target_sps=1000.0)
+    server = NetworkingServer(driver, port=port)
+    app.server = server
+    server.start()
+    _time.sleep(0.3)
+
+    stop = threading.Event()
+
+    def client(key):
+        with connect(f"ws://127.0.0.1:{port}", open_timeout=10) as ws:
+            while not stop.is_set():
+                try:
+                    ws.recv(timeout=0.05)
+                except TimeoutError:
+                    pass
+                ws.send(_json.dumps({"keys_down": [key], "keys_up": []}))
+                _time.sleep(0.01)
+
+    # lobby holds until both users connect
+    driver.reset()
+    driver.step(1 / 30)
+    assert isinstance(app.state, AppStateLobby)
+    # stagger connections so user 0 = the 'w' (robot) client and
+    # user 1 = the 'd' (humanoid) client, deterministically
+    t0 = threading.Thread(target=client, args=("w",), daemon=True)
+    t0.start()
+    deadline0 = _time.time() + 10
+    while len(server.user_inputs) < 1 and _time.time() < deadline0:
+        _time.sleep(0.02)
+    assert len(server.user_inputs) == 1
+    t1 = threading.Thread(target=client, args=("d",), daemon=True)
+    t1.start()
+    deadline = _time.time() + 30
+    robot0 = human_yaw0 = None
+    while _time.time() < deadline:
+        post = driver.step(1 / 30)
+        if app._state is not None and robot0 is None:
+            robot0 = np.asarray(app._state.pos[0]).copy()
+            human_yaw0 = float(app._state.human_yaw[0])
+        if post.get("application_exit"):
+            break
+        _time.sleep(0.005)
+    stop.set()
+    server.stop()
+    assert isinstance(app.state, AppStateEndSession) or post.get(
+        "application_exit"
+    )
+    # routing: the robot (user 0, 'w') moved; the humanoid (user 1, 'd')
+    # turned in place
+    assert robot0 is not None
+    moved = float(np.linalg.norm(np.asarray(app._state.pos[0]) - robot0))
+    turned = abs(float(app._state.human_yaw[0]) - human_yaw0)
+    assert moved > 0.2, moved
+    assert turned > 0.2, turned
+    hmoved = float(
+        np.linalg.norm(
+            np.asarray(app._state.human_pos[0])
+            - np.asarray(app._state.human_pos[0])
+        )
+    )
+    assert hmoved < 1e-6
+    # the session recorder landed with both users + per-user step counts
+    with _gzip.open(out, "rt") as f:
+        rec = _json.load(f)
+    assert len(rec["users"]) == 2 and rec["finished"]
+    assert rec["episodes"][0]["user_steps"][0] > 0
+    assert rec["episodes"][0]["user_steps"][1] > 0
