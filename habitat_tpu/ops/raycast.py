@@ -592,14 +592,22 @@ def select_chunklets_exact(
         pos0[None, None, :, None] < cnt0[..., None, None],
         (N, nt, K0, expand),
     ).reshape(N, nt, Kc)  # L0 tail is padding; gate by position
-    flat_ab = aabbs.reshape(S * NCH, 6)
-    ab = flat_ab[sids[:, None, None] * NCH + cand]  # (N, nt, Kc, 6)
+    # gather chunklet AABBs at PARENT granularity (expand x 24-byte rows):
+    # small-row gathers are the measured wall on this path (round-4 trace)
+    NC0 = T // parent_c
+    ab = aabbs.reshape(S * NC0, expand, 6)[
+        sids[:, None, None] * NC0 + ids0
+    ].reshape(N, nt, Kc, 6)
     ctr = ab[..., 0:3] - cam_pos[:, None, None, :]  # box center rel apex
     half = ab[..., 3:6]
-    # positive vertex per plane: ctr + sign(n) * half (f32 exact elementwise)
-    pv = ctr[..., None, :] + jnp.sign(nw[:, :, None, :, :]) * half[..., None, :]
-    d = jnp.sum(pv * nw[:, :, None, :, :], axis=-1)  # (N, nt, Kc, 4)
-    inside = jnp.all(d > -1e-3, axis=-1)
+    # positive vertex per plane, one plane at a time: the fused 4-plane
+    # broadcast materialized (N,nt,Kc,4,3) intermediates
+    inside = None
+    for pl_i in range(4):
+        nw_p = nw[:, :, None, pl_i, :]  # (N, nt, 1, 3)
+        d_p = jnp.sum((ctr + jnp.sign(nw_p) * half) * nw_p, axis=-1)
+        ok_p = d_p > -1e-3
+        inside = ok_p if inside is None else (inside & ok_p)
     surv1 = inside & cand_valid
     # compact SORTED BY CHUNKLET ID (L0's top_k emits nearest-first parent
     # order; the kernel's tie-break contract needs ascending ids): value-
@@ -641,23 +649,30 @@ def select_chunklets_exact(
         return packed2.astype(jnp.int32), cnt2
 
     # ---- L2: exact any-triangle 3-vertex plane test -----------------------
+    # one PACKED 1.1KB-row gather of [v0|e1|e2] per chunklet (three
+    # separate 384-byte gathers measured ~3x slower); per-plane loop keeps
+    # the dot intermediates at (N,nt,ka,c) instead of (N,nt,ka,c,4,3). A
+    # lax.map-slabbed variant measured 2.2x SLOWER (543 vs 249 ms select —
+    # sequential slabs serialize the gathers), so this stays one pass.
+    verts9 = jnp.concatenate(
+        [tri_v0, tri_e1, tri_e2], axis=-1
+    ).reshape(S * NCH, c, 9)
     flat_key = sids[:, None, None] * NCH + ids1
-    v0g = tri_v0.reshape(S * NCH, c, 3)[flat_key]  # (N, nt, ka, c, 3)
-    e1g = tri_e1.reshape(S * NCH, c, 3)[flat_key]
-    e2g = tri_e2.reshape(S * NCH, c, 3)[flat_key]
+    p9 = verts9[flat_key]  # (N, nt, ka, c, 9)
     vgood = tri_valid.reshape(S * NCH, c)[flat_key]  # (N, nt, ka, c)
-    rel0 = v0g - cam_pos[:, None, None, None, :]
-    nw_b = nw[:, :, None, None, :, :]  # (N, nt, 1, 1, 4, 3)
-    d0 = jnp.sum(rel0[..., None, :] * nw_b, axis=-1)  # (N, nt, ka, c, 4)
-    de1 = jnp.sum(e1g[..., None, :] * nw_b, axis=-1)
-    de2 = jnp.sum(e2g[..., None, :] * nw_b, axis=-1)
+    rel0 = p9[..., 0:3] - cam_pos[:, None, None, None, :]
     eps = -1e-3
-    out_all = (d0 < eps) & (d0 + de1 < eps) & (d0 + de2 < eps)
-    tri_in = ~jnp.any(out_all, axis=-1) & vgood  # (N, nt, ka, c)
+    out_any = None
+    for pl_i in range(4):
+        nw_p = nw[:, :, None, None, pl_i, :]  # (N, nt, 1, 1, 3)
+        d0 = jnp.sum(rel0 * nw_p, axis=-1)  # (N, nt, ka, c)
+        de1 = jnp.sum(p9[..., 3:6] * nw_p, axis=-1)
+        de2 = jnp.sum(p9[..., 6:9] * nw_p, axis=-1)
+        out_p = (d0 < eps) & (d0 + de1 < eps) & (d0 + de2 < eps)
+        out_any = out_p if out_any is None else (out_any | out_p)
+    ch_in = jnp.any(~out_any & vgood, axis=-1)  # (N, nt, ka)
     pos1 = jnp.arange(ka, dtype=jnp.int32)
-    surv2 = jnp.any(tri_in, axis=-1) & (
-        pos1[None, None, :] < cnt1[..., None]
-    )
+    surv2 = ch_in & (pos1[None, None, :] < cnt1[..., None])
     # pack (dmin_cm << 18 | id) — v10's stream encoding: the kernel streams
     # nearest-first and EARLY-TERMINATES once every ray beats the next
     # chunklet's min possible distance. dmin from the box, FLOORED (rounding

@@ -1267,6 +1267,12 @@ def _exactsel_kernel_t(
 
             @pl.when(worst > dmin_it)
             def _():
+                # default precision: HIGHEST was measured (round 4) to make
+                # the kernel 1.4x SLOWER (the extra passes multiply G's VMEM
+                # traffic — the kernel's floor) and STILL left a 274mm p99
+                # depth tail (the MT determinant ratio cancels near edges);
+                # winners stay selection-exact here and the XLA epilogue
+                # recovers t plane-exactly (round-3 recipe).
                 G = jax.lax.dot_general(
                     mbuf[slot],
                     F,
@@ -1319,12 +1325,14 @@ def raycast_pallas_exactsel_t(
     Bt: jnp.ndarray,  # (N, 16, 4) ray-feature matrices (B^T)
     ray_tile: int = 1024,
     tri_chunk: int = 32,
-    nslot: int = 4,
-    unroll: int = 4,
+    nslot: int = 3,
+    unroll: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact-culled packed-stream closest hit for large scenes (v11).
     Same contract as raycast_pallas_stream_t: (t (N,R) f32, idx (N,R) i32,
-    -1 miss); extract attributes + plane-exact t in XLA."""
+    -1 miss); extract attributes + plane-exact t in XLA. U=8/nslot=3
+    measured 15% faster than U=4/nslot=4 at scan shape (fixed
+    per-iteration costs amortize over twice the chunklets)."""
     N = sids.shape[0]
     n_tiles, K8, Rt = d_t.shape
     assert K8 == 8 and Rt == ray_tile

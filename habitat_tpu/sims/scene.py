@@ -24,6 +24,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 # 16-neighborhood offsets (dx, dz) and their metric costs (in cells).
@@ -340,8 +341,18 @@ class ScenePack:
     obst_dist: jnp.ndarray  # (S, NX, NZ) f32 meters to nearest obstacle
     nav_lo: jnp.ndarray  # (S, 2) f32
     floor_y: jnp.ndarray  # (S,) f32
-    nav_res: float  # static
-    scene_ids: Tuple[str, ...]  # static (host metadata)
+    # large-scene stream-render tables, precomputed at pack time for scan-
+    # scale packs (None otherwise): the c=32 chunk-grouped matrix
+    # (group_tri_mat_pad16 layout) and per-chunklet AABBs [ctr3, half3] —
+    # recomputing these per frame measured 9.8 ms at 860k tris (round 4)
+    tri_mat_g32: Optional[jnp.ndarray] = None  # (S, 16, 4T)
+    chunklet_ab32: Optional[jnp.ndarray] = None  # (S, T//32, 6)
+    # widened epilogue table [attr8 | v0(3) | pad5]: ONE 64-byte-row gather
+    # replaces the attr + v0 pair (two small-row gathers measured 115.8 ms
+    # vs 23.3 for one packed gather at 4.2M rays, round 4)
+    tri_attr16: Optional[jnp.ndarray] = None  # (S, T, 16)
+    nav_res: float = 0.1  # static
+    scene_ids: Tuple[str, ...] = ()  # static (host metadata)
 
     @property
     def num_scenes(self) -> int:
@@ -478,6 +489,28 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
         lo[i] = s.nav_lo
         fy[i] = s.floor_y
 
+    g32 = ab32 = attr16 = None
+    if chunk == 256:  # scan-scale pack: precompute the stream tables
+        from habitat_tpu.ops.raycast import chunklet_aabbs
+        from habitat_tpu.ops.raycast_pallas import group_tri_mat_pad16
+
+        tmj = jnp.asarray(tmat)
+        vj, e1j, e2j, vaj = (
+            jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+            jnp.asarray(valid),
+        )
+        g32 = jax.jit(lambda m: group_tri_mat_pad16(m, 32))(tmj)
+        ab32 = jax.jit(
+            lambda a, b, cc, d: chunklet_aabbs(a, b, cc, d, c=32)
+        )(vj, e1j, e2j, vaj)
+        attr16 = jnp.concatenate(
+            [
+                jnp.asarray(tattr),
+                vj,
+                jnp.zeros((S, t_max, 5), jnp.float32),
+            ],
+            axis=-1,
+        )
     return ScenePack(
         tri_v0=jnp.asarray(v0),
         tri_e1=jnp.asarray(e1),
@@ -492,6 +525,9 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
         obst_dist=jnp.asarray(odist),
         nav_lo=jnp.asarray(lo),
         floor_y=jnp.asarray(fy),
+        tri_mat_g32=g32,
+        chunklet_ab32=ab32,
+        tri_attr16=attr16,
         nav_res=scenes[0].nav_res,
         scene_ids=tuple(s.scene_id for s in scenes),
     )
@@ -515,6 +551,9 @@ def _scenepack_flatten(sp: ScenePack):
         sp.obst_dist,
         sp.nav_lo,
         sp.floor_y,
+        sp.tri_mat_g32,
+        sp.chunklet_ab32,
+        sp.tri_attr16,
     )
     aux = (sp.nav_res, sp.scene_ids)
     return children, aux

@@ -137,19 +137,16 @@ def main():
     hit_full = np.asarray(i_full) >= 0
     print("oracle done", flush=True)
 
-    # v11 path
-    gm32 = group_tri_mat_pad16(pack.tri_mat, 32)
+    # v11 path (plane-exact epilogue — the deployed semantics)
+    gm32 = pack.tri_mat_g32
     planes_l = jnp.asarray(tile_plane_normals_cam(np.deg2rad(90.0), H, W, 32, 32))
 
     def run_v11(pk, gm32, cb, ob, db, d_t, Bt):
         ids0, cnt0 = select_chunks(cb, ob, db, 1024, 320, with_cnt=True)
-        ab = chunklet_aabbs(
-            pk.tri_v0, pk.tri_e1, pk.tri_e2, pk.tri_valid, c=32
-        )
         ids, cnt = select_chunklets_exact(
-            pk.tri_v0, pk.tri_e1, pk.tri_e2, pk.tri_valid, ab,
-            svids, posj, yawj, pitchj, planes_l, ids0, cnt0,
-            parent_c=C_big, c=32,
+            pk.tri_v0, pk.tri_e1, pk.tri_e2, pk.tri_valid,
+            pk.chunklet_ab32, svids, posj, yawj, pitchj, planes_l,
+            ids0, cnt0, parent_c=C_big, c=32,
         )
         t, idx = raycast_pallas_exactsel_t(
             gm32, svids, ids, cnt, d_t, Bt, ray_tile=1024, tri_chunk=32

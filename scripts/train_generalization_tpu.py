@@ -29,6 +29,9 @@ S = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 BUDGET_S = float(sys.argv[2]) if len(sys.argv) > 2 else 1500.0
 BACKBONE = sys.argv[3] if len(sys.argv) > 3 else "resnet9"
 HIDDEN = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+EVAL_EVERY_S = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0  # 0 = end only
+CKPT_DIR = sys.argv[6] if len(sys.argv) > 6 else ""
+NUM_ENVS = int(sys.argv[7]) if len(sys.argv) > 7 else 128
 N_EVAL_SCENES = 16
 SENSORS = (
     ("HabitatSimDepthSensor", {"height": 64, "width": 64}),
@@ -47,50 +50,10 @@ def build(scenes, episodes, fields, num_envs):
     )
 
 
-def main():
-    # one generator call so train/eval share no scenes (seed split)
-    tr_scenes, tr_eps, tr_fields = make_procedural_pointnav(
-        num_scenes=S, episodes_per_scene=8, seed=0
-    )
-    ev_scenes, ev_eps, ev_fields = make_procedural_pointnav(
-        num_scenes=N_EVAL_SCENES, episodes_per_scene=8, seed=91_000
-    )
-    env = build(tr_scenes, tr_eps, tr_fields, num_envs=128)
-    policy = make_pointnav_resnet_policy(
-        len(env.actions), backbone=BACKBONE, hidden_size=HIDDEN
-    )
-    learner = PPOLearner(
-        env, policy, PPOConfig(num_steps=32, num_mini_batch=2, ppo_epoch=2)
-    )
-    data = env.env_data
-    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0), data)
-    step = jax.jit(learner.train_step, donate_argnums=(0,))
-    t0 = time.time()
-    u = 0
-    while time.time() - t0 < BUDGET_S:
-        ts, m = step(ts, data)
-        u += 1
-        if u % 200 == 0:
-            dc = float(m.get("done_count", 1.0))
-            print(
-                f"upd {u} ({time.time()-t0:.0f}s): train succ "
-                f"{float(m.get('m_success', np.nan))/max(dc,1):.3f} spl "
-                f"{float(m.get('m_spl', np.nan))/max(dc,1):.3f}",
-                flush=True,
-            )
-    steps_done = u * 128 * 32
+def _make_eval(eenv, edata, policy, net):
+    """Greedy zero-shot eval as a jittable fn of (params, key)."""
 
-    # zero-shot eval on held-out scenes: greedy policy, quota of episodes
-    eenv = build(ev_scenes, ev_eps, ev_fields, num_envs=64)
-    edata = eenv.env_data
-    net = policy.net
-    params = (
-        ts.params["policy"]
-        if isinstance(ts.params, dict) and "policy" in ts.params
-        else ts.params
-    )
-
-    def eval_rollout(key):
+    def eval_rollout(params, key):
         state, obs = eenv.reset_fn(key, env_data=edata)
         hidden = initial_hidden_state(
             64, net.hidden_size, net.num_recurrent_layers, net.rnn_type
@@ -121,7 +84,77 @@ def main():
         )
         return acc
 
-    acc = jax.jit(eval_rollout)(jax.random.PRNGKey(7))
+    return eval_rollout
+
+
+def main():
+    # one generator call so train/eval share no scenes (seed split)
+    tr_scenes, tr_eps, tr_fields = make_procedural_pointnav(
+        num_scenes=S, episodes_per_scene=8, seed=0
+    )
+    ev_scenes, ev_eps, ev_fields = make_procedural_pointnav(
+        num_scenes=N_EVAL_SCENES, episodes_per_scene=8, seed=91_000
+    )
+    env = build(tr_scenes, tr_eps, tr_fields, num_envs=NUM_ENVS)
+    policy = make_pointnav_resnet_policy(
+        len(env.actions), backbone=BACKBONE, hidden_size=HIDDEN
+    )
+    learner = PPOLearner(
+        env, policy, PPOConfig(num_steps=32, num_mini_batch=2, ppo_epoch=2)
+    )
+    data = env.env_data
+    ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0), data)
+    step = jax.jit(learner.train_step, donate_argnums=(0,))
+
+    eenv = build(ev_scenes, ev_eps, ev_fields, num_envs=64)
+    edata = eenv.env_data
+    net = policy.net
+    eval_fn = jax.jit(_make_eval(eenv, edata, policy, net))
+
+    def cur_params(ts):
+        return (
+            ts.params["policy"]
+            if isinstance(ts.params, dict) and "policy" in ts.params
+            else ts.params
+        )
+
+    t0 = time.time()
+    u = 0
+    next_eval = EVAL_EVERY_S if EVAL_EVERY_S > 0 else float("inf")
+    curve = []
+    while time.time() - t0 < BUDGET_S:
+        ts, m = step(ts, data)
+        u += 1
+        if u % 200 == 0:
+            dc = float(m.get("done_count", 1.0))
+            print(
+                f"upd {u} ({time.time()-t0:.0f}s): train succ "
+                f"{float(m.get('m_success', np.nan))/max(dc,1):.3f} spl "
+                f"{float(m.get('m_spl', np.nan))/max(dc,1):.3f}",
+                flush=True,
+            )
+        if time.time() - t0 >= next_eval:
+            next_eval += EVAL_EVERY_S
+            acc = eval_fn(cur_params(ts), jax.random.PRNGKey(7))
+            cnt = float(jnp.sum(acc["count"]))
+            pt = dict(
+                env_steps=u * NUM_ENVS * 32,
+                wall_s=round(time.time() - t0, 0),
+                unseen_success=round(float(jnp.sum(acc["succ"])) / max(cnt, 1), 3),
+                unseen_spl=round(float(jnp.sum(acc["spl"])) / max(cnt, 1), 3),
+            )
+            curve.append(pt)
+            print("EVAL POINT:", json.dumps(pt), flush=True)
+    steps_done = u * NUM_ENVS * 32
+    if CKPT_DIR:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(CKPT_DIR, "flagship_params"))
+        ocp.StandardCheckpointer().save(path, cur_params(ts))
+        print("checkpoint saved:", path, flush=True)
+    params = cur_params(ts)
+
+    acc = eval_fn(params, jax.random.PRNGKey(7))
     count = float(jnp.sum(acc["count"]))
     succ = float(jnp.sum(acc["succ"])) / max(count, 1)
     spl = float(jnp.sum(acc["spl"])) / max(count, 1)
@@ -135,6 +168,9 @@ def main():
                 eval_episodes=int(count),
                 unseen_success=round(succ, 3),
                 unseen_spl=round(spl, 3),
+                backbone=BACKBONE,
+                hidden=HIDDEN,
+                curve=curve,
             )
         ),
         flush=True,
