@@ -1,6 +1,23 @@
 """Batch-in-lanes Pallas conv1 with in-VMEM im2col (VERDICT r3/r4 weak #1's
 last named lever).
 
+MEASURED NEGATIVE (round 4, v5e, scripts/exp_conv_stem_kernel.py):
+fwd 47.96 ms vs XLA's 3.51 ms at B=2048 (13.7x SLOWER), numerics exact
+(max err 1e-6 on a 4.3-scale output). The in-VMEM im2col assembly is the
+wall: 196 taps x 2 output rows = 392 VMEM->VMEM copies per grid step, each
+a (Wo, Btile) value whose source rows sit 4 axes from minor (2 KB stride)
+— Mosaic emits sublane-strided loads far below VMEM bandwidth, the same
+relayout wall that closed the round-2/3 packed-stem family. The floor
+analysis that closes the WHOLE family: im2col traffic for Cin=4 is
+~6.3 MB/step VMEM r+w (3.2 GB total at B=2048) + 630 MB HBM window
+re-reads, so even a perfect-bandwidth assembly yields ~2.5-3 ms — XLA's
+3.51 ms (31 TF/s) is already within ~1.3x of that floor. The MXU is not
+idle because the emitter is bad; conv1 at Cin=4 is an assembly/bandwidth
+problem, and there is no >1.3x to win on the forward. The degenerate XLA
+wgrad (~7 TF/s) cannot be rescued by this kernel either: its im2col is
+the same assembly. Kept (with exact-equivalence tests) as the recorded
+close-out of the conv-stem lever; the model stays on XLA's conv.
+
 The headline model's stem (7x7/s2, Cin=4 RGBD -> Cout=32) runs at 31 TF/s
 under XLA's conv emitter (round-3 per-layer slopes): with Cin=4 the
 contraction is 196 taps but XLA's emitter shapes leave the MXU mostly idle
@@ -66,7 +83,7 @@ def _kernel(
 
     def win_dma(slot, step):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(step * STRIDE * OY_PER_STEP, WIN), :, :,
+            x_hbm.at[pl.ds(step * STRIDE * OY_PER_STEP, WIN), :, :, :,
                      pl.ds(b * btile, btile)],
             xwin.at[slot],
             sem.at[slot],
@@ -85,11 +102,9 @@ def _kernel(
     win_dma(slot, oy).wait()
 
     # assemble im2col: K order (ky, ci, r, m) — tap (ky, kx=2m+r, ci) reads
-    # x[ky + 2*oyl, 2*ox + 2m + r, ci, :] = x2[ky + 2*oyl, m + ox, r, ci, :]
-    # where x2 is the (W/2, 2) reshape of the W axis. All indices static.
-    xw = xwin[slot]  # (WIN, Wp, C, Btile)
-    w2 = wp // 2
-    x2 = xw.reshape(WIN, w2, 2, cin, btile)
+    # x[ky + 2*oyl, 2*ox + 2m + r, ci, :] = xwin[ky + 2*oyl, m + ox, r, ci]
+    # (the caller pre-split W parity, so every slice below is a direct ref
+    # slice — no whole-window value materialization)
     k = 0
     for ky in range(KH):
         for ci in range(cin):
@@ -98,8 +113,8 @@ def _kernel(
                     if 2 * m + r >= KW:
                         continue
                     for oyl in range(OY_PER_STEP):
-                        col[k, oyl] = x2[ky + STRIDE * oyl,
-                                         m : m + wo, r, ci, :]
+                        col[k, oyl] = xwin[slot, ky + STRIDE * oyl,
+                                           m : m + wo, r, ci, :]
                     k += 1
     # zero the K padding rows: the weight columns there are zero, but
     # 0 * uninitialized-scratch is NaN-unsafe
@@ -133,12 +148,13 @@ def _pack_weights(w: jnp.ndarray, cin: int, kp: int) -> jnp.ndarray:
 
 
 def conv_stem_fwd_t(
-    x_t: jnp.ndarray,  # (Hp, Wp, Cin, B) bf16, pre-padded (PAD_LO/PAD_HI)
+    x_t: jnp.ndarray,  # (Hp, Wp/2, 2, Cin, B) bf16 parity-split pre-padded
     w: jnp.ndarray,  # (7, 7, Cin, 32)
     btile: int = 128,
 ) -> jnp.ndarray:
     """Batch-in-lanes stem conv forward: returns yT (32, Ho, Wo, B) f32."""
-    hp, wp, cin, B = x_t.shape
+    hp, w2, _two, cin, B = x_t.shape
+    wp = w2 * 2
     assert B % btile == 0
     ho = (hp - KH) // STRIDE + 1
     wo = (wp - 6) // 2  # wp = W + 6 (one extra pad col for W/2 evenness)
@@ -162,7 +178,7 @@ def conv_stem_fwd_t(
             lambda b, oy: (b, 0, oy, 0, 0),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN, wp, cin, btile), jnp.bfloat16),
+            pltpu.VMEM((2, WIN, w2, 2, cin, btile), jnp.bfloat16),
             pltpu.VMEM((kp, OY_PER_STEP, wo, btile), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -171,6 +187,9 @@ def conv_stem_fwd_t(
         functools.partial(
             _kernel, wo=wo, wp=wp, cin=cin, btile=btile, kp=kp,
             n_oy_steps=n_oy,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
@@ -199,13 +218,18 @@ def conv_stem_reference(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_input(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) -> padded transposed (H+5, W+6, C, B) bf16 — the
-    boundary cost every honest benchmark of this kernel must include."""
+    """(B, H, W, C) -> padded, transposed, W-PARITY-SPLIT
+    (H+5, (W+6)/2, 2, C, B) bf16 — the boundary cost every honest benchmark
+    of this kernel must include. The parity split means every stride-2 tap
+    inside the kernel is a direct ref slice (no in-kernel value reshape,
+    which materialized the whole window and blew the VMEM stack)."""
     xp = jnp.pad(
         x.astype(jnp.bfloat16),
         ((0, 0), (PAD_LO, PAD_HI), (PAD_LO, PAD_HI + 1), (0, 0)),
-    )  # W padded one extra so Wp is even for the (W/2, 2) reshape
-    return xp.transpose(1, 2, 3, 0)
+    )  # W padded one extra so Wp is even for the (W/2, 2) split
+    xt = xp.transpose(1, 2, 3, 0)  # (Hp, Wp, C, B)
+    hp, wp, c, b = xt.shape
+    return xt.reshape(hp, wp // 2, 2, c, b)
 
 
 def _wgrad_kernel(
@@ -231,16 +255,13 @@ def _wgrad_kernel(
     WIN = STRIDE * OY_PER_STEP + KH - STRIDE
 
     dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(oy * STRIDE * OY_PER_STEP, WIN), :, :,
+        x_hbm.at[pl.ds(oy * STRIDE * OY_PER_STEP, WIN), :, :, :,
                  pl.ds(b * btile, btile)],
         xwin,
         sem,
     )
     dma.start()
     dma.wait()
-
-    w2 = wp // 2
-    x2 = xwin[...].reshape(WIN, w2, 2, cin, btile)
     k = 0
     for ky in range(KH):
         for ci in range(cin):
@@ -249,8 +270,8 @@ def _wgrad_kernel(
                     if 2 * m + r >= KW:
                         continue
                     for oyl in range(OY_PER_STEP):
-                        col[k, oyl] = x2[ky + STRIDE * oyl,
-                                         m : m + wo, r, ci, :]
+                        col[k, oyl] = xwin[ky + STRIDE * oyl,
+                                           m : m + wo, r, ci, :]
                     k += 1
     for kz in range(k, kp):
         col[kz] = jnp.zeros((OY_PER_STEP, wo, btile), jnp.bfloat16)
@@ -271,12 +292,13 @@ def _wgrad_kernel(
 
 
 def conv_stem_wgrad_t(
-    x_t: jnp.ndarray,  # (Hp, Wp, C, B) bf16 pre-padded
+    x_t: jnp.ndarray,  # (Hp, Wp/2, 2, C, B) bf16 parity-split pre-padded
     dy_t: jnp.ndarray,  # (32, Ho, Wo, B) — fwd's output layout
     btile: int = 128,
 ) -> jnp.ndarray:
     """Returns dW (7, 7, Cin, 32) f32."""
-    hp, wp, cin, B = x_t.shape
+    hp, w2, _two, cin, B = x_t.shape
+    wp = w2 * 2
     ho = (hp - KH) // STRIDE + 1
     wo = (wp - 6) // 2
     K = KH * KW * cin
@@ -302,7 +324,7 @@ def conv_stem_wgrad_t(
         ],
         out_specs=pl.BlockSpec((kp, 32), lambda b, oy: (0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((WIN, wp, cin, btile), jnp.bfloat16),
+            pltpu.VMEM((WIN, w2, 2, cin, btile), jnp.bfloat16),
             pltpu.VMEM((kp, OY_PER_STEP, wo, btile), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -312,6 +334,11 @@ def conv_stem_wgrad_t(
             _wgrad_kernel, wo=wo, wp=wp, cin=cin, btile=btile, kp=kp
         ),
         grid_spec=grid_spec,
+        # the (Kp, OY*Wo*Btile) im2col value + its reshape copy put the
+        # kernel stack at ~107M; v5e VMEM is 128M — scope to 120M
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
         out_shape=jax.ShapeDtypeStruct((kp, 32), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * ho * wo * 32 * K,
