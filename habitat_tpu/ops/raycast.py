@@ -536,9 +536,9 @@ def select_chunklets_exact(
     cnt0: jnp.ndarray,  # (N, nt)
     parent_c: int,  # parent chunk granularity (tris)
     c: int = 32,  # chunklet granularity (kernel gather unit)
-    k_aabb: int = 512,
-    k_final: int = 384,
-    skip_exact: bool = False,
+    k_aabb: Optional[int] = None,
+    k_final: Optional[int] = None,
+    skip_exact: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """v11 hierarchical EXACT chunklet selection (VERDICT r3 missing #1).
 
@@ -566,9 +566,21 @@ def select_chunklets_exact(
     exact test keeps 53.5 with a tight depth bound — the ET-reachable
     floor — and ~100-200 without one (the list the kernel streams from).
 
-    Returns (packed (N, nt, k_final) int32 = (dmin_cm << 18) | chunklet_id,
-    ascending dmin (ids tie-break), survivors first, tail duplicate-padded;
-    cnt (N, nt) int32 clipped to k_final)."""
+    skip_exact=True (the DEPLOYED default, round 4): L1-only, UNCAPPED,
+    single packed sort. The round-4 interpret-mode kernel test caught the
+    capped flow dropping true survivors (k_aabb=128 clipped an L1 set of
+    138 — a real missed wall); with no cap the output is conservative by
+    construction, and the extra streamed chunklets cost only ~0.26 us each
+    in the kernel (U=8 amortization) — far less than the L2 pass that
+    previously bounded them. k_aabb/k_final=None means Kc (uncapped);
+    explicit caps remain for the L2 path and small-scene tests (a capped
+    call can DROP TRUE SURVIVORS when counts exceed the cap — exactness is
+    only guaranteed uncapped).
+
+    Returns (packed (N, nt, Kf) int32 = (dmin_cm << 18) | chunklet_id,
+    ascending dmin (ids tie-break), survivors first, tail duplicate-padded
+    (Kf is k_final, or Kc lane-padded to a 128 multiple when uncapped);
+    cnt (N, nt) int32)."""
     from habitat_tpu.utils.geometry import view_rotation_matrix
 
     N, nt, K0 = ids0.shape
@@ -609,44 +621,49 @@ def select_chunklets_exact(
         ok_p = d_p > -1e-3
         inside = ok_p if inside is None else (inside & ok_p)
     surv1 = inside & cand_valid
+
+    assert NCH <= (1 << 18), "packed chunklet id is 18 bits"
+    if skip_exact:
+        # L1-only DEPLOYED path: ONE packed sort over ALL Kc candidates,
+        # uncapped unless the caller says otherwise. (The packed
+        # (dmin << 18 | id) key already id-orders equal-dmin ties, so the
+        # id-argsort compaction the L2 path needs is redundant here; and
+        # the round-4 interpret test proved caps drop true survivors.)
+        dmin = jnp.maximum(
+            jnp.linalg.norm(ctr, axis=-1) - jnp.linalg.norm(half, axis=-1),
+            0.0,
+        )
+        dmin_cm = jnp.clip(jnp.floor(dmin * 1e2), 0, 8191).astype(jnp.int32)
+        packed = jnp.where(
+            surv1, (dmin_cm << 18) | cand, jnp.int32(0x7FFFFFFF)
+        )
+        packed = lax.sort(packed, dimension=-1)
+        cnt2 = jnp.sum(surv1, axis=-1).astype(jnp.int32)
+        kf = Kc if k_final is None else min(k_final, Kc)
+        kf = -(-kf // 128) * 128  # kernel SMEM row DMA needs 128-lane mult
+        if kf <= Kc:
+            packed = packed[..., :kf]
+        else:
+            packed = jnp.pad(packed, ((0, 0), (0, 0), (0, kf - Kc)))
+        cnt2 = jnp.minimum(cnt2, kf)
+        last = jnp.take_along_axis(
+            packed, jnp.maximum(cnt2 - 1, 0)[..., None], axis=-1
+        )
+        posf = jnp.arange(kf, dtype=jnp.int32)
+        packed = jnp.where(posf[None, None, :] < cnt2[..., None], packed, last)
+        packed = jnp.where(cnt2[..., None] > 0, packed, 0)
+        return packed.astype(jnp.int32), cnt2
+
     # compact SORTED BY CHUNKLET ID (L0's top_k emits nearest-first parent
-    # order; the kernel's tie-break contract needs ascending ids): value-
-    # sort survivors' ids with culled slots pushed to a big sentinel
-    ka = min(k_aabb, Kc)
+    # order; the L2 gather needs a compact list): value-sort survivors' ids
+    # with culled slots pushed to a big sentinel
+    ka = min(k_aabb or 512, Kc)
     key1 = jnp.where(surv1, cand, jnp.int32(1 << 30))
     ord1 = jnp.argsort(key1, axis=-1)[..., :ka]  # candidate slots, id-sorted
     ids1 = jnp.take_along_axis(cand, ord1, axis=-1)  # (N, nt, ka)
     cnt1 = jnp.minimum(jnp.sum(surv1, axis=-1), ka).astype(jnp.int32)
     ctr1 = jnp.take_along_axis(ctr, ord1[..., None], axis=2)
     half1 = jnp.take_along_axis(half, ord1[..., None], axis=2)
-
-    if skip_exact:
-        # L1-only mode: the AABB survivors go straight to the ET kernel
-        # (the kernel's brute MT test costs about the same per chunklet as
-        # the XLA exact pre-test — measured round 4 — so L2 only pays for
-        # itself when its output feeds something more expensive)
-        assert NCH <= (1 << 18), "packed chunklet id is 18 bits"
-        dmin1 = jnp.maximum(
-            jnp.linalg.norm(ctr1, axis=-1) - jnp.linalg.norm(half1, axis=-1),
-            0.0,
-        )
-        dmin_cm = jnp.clip(jnp.floor(dmin1 * 1e2), 0, 8191).astype(jnp.int32)
-        packed = (dmin_cm << 18) | ids1
-        pos1 = jnp.arange(ka, dtype=jnp.int32)
-        surv = pos1[None, None, :] < cnt1[..., None]
-        kf = min(k_final, ka)
-        key2 = jnp.where(surv, packed, jnp.int32(0x7FFFFFFF))
-        packed2 = jnp.sort(key2, axis=-1)[..., :kf]
-        cnt2 = jnp.minimum(cnt1, kf).astype(jnp.int32)
-        last = jnp.take_along_axis(
-            packed2, jnp.maximum(cnt2 - 1, 0)[..., None], axis=-1
-        )
-        posf = jnp.arange(kf, dtype=jnp.int32)
-        packed2 = jnp.where(
-            posf[None, None, :] < cnt2[..., None], packed2, last
-        )
-        packed2 = jnp.where(cnt2[..., None] > 0, packed2, 0)
-        return packed2.astype(jnp.int32), cnt2
 
     # ---- L2: exact any-triangle 3-vertex plane test -----------------------
     # one PACKED 1.1KB-row gather of [v0|e1|e2] per chunklet (three
@@ -683,7 +700,7 @@ def select_chunklets_exact(
     )
     dmin_cm = jnp.clip(jnp.floor(dmin1 * 1e2), 0, 8191).astype(jnp.int32)
     packed = (dmin_cm << 18) | ids1
-    kf = min(k_final, ka)
+    kf = min(k_final or ka, ka)
     key2 = jnp.where(surv2, packed, jnp.int32(0x7FFFFFFF))
     packed2 = jnp.sort(key2, axis=-1)[..., :kf]  # ascending dmin, id ties
     cnt2 = jnp.minimum(jnp.sum(surv2, axis=-1), kf).astype(jnp.int32)
@@ -1167,19 +1184,31 @@ def render_batch(
                             np.deg2rad(hfov_deg), height, width, 32, 32
                         )
                     )
-                    ab = chunklet_aabbs(
-                        pack.tri_v0, pack.tri_e1, pack.tri_e2,
-                        pack.tri_valid, c=32,
+                    # precomputed pack-time tables when present (scan-scale
+                    # packs precompute them; regrouping alone measured
+                    # 9.8 ms/frame — scene-constant work does not belong in
+                    # the per-step render)
+                    ab = (
+                        pack.chunklet_ab32
+                        if pack.chunklet_ab32 is not None
+                        else chunklet_aabbs(
+                            pack.tri_v0, pack.tri_e1, pack.tri_e2,
+                            pack.tri_valid, c=32,
+                        )
+                    )
+                    gm32 = (
+                        pack.tri_mat_g32
+                        if pack.tri_mat_g32 is not None
+                        else group_tri_mat_pad16(pack.tri_mat, 32)
                     )
                     ids, cnt = select_chunklets_exact(
                         pack.tri_v0, pack.tri_e1, pack.tri_e2,
                         pack.tri_valid, ab, sids, cam_pos, yaw, pitch,
                         planes_l, ids0, cnt0,
-                        parent_c=C_big, c=32,
+                        parent_c=C_big, c=32, skip_exact=True,
                     )
                     t, idx = raycast_pallas_exactsel_t(
-                        group_tri_mat_pad16(pack.tri_mat, 32),
-                        sids, ids, cnt, d_t_l, Bt_l,
+                        gm32, sids, ids, cnt, d_t_l, Bt_l,
                         ray_tile=1024, tri_chunk=32,
                     )
                 else:
@@ -1203,10 +1232,18 @@ def render_batch(
                 idx = from_blocks(idx)
                 hit = idx >= 0
                 safe_idx = jnp.maximum(idx, 0)
-                attrs = pack.tri_attr[sids[:, None], safe_idx] * hit[
-                    ..., None
-                ].astype(jnp.float32)  # (N,R,8) true gather = exact copy
-                v0g = pack.tri_v0[sids[:, None], safe_idx]  # (N,R,3)
+                if pack.tri_attr16 is not None:
+                    # ONE 64-byte-row gather: [attr(8) | v0(3) | pad] — two
+                    # separate small-row gathers measured 115.8 ms vs 23.3
+                    # at the N=256 scan shape (round 4)
+                    a16 = pack.tri_attr16[sids[:, None], safe_idx]
+                    attrs = a16[..., 0:8] * hit[..., None].astype(jnp.float32)
+                    v0g = a16[..., 8:11]
+                else:
+                    attrs = pack.tri_attr[sids[:, None], safe_idx] * hit[
+                        ..., None
+                    ].astype(jnp.float32)  # (N,R,8) true gather = exact copy
+                    v0g = pack.tri_v0[sids[:, None], safe_idx]  # (N,R,3)
                 nd = jnp.sum(attrs[..., 0:3] * dirs, axis=-1)
                 num = jnp.sum(attrs[..., 0:3] * (v0g - origins), axis=-1)
                 ok = hit & (jnp.abs(nd) > 1e-6)

@@ -1171,6 +1171,7 @@ def _exactsel_kernel_t(
     kf: int,
     nslot: int,
     unroll: int,
+    groups: int,
 ):
     """v11 packed-stream kernel (VERDICT r3 missing #1): the per-tile
     candidate set is the EXACT-culled chunklet list from
@@ -1192,7 +1193,19 @@ def _exactsel_kernel_t(
     iterations stream). The winner is the global min-t over tested
     chunklets — exact regardless of order; near-exact ties resolve in dmin
     order (v10 semantics, measured 0.03%-of-rays winner swaps on shared
-    edges, zero hit/miss disagreements)."""
+    edges, zero hit/miss disagreements).
+
+    v12 (round 4): SUB-TILE early termination. The kernel is VMEM-bandwidth
+    bound on G (write+read ~8 MB/iteration at U=8, c=32 — see module
+    docstring), so the only lever is producing fewer G bytes. Rays split
+    into ``groups`` lane groups with independent best-t; a group whose
+    worst ray already beats the iteration's dmin skips ITS matmul and
+    epilogue entirely (its G slab is never produced). Tile-level ET needs
+    EVERY ray of 1024 to hold a near hit before anything can stop; a
+    256-lane group reaches that state much earlier, so the mean number of
+    G slabs produced drops below the tile-level ET floor while the result
+    stays exact (a skipped group's rays provably cannot be improved by any
+    remaining chunklet: dmin ascending)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     c = tri_chunk
@@ -1241,9 +1254,15 @@ def _exactsel_kernel_t(
     ib_ref[0] = jnp.full((Rt,), -1, jnp.int32)
     n_iss0 = jnp.minimum(jnp.int32(lookahead), n_iter)
 
-    def body(it, carry):
-        best_t, best_i, n_iss = carry
-        worst = jnp.max(best_t)
+    gs = Rt // groups
+
+    def body(it, n_iss):
+        worsts = [
+            jnp.max(tb_ref[0, g * gs : (g + 1) * gs]) for g in range(groups)
+        ]
+        worst = worsts[0]
+        for g in range(1, groups):
+            worst = jnp.maximum(worst, worsts[g])
         # issue the next unissued iteration's DMAs; stop once even its
         # first (nearest) chunklet's dmin can't beat the worst current hit
         _, dmin_n = unpack(n_iss * U)
@@ -1265,50 +1284,55 @@ def _exactsel_kernel_t(
             for u in range(U):
                 chunk_dma(slot, u, it).wait()
 
-            @pl.when(worst > dmin_it)
-            def _():
-                # default precision: HIGHEST was measured (round 4) to make
-                # the kernel 1.4x SLOWER (the extra passes multiply G's VMEM
-                # traffic — the kernel's floor) and STILL left a 274mm p99
-                # depth tail (the MT determinant ratio cancels near edges);
-                # winners stay selection-exact here and the XLA epilogue
-                # recovers t plane-exactly (round-3 recipe).
-                G = jax.lax.dot_general(
-                    mbuf[slot],
-                    F,
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (U*4c, Rt)
-                bt, bi = best_t, best_i
-                for u in range(U):
-                    base = u * 4 * c
-                    detA = G[base + 0 * c : base + 1 * c]
-                    tnum = G[base + 1 * c : base + 2 * c]
-                    unum = G[base + 2 * c : base + 3 * c]
-                    vnum = G[base + 3 * c : base + 4 * c]
-                    aa = detA * detA
-                    p = unum * detA
-                    q = vnum * detA
-                    w = tnum * detA
-                    m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
-                    m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
-                    hit = (m1 >= 0.0) & (m2 > 0.0)
-                    t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
-                    tmin = jnp.min(t, axis=0)  # (Rt,)
-                    win = jnp.argmin(t, axis=0).astype(jnp.int32)
-                    cid, _ = unpack(it * U + u)
-                    valid_u = (it * U + u) < nch
-                    better = (tmin < bt) & valid_u
-                    bt = jnp.where(better, tmin, bt)
-                    bi = jnp.where(better, cid * c + win, bi)
-                tb_ref[0] = bt
-                ib_ref[0] = bi
+            for g in range(groups):
+                @pl.when(worsts[g] > dmin_it)
+                def _(g=g):
+                    lo = g * gs
+                    # default precision: HIGHEST was measured (round 4) to
+                    # make the kernel 1.4x SLOWER (the extra passes multiply
+                    # G's VMEM traffic — the kernel's floor) and STILL left
+                    # a 274mm p99 depth tail (the MT determinant ratio
+                    # cancels near edges); winners stay selection-exact here
+                    # and the XLA epilogue recovers t plane-exactly.
+                    G = jax.lax.dot_general(
+                        mbuf[slot],
+                        F[:, lo : lo + gs],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (U*4c, gs)
+                    bt = tb_ref[0, lo : lo + gs]
+                    bi = ib_ref[0, lo : lo + gs]
+                    for u in range(U):
+                        base = u * 4 * c
+                        detA = G[base + 0 * c : base + 1 * c]
+                        tnum = G[base + 1 * c : base + 2 * c]
+                        unum = G[base + 2 * c : base + 3 * c]
+                        vnum = G[base + 3 * c : base + 4 * c]
+                        aa = detA * detA
+                        p = unum * detA
+                        q = vnum * detA
+                        w = tnum * detA
+                        m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
+                        m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
+                        hit = (m1 >= 0.0) & (m2 > 0.0)
+                        t = jnp.where(
+                            hit, tnum / jnp.where(hit, detA, 1.0), _TMAX
+                        )
+                        tmin = jnp.min(t, axis=0)  # (gs,)
+                        win = jnp.argmin(t, axis=0).astype(jnp.int32)
+                        cid, _ = unpack(it * U + u)
+                        valid_u = (it * U + u) < nch
+                        better = (tmin < bt) & valid_u
+                        bt = jnp.where(better, tmin, bt)
+                        bi = jnp.where(better, cid * c + win, bi)
+                    tb_ref[0, lo : lo + gs] = bt
+                    ib_ref[0, lo : lo + gs] = bi
 
-        return (tb_ref[0], ib_ref[0], n_iss)
+        return n_iss
 
-    best_t, best_i, _ = lax.fori_loop(
-        0, n_iter, body, (tb_ref[0], ib_ref[0], n_iss0)
-    )
+    lax.fori_loop(0, n_iter, body, n_iss0)
+    best_t = tb_ref[0]
+    best_i = ib_ref[0]
     miss = best_t >= _TMAX * 0.5
     t_out[0, 0] = jnp.where(miss, _TMAX, best_t)[None, :]
     i_out[0, 0] = jnp.where(miss, -1, best_i)[None, :]
@@ -1327,12 +1351,15 @@ def raycast_pallas_exactsel_t(
     tri_chunk: int = 32,
     nslot: int = 3,
     unroll: int = 8,
+    groups: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact-culled packed-stream closest hit for large scenes (v11).
+    """Exact-culled packed-stream closest hit for large scenes (v11/v12).
     Same contract as raycast_pallas_stream_t: (t (N,R) f32, idx (N,R) i32,
     -1 miss); extract attributes + plane-exact t in XLA. U=8/nslot=3
     measured 15% faster than U=4/nslot=4 at scan shape (fixed
-    per-iteration costs amortize over twice the chunklets)."""
+    per-iteration costs amortize over twice the chunklets). ``groups``
+    independent sub-tile ET lanes (v12) skip finished ray groups' G slabs;
+    exactness unaffected (see kernel docstring)."""
     N = sids.shape[0]
     n_tiles, K8, Rt = d_t.shape
     assert K8 == 8 and Rt == ray_tile
@@ -1347,6 +1374,9 @@ def raycast_pallas_exactsel_t(
     nt, Kf = chunk_ids.shape[1], chunk_ids.shape[2]
     assert nt == n_tiles and chunk_ids.shape[0] == N
     assert Kf % 128 == 0, "SMEM id-row DMA needs a 128-multiple lane dim"
+    assert ray_tile % groups == 0 and (ray_tile // groups) % 128 == 0, (
+        "sub-tile ET groups must be 128-lane multiples"
+    )
     R = nt * ray_tile
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1384,6 +1414,7 @@ def raycast_pallas_exactsel_t(
             kf=Kf,
             nslot=nslot,
             unroll=unroll,
+            groups=groups,
         ),
         grid_spec=grid_spec,
         out_shape=[

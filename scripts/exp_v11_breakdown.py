@@ -58,7 +58,11 @@ def main():
     pack = pack_scenes([lod])
     C_big = pack.tri_mat.shape[3] // pack.chunk_bounds.shape[1]
 
-    N, H, W = 256, 128, 128
+    N = int(os.environ.get("N", "256"))
+    SKIP_EXACT = os.environ.get("SKIP_EXACT", "0") == "1"
+    H, W = 128, 128
+    res["n"] = N
+    res["skip_exact"] = SKIP_EXACT
     R = H * W
     nt = R // 1024
     rng = np.random.default_rng(1)
@@ -107,7 +111,7 @@ def main():
     def f_sel(v0, e1, e2, va, ab, ids0, cnt0):
         return select_chunklets_exact(
             v0, e1, e2, va, ab, sids, posj, yawj, pitchj, planes_l,
-            ids0, cnt0, parent_c=C_big, c=32,
+            ids0, cnt0, parent_c=C_big, c=32, skip_exact=SKIP_EXACT,
         )
     f_sel = jax.jit(f_sel)
     ids, cnt = f_sel(pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid, ab, ids0, cnt0)
@@ -118,12 +122,25 @@ def main():
     res["cnt_max"] = int(jnp.max(cnt))
     print(json.dumps(res), flush=True)
 
-    # phase D: kernel
-    f_k = jax.jit(lambda gm, ids, cnt, d_t, Bt: raycast_pallas_exactsel_t(
-        gm, sids, ids, cnt, d_t, Bt, ray_tile=1024, tri_chunk=32))
-    t, idx = f_k(gm32, ids, cnt, d_t, Bt)
-    _, tD = slope(f_k, gm32, ids, cnt, d_t, Bt)
-    res["kernel_ms"] = round(tD * 1e3, 1)
+    # phase D: kernel — v12 sub-tile ET group sweep
+    t = idx = None
+    for grp in (1, 4, 8):
+        f_k = jax.jit(
+            lambda gm, ids, cnt, d_t, Bt, grp=grp: raycast_pallas_exactsel_t(
+                gm, sids, ids, cnt, d_t, Bt,
+                ray_tile=1024, tri_chunk=32, groups=grp,
+            )
+        )
+        tg, ig = f_k(gm32, ids, cnt, d_t, Bt)
+        if t is None:
+            t, idx = tg, ig
+        else:
+            same = float(jnp.mean((ig == idx).astype(jnp.float32)))
+            res[f"g{grp}_idx_match"] = round(same, 5)
+        _, tD = slope(f_k, gm32, ids, cnt, d_t, Bt)
+        res[f"kernel_g{grp}_ms"] = round(tD * 1e3, 1)
+        print(json.dumps(res), flush=True)
+    res["kernel_ms"] = res["kernel_g4_ms"]
 
     # phase E: attr epilogue (true gather + plane-exact)
     def f_ep(idx, t, attr, v0t):

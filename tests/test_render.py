@@ -482,11 +482,14 @@ def test_exact_chunklet_culling_conservative():
         return select_chunklets_exact(
             pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid, ab,
             sids, pos, yaw, pitch, planes, ids0, cnt0,
-            parent_c=parent_c, c=32, k_aabb=128, k_final=128,
+            parent_c=parent_c, c=32, k_aabb=256, k_final=256,
+            skip_exact=False,  # exercise the L2 exact-plane path
         )
 
     packed, cnt = map(np.asarray, run())
-    assert packed.shape == (N, nt, 128)
+    n_chunklets_per_parent = parent_c // 32
+    kf_expect = min(256, 64 * n_chunklets_per_parent, (T // parent_c) * n_chunklets_per_parent)
+    assert packed.shape == (N, nt, kf_expect)
     ids = packed & 0x3FFFF
     dmin = (packed >> 18) * 1e-2
     for n in range(N):
