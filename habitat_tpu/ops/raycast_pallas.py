@@ -1294,6 +1294,12 @@ def _exactsel_kernel_t(
                     # a 274mm p99 depth tail (the MT determinant ratio
                     # cancels near edges); winners stay selection-exact here
                     # and the XLA epilogue recovers t plane-exactly.
+                    # bf16 G storage was tried (round 4) and is NOT
+                    # expressible: Mosaic's tpu.matmul requires a 32-bit
+                    # accumulator (preferred_element_type=bf16 fails kernel
+                    # verification), and casting after the matmul would not
+                    # remove the f32 materialization. The traffic lever is
+                    # candidate reduction, not G narrowing.
                     G = jax.lax.dot_general(
                         mbuf[slot],
                         F[:, lo : lo + gs],
@@ -1351,7 +1357,7 @@ def raycast_pallas_exactsel_t(
     tri_chunk: int = 32,
     nslot: int = 3,
     unroll: int = 8,
-    groups: int = 4,
+    groups: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact-culled packed-stream closest hit for large scenes (v11/v12).
     Same contract as raycast_pallas_stream_t: (t (N,R) f32, idx (N,R) i32,
@@ -1359,7 +1365,16 @@ def raycast_pallas_exactsel_t(
     measured 15% faster than U=4/nslot=4 at scan shape (fixed
     per-iteration costs amortize over twice the chunklets). ``groups``
     independent sub-tile ET lanes (v12) skip finished ray groups' G slabs;
-    exactness unaffected (see kernel docstring)."""
+    exactness unaffected (see kernel docstring).
+
+    v13 (round 4) revision, measured on the 860k-tri scan bench:
+    groups DEFAULT IS 1. The v12 sub-tile strips were a net loss once
+    the ET ceiling was measured from real data (exp_v13_et_ceiling.py:
+    even PER-RAY ideal ET cuts only 21.4 -> 15.9 slabs/tile; the
+    survivor lists are candidate-bound, not occlusion-bound), while the
+    per-group predication + 4x smaller matmuls cost 26% (233 vs 185 ms
+    at the N=256 scan shape, exp_v13_probe.py). bf16 G storage is NOT
+    expressible (Mosaic requires a 32-bit matmul accumulator)."""
     N = sids.shape[0]
     n_tiles, K8, Rt = d_t.shape
     assert K8 == 8 and Rt == ray_tile
