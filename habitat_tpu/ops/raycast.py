@@ -1228,6 +1228,68 @@ def render_batch(
                         sids, ids, cnt, d_t_l, Bt_l,
                         ray_tile=1024, tri_chunk=C_big,
                     )
+                if pack.tri_attr16 is not None and dynamic is None:
+                    # v14 CHANNEL-MAJOR epilogue (round 4): every (N,R,c)
+                    # intermediate with a 3/8/16-wide minor dim tiles to
+                    # 128 lanes on TPU, so the old channel-minor epilogue
+                    # moved ~16-40x its real bytes (measured 30.8 ms at
+                    # N=64 — 36% of render — while the idx row-gather alone
+                    # is 7 ms; scripts/exp_v14_epilogue.py). Everything
+                    # after the ONE row gather runs as (N,c,R) with rays
+                    # packing the lanes, mirroring the fused path above.
+                    hit = idx >= 0
+                    safe_idx = jnp.maximum(idx, 0)
+                    a16 = pack.tri_attr16[sids[:, None], safe_idx]
+                    at_t = jnp.swapaxes(a16, 1, 2)  # (N, 16, R) block order
+                    dirs_bt = jnp.einsum(
+                        "rk,nkf->nfr",
+                        d_aug_l,
+                        B_l[..., 0:3],
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (N, 3, R) world dirs, block order
+                    nd = jnp.sum(at_t[:, 0:3] * dirs_bt, axis=1)  # n.d
+                    n_o = jnp.sum(
+                        at_t[:, 0:3] * cam_pos.astype(jnp.float32)[:, :, None],
+                        axis=1,
+                    )
+                    ok = hit & (jnp.abs(nd) > 1e-6)
+                    # plane-exact t from the precomputed n.v0 row (scene.py
+                    # attr16 slot 11): the kernel's default-precision G
+                    # matmul leaves ~bf16 mantissa depth error; exact f32
+                    # (n.v0 - n.o)/(n.d) recovers it
+                    t_pl = jnp.where(
+                        ok, (at_t[:, 11] - n_o) / jnp.where(ok, nd, 1.0), t
+                    )
+                    z = t_pl * (-dcb[:, 2])[None, :]  # planar depth
+                    z = jnp.where(hit, z, max_depth)
+                    z = jnp.clip(z, min_depth, max_depth)
+                    if normalize_depth:
+                        z = (z - min_depth) / (max_depth - min_depth)
+                    depth = from_blocks(z).reshape(
+                        N, height, width, 1
+                    ).astype(jnp.float32)
+                    shade = 0.35 + 0.65 * jnp.abs(nd)
+                    sky_l = jnp.array([0.65, 0.75, 0.9], jnp.float32)
+                    rgb_t = jnp.where(
+                        hit[:, None, :],
+                        at_t[:, 3:6] * shade[:, None, :],
+                        sky_l[None, :, None],
+                    )
+                    rgb_u8 = from_blocks(
+                        jnp.clip(rgb_t * 255.0, 0, 255)
+                        .astype(jnp.uint8)
+                        .transpose(0, 2, 1)
+                    ).reshape(N, height, width, 3)
+                    sem_b = jnp.where(
+                        hit, jnp.round(at_t[:, 6]).astype(jnp.int32), 0
+                    )
+                    return {
+                        "rgb": rgb_u8,
+                        "depth": depth,
+                        "semantic": from_blocks(sem_b).reshape(
+                            N, height, width, 1
+                        ),
+                    }
                 t = from_blocks(t)
                 idx = from_blocks(idx)
                 hit = idx >= 0

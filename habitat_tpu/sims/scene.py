@@ -503,11 +503,18 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
         ab32 = jax.jit(
             lambda a, b, cc, d: chunklet_aabbs(a, b, cc, d, c=32)
         )(vj, e1j, e2j, vaj)
+        # [attr(8) | v0(3) | n.v0 | pad(4)]: n.v0 precomputed so the v14
+        # channel-major epilogue recovers plane-exact t as
+        # (n.v0 - n.o)/(n.d) without touching v0 per ray (v0 stays at 8:11
+        # for the older epilogues/tests that read it)
+        taj = jnp.asarray(tattr)
+        nv0 = jnp.sum(taj[..., 0:3] * vj, axis=-1, keepdims=True)
         attr16 = jnp.concatenate(
             [
-                jnp.asarray(tattr),
+                taj,
                 vj,
-                jnp.zeros((S, t_max, 5), jnp.float32),
+                nv0,
+                jnp.zeros((S, t_max, 4), jnp.float32),
             ],
             axis=-1,
         )
