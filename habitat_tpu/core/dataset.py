@@ -15,8 +15,7 @@ from __future__ import annotations
 
 import copy
 import dataclasses
-import random
-from itertools import groupby
+from collections import deque
 from typing import Any, Callable, Dict, Generic, Iterator, List, Optional, Sequence, TypeVar
 
 import numpy as np
@@ -65,6 +64,14 @@ class NavigationEpisode(Episode):
     goals: List[NavigationGoal] = dataclasses.field(default_factory=list)
     start_room: Optional[str] = None
     shortest_paths: Optional[List[Any]] = None
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        # assigning new goals invalidates the cached shortest path (the
+        # reference ties the cache's lifetime to the goal list; its
+        # test_dataset.py::test_reset_goals pins this contract)
+        object.__setattr__(self, name, value)
+        if name == "goals" and getattr(self, "_shortest_path_cache", None) is not None:
+            object.__setattr__(self, "_shortest_path_cache", None)
 
 
 T = TypeVar("T", bound=Episode)
@@ -134,15 +141,36 @@ class Dataset(Generic[T]):
 
 
 class EpisodeIterator(Iterator[T]):
-    """cycle / shuffle / group-by-scene / max-scene-repeat iterator
-    (reference core/dataset.py:329-584, __next__:419, step_taken:525,
-    _randomize_value:531 jitter)."""
+    """Cycling episode scheduler with scene-grouped ordering and forced scene
+    rotation.
+
+    Reproduces the *semantics* of the reference iterator (reference
+    core/dataset.py:329-584: cycle / shuffle / group-by-scene /
+    max-scene-repeat by episode count or by jittered step count) with a
+    different mechanism: instead of chained ``itertools`` iterators, the
+    pending order for the current cycle lives in an explicit ``deque`` and all
+    randomness flows through one private ``numpy.random.Generator`` (the same
+    idiom as :func:`build_env_episode_order`). Scheduling rules:
+
+    * Episodes are (optionally) shuffled each cycle, then stably reordered so
+      that each scene's episodes form one contiguous block, blocks ordered by
+      first appearance.
+    * After ``max_scene_repeat_episodes`` consecutive episodes — or once
+      ``max_scene_repeat_steps`` env steps (jittered by
+      ``±step_repetition_range``, re-drawn after every forced switch, so
+      parallel workers decorrelate) have been taken — in one scene, the
+      leading run of same-scene episodes still pending is rotated to the back
+      of the deque, so the next episode comes from a different scene.
+    * Pulling an episode from a *different* scene than the previous pull
+      resets both counters; the episode/step budget is per contiguous scene
+      run, not per scene globally.
+    """
 
     def __init__(
         self,
         episodes: Sequence[T],
         cycle: bool = True,
-        shuffle: bool = True,
+        shuffle: bool = False,
         group_by_scene: bool = True,
         max_scene_repeat_episodes: int = -1,
         max_scene_repeat_steps: int = -1,
@@ -150,114 +178,109 @@ class EpisodeIterator(Iterator[T]):
         step_repetition_range: float = 0.2,
         seed: Optional[int] = None,
     ) -> None:
-        if seed is not None:
-            random.seed(seed)
-            np.random.seed(seed)
-        episodes = list(episodes)
+        self._rng = np.random.default_rng(seed)
+        pool = list(episodes)
         if num_episode_sample >= 0:
-            episodes = list(
-                np.random.choice(episodes, num_episode_sample, replace=False)
-            )
+            if num_episode_sample > len(pool):
+                raise ValueError(
+                    f"num_episode_sample {num_episode_sample} > episode count "
+                    f"{len(pool)}"
+                )
+            picks = self._rng.choice(len(pool), num_episode_sample, replace=False)
+            pool = [pool[i] for i in picks]
         self.cycle = cycle
-        self.group_by_scene = group_by_scene
         self.shuffle = shuffle
-        if shuffle:
-            random.shuffle(episodes)
-        if group_by_scene:
-            episodes = self._group_scenes(episodes)
+        self.group_by_scene = group_by_scene
         self.max_scene_repetition_episodes = max_scene_repeat_episodes
         self.max_scene_repetition_steps = max_scene_repeat_steps
-        self._rep_count = -1  # first switch accounted by reset
-        self._step_count = 0
-        self._prev_scene_id: Optional[str] = None
-        self.episodes = episodes
-        self._iterator = iter(self.episodes)
         self.step_repetition_range = step_repetition_range
-        self._set_shuffle_intervals()
+        # `episodes` is the current cycle's base ordering (shuffled/grouped at
+        # construction and again at each cycle boundary); forced-switch
+        # rotation only reorders the in-flight deque, never this list.
+        self.episodes: List[T] = self._ordered(pool, shuffle=shuffle)
+        self._pending: deque = deque(self.episodes)
+        self._scene_now: Optional[str] = None
+        self._episodes_in_scene = 0
+        self._steps_in_scene = 0
+        self._draw_step_quota()
+
+    # -- ordering ----------------------------------------------------------
+
+    def _ordered(self, pool: Sequence[T], shuffle: bool) -> List[T]:
+        out = list(pool)
+        if shuffle:
+            out = [out[i] for i in self._rng.permutation(len(out))]
+        if self.group_by_scene:
+            first_seen: Dict[str, int] = {}
+            for e in out:
+                first_seen.setdefault(e.scene_id, len(first_seen))
+            out.sort(key=lambda e: first_seen[e.scene_id])  # stable
+        return out
+
+    def _rotate_leading_run(self) -> None:
+        """Move the pending deque's leading same-scene run to its back, so the
+        next pull (if any scene variety remains) changes scene."""
+        if not self._pending:
+            return
+        lead = self._pending[0].scene_id
+        run: List[T] = []
+        while self._pending and self._pending[0].scene_id == lead:
+            run.append(self._pending.popleft())
+        if self._pending:
+            self._pending.extend(run)
+        else:
+            self._pending.extendleft(reversed(run))  # single scene: no-op
+
+    # -- iteration ---------------------------------------------------------
 
     def __iter__(self) -> "EpisodeIterator":
         return self
 
-    def __next__(self) -> Episode:
-        self._forced_scene_switch_if()
-        next_episode = next(self._iterator, None)
-        if next_episode is None:
+    def __next__(self) -> T:
+        if self._quota_hit():
+            self._rotate_leading_run()
+            self._draw_step_quota()
+        if not self._pending:
             if not self.cycle:
                 raise StopIteration
-            self._iterator = iter(self.episodes)
             if self.shuffle:
-                self._shuffle()
-            next_episode = next(self._iterator)
+                self.episodes = self._ordered(self.episodes, shuffle=True)
+            self._pending = deque(self.episodes)
+            if not self._pending:
+                raise StopIteration
+        ep = self._pending.popleft()
+        if self._scene_now is not None and ep.scene_id != self._scene_now:
+            self._episodes_in_scene = 0
+            self._steps_in_scene = 0
+        self._scene_now = ep.scene_id
+        self._episodes_in_scene += 1
+        return ep
+
+    # -- budgets -----------------------------------------------------------
+
+    def _quota_hit(self) -> bool:
         if (
-            self._prev_scene_id != next_episode.scene_id
-            and self._prev_scene_id is not None
+            self.max_scene_repetition_episodes > 0
+            and self._episodes_in_scene >= self.max_scene_repetition_episodes
         ):
-            self._rep_count = 0
-            self._step_count = 0
-        self._prev_scene_id = next_episode.scene_id
-        return next_episode
-
-    def _forced_scene_switch(self) -> None:
-        """Rotate remaining episodes so a new scene comes first (reference :474)."""
-        grouped_episodes = [
-            list(g) for k, g in groupby(self._iterator, key=lambda x: x.scene_id)
-        ]
-        if len(grouped_episodes) > 1:
-            grouped_episodes = grouped_episodes[1:] + grouped_episodes[:1]
-        self._iterator = iter(sum(grouped_episodes, []))
-
-    def _shuffle(self) -> None:
-        assert self.shuffle
-        episodes = list(self.episodes)
-        random.shuffle(episodes)
-        if self.group_by_scene:
-            episodes = self._group_scenes(episodes)
-        self.episodes = episodes
-        self._iterator = iter(self.episodes)
-
-    def _group_scenes(self, episodes: Sequence[T]) -> List[T]:
-        """Group by scene, keeping scene first-appearance order (reference :497)."""
-        assert self.group_by_scene
-        scene_sort_keys: Dict[str, int] = {}
-        for e in episodes:
-            if e.scene_id not in scene_sort_keys:
-                scene_sort_keys[e.scene_id] = len(scene_sort_keys)
-        return sorted(episodes, key=lambda e: scene_sort_keys[e.scene_id])
-
-    def step_taken(self) -> None:
-        self._step_count += 1
-
-    @staticmethod
-    def _randomize_value(value: int, value_range: float) -> int:
-        return random.randint(
-            int(value * (1 - value_range)), int(value * (1 + value_range))
+            return True
+        return (
+            self._step_quota is not None
+            and self._steps_in_scene >= self._step_quota
         )
 
-    def _set_shuffle_intervals(self) -> None:
-        if self.max_scene_repetition_episodes > 0:
-            self._max_rep_episode = self.max_scene_repetition_episodes
-        else:
-            self._max_rep_episode = None
+    def _draw_step_quota(self) -> None:
+        """(Re)draw the jittered step budget for the upcoming scene run."""
         if self.max_scene_repetition_steps > 0:
-            self._max_rep_step = self._randomize_value(
-                self.max_scene_repetition_steps, self.step_repetition_range
+            v, r = self.max_scene_repetition_steps, self.step_repetition_range
+            self._step_quota: Optional[int] = int(
+                self._rng.integers(int(v * (1 - r)), int(v * (1 + r)) + 1)
             )
         else:
-            self._max_rep_step = None
+            self._step_quota = None
 
-    def _forced_scene_switch_if(self) -> None:
-        do_switch = False
-        self._rep_count += 1
-        if (
-            self._max_rep_episode is not None
-            and self._rep_count >= self._max_rep_episode
-        ):
-            do_switch = True
-        if self._max_rep_step is not None and self._step_count >= self._max_rep_step:
-            do_switch = True
-        if do_switch:
-            self._forced_scene_switch()
-            self._set_shuffle_intervals()
+    def step_taken(self) -> None:
+        self._steps_in_scene += 1
 
 
 # ---------------------------------------------------------------------------

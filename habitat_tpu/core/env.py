@@ -63,7 +63,8 @@ class Env:
             shuffle=bool(it.get("shuffle", True)),
             group_by_scene=bool(it.get("group_by_scene", True)),
             max_scene_repeat_episodes=int(it.get("max_scene_repeat_episodes", -1)),
-            max_scene_repeat_steps=int(it.get("max_scene_repeat_steps", -1)),
+            # reference IteratorOptionsConfig default (structured_configs:109)
+            max_scene_repeat_steps=int(it.get("max_scene_repeat_steps", int(1e4))),
             num_episode_sample=int(it.get("num_episode_sample", -1)),
             step_repetition_range=float(it.get("step_repetition_range", 0.2)),
             seed=int(config.habitat.get("seed", 100)),
