@@ -17,7 +17,9 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/habitat_tpu_jax_cache")
 
-from habitat_tpu.ops.conv_stem import conv_stem, conv_stem_reference
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+from conv_stem_kernel import conv_stem, conv_stem_reference
 
 
 def sync(x):

@@ -1,4 +1,4 @@
-"""Batch-in-lanes Pallas stem conv (ops/conv_stem.py): interpret-mode
+"""Batch-in-lanes Pallas stem conv (scripts/conv_stem_kernel.py): interpret-mode
 equivalence with the XLA conv — fwd at bf16 rounding, grads vs an f32
 reference within bf16 tolerance (the kernels run bf16 operands with f32
 accumulation, exactly like the XLA path they replace)."""
@@ -9,7 +9,9 @@ import pytest
 from jax import lax
 from jax.experimental.pallas import tpu as pltpu
 
-from habitat_tpu.ops.conv_stem import conv_stem, conv_stem_reference
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+from conv_stem_kernel import conv_stem, conv_stem_reference
 
 pytestmark = pytest.mark.smoke
 
