@@ -114,6 +114,10 @@ def raycast_rays(
 # MXU formulation
 # ---------------------------------------------------------------------------
 
+# tri_attr16 row layout contract (built by sims/scene.pack_scenes, consumed by
+# the v14 channel-major epilogue below): [attr(8) | v0(3) | n.v0 | pad(4)].
+ATTR16_NV0 = 11
+
 
 def build_tri_matrix(tri_v0, tri_e1, tri_e2, tri_valid) -> np.ndarray:
     """(T,3) host arrays -> (10, 4, T) f32 coefficient matrix (see module doc).
@@ -1254,13 +1258,22 @@ def render_batch(
                     )
                     ok = hit & (jnp.abs(nd) > 1e-6)
                     # plane-exact t from the precomputed n.v0 row (scene.py
-                    # attr16 slot 11): the kernel's default-precision G
-                    # matmul leaves ~bf16 mantissa depth error; exact f32
-                    # (n.v0 - n.o)/(n.d) recovers it
+                    # attr16 slot ATTR16_NV0): the kernel's default-precision
+                    # G matmul leaves ~bf16 mantissa depth error; f32
+                    # (n.v0 - n.o)/(n.d) recovers it. Caveat: the two dot
+                    # products are rounded independently, so the difference
+                    # loses the conditioning of the fused n.(v0-o) form —
+                    # error ~|n.v0|*1e-7, negligible at room scale but this
+                    # path assumes scene coordinates of modest extent.
                     t_pl = jnp.where(
-                        ok, (at_t[:, 11] - n_o) / jnp.where(ok, nd, 1.0), t
+                        ok,
+                        (at_t[:, ATTR16_NV0] - n_o) / jnp.where(ok, nd, 1.0),
+                        t,
                     )
-                    z = t_pl * (-dcb[:, 2])[None, :]  # planar depth
+                    # mask t before the depth multiply so a +inf kernel-miss
+                    # t can never reach the multiply (NaN-safety independent
+                    # of the pinhole gating on dcb.z != 0)
+                    z = jnp.where(hit, t_pl, 0.0) * (-dcb[:, 2])[None, :]
                     z = jnp.where(hit, z, max_depth)
                     z = jnp.clip(z, min_depth, max_depth)
                     if normalize_depth:

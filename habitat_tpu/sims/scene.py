@@ -404,9 +404,18 @@ def _morton_sort_keys(centroids: np.ndarray) -> np.ndarray:
     return (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
 
 
-def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
+def pack_scenes(
+    scenes: List[SceneData],
+    tri_pad: int = TRI_CHUNK,
+    force_scan_tables: bool = False,
+) -> ScenePack:
     """Pack host scenes into one padded device pytree (triangles morton-
-    sorted; per-chunk bounding spheres for culling)."""
+    sorted; per-chunk bounding spheres for culling).
+
+    force_scan_tables builds the scan-scale stream tables (chunk=256,
+    tri_mat_g32/chunklet_ab32/tri_attr16) regardless of scene size — used by
+    tests to exercise the scan-only render path on small CPU-sized scenes.
+    """
     assert len(scenes) > 0
     tri_pad = max(tri_pad, TRI_CHUNK)
     t_max = _round_up(max(s.num_triangles for s in scenes), tri_pad)
@@ -414,7 +423,7 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
     # (>=256k padded tris) — halves the stream kernel's per-tile iteration
     # count, whose fixed per-chunk overhead dominates at 5k+ chunks. The
     # consumers derive C from tri_mat.shape[3] // chunk_bounds.shape[1].
-    chunk = 256 if t_max >= 262144 else TRI_CHUNK
+    chunk = 256 if (force_scan_tables or t_max >= 262144) else TRI_CHUNK
     t_max = _round_up(t_max, chunk)
     grids = [s.nav_occ.shape for s in scenes]
     nx = max(g[0] for g in grids)
@@ -506,7 +515,10 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
         # [attr(8) | v0(3) | n.v0 | pad(4)]: n.v0 precomputed so the v14
         # channel-major epilogue recovers plane-exact t as
         # (n.v0 - n.o)/(n.d) without touching v0 per ray (v0 stays at 8:11
-        # for the older epilogues/tests that read it)
+        # for the older epilogues/tests that read it). The slot index is the
+        # shared layout contract with the consumer (raycast.ATTR16_NV0).
+        from habitat_tpu.ops.raycast import ATTR16_NV0
+
         taj = jnp.asarray(tattr)
         nv0 = jnp.sum(taj[..., 0:3] * vj, axis=-1, keepdims=True)
         attr16 = jnp.concatenate(
@@ -518,6 +530,7 @@ def pack_scenes(scenes: List[SceneData], tri_pad: int = TRI_CHUNK) -> ScenePack:
             ],
             axis=-1,
         )
+        assert attr16.shape[-1] == 16 and ATTR16_NV0 == 8 + 3
     return ScenePack(
         tri_v0=jnp.asarray(v0),
         tri_e1=jnp.asarray(e1),
