@@ -12,10 +12,16 @@ Re-architecture of the reference rearrangement runtime (SURVEY §2.3):
   (sub_tasks/pick_task.py:21, place_task.py:13, rearrange_sensors.py).
 
 Dynamics modes: "kinematic" (objects static unless held — the reference's
-kinematic_mode=True recipe) and "contacts" (upright-OBB SAT contact solve
-with gravity, settling, and live ForceTerminate — the DEFAULT for
-config-built rearrange envs since round 3; see contact_step below).
-Movable objects render through the dynamic pass of ops/raycast.render_batch.
+kinematic_mode=True recipe) and "contacts" (the DEFAULT for config-built
+rearrange envs since round 3). Contacts carries full rotational rigid-body
+state since round 4/5: quaternion + angular-velocity lanes, solid-box
+inertia, 8-corner sequential-impulse floor contacts (tip/tumble/settle,
+rigid_body.py), and — contacts v5 — box-box and robot-box impulses applied
+at the pair contact point with both lever arms, so struck boxes can be
+knocked over. Box shapes for the pair SAT are upright-OBB covers of the
+current orientation (effective_upright_obb); grasp remains kinematic
+parenting. Live ForceTerminate throughout. Movable objects render through
+the dynamic pass of ops/raycast.render_batch.
 """
 
 from __future__ import annotations
@@ -162,13 +168,17 @@ def contact_step(
     RobotForce, rearrange_sensors.py:814).
     Returns (obj_pos, obj_vel, robot_force).
 
-    v4 (quat given): full rotational state — gravity/integration/floor run
-    through rigid_body.box_floor_substep (8-corner sequential impulses:
-    overhanging boxes TIP, tumble, and settle on a face), while box-box and
-    robot contacts reuse the v3 translational SAT against each box's
-    CURRENT orientation (effective_upright_obb: exact for upright boxes, an
-    AABB-in-yaw-frame cover when tipped; box-box collisions push but do not
-    transfer torque — documented scope, rigid_body.py).
+    v4/v5 (quat given): full rotational state — gravity/integration/floor
+    run through rigid_body.box_floor_substep (8-corner sequential impulses:
+    overhanging boxes TIP, tumble, and settle on a face), and box-box /
+    robot-box contacts (v5) solve their impulses at the pair contact point
+    with both bodies' lever arms and world inverse inertias, so collisions
+    transfer torque: a struck or rammed standing box rotates, tips over its
+    support edge (floor friction from the corner solver provides the
+    pivot), and settles on a face. Contact SHAPES for the pair SAT remain
+    upright-OBB covers of the current orientation (effective_upright_obb:
+    exact for upright boxes, an AABB-in-yaw-frame cover when tipped — no
+    mesh/convex manifolds).
     Returns (obj_pos, obj_vel, robot_force, quat, omega)."""
     N, O, _ = obj_pos.shape
     sdt = dt / n_substeps
@@ -183,9 +193,19 @@ def contact_step(
         yaw_o = jnp.zeros((N, O), jnp.float32)
     fy_c = floor_y[:, None]
 
-    def sat_boxbox(p, v, half_c, hy_c, u_c, w_c, with_floor_anchor):
-        """One translational box-box SAT pass: MTV projection + restitution-0
-        impulses. Returns (p, v, support_any)."""
+    def sat_boxbox(p, v, half_c, hy_c, u_c, w_c, with_floor_anchor,
+                   wv=None, iw=None):
+        """One box-box SAT pass: MTV projection + restitution-0 impulses.
+
+        Translational mode (wv=None, contacts v3): center-to-center velocity
+        impulses. Rotational mode (contacts v5, wv/iw given): the impulse is
+        solved and applied AT the pair contact point (midpoint of the two
+        closest-surface points), with both bodies' lever arms and world
+        inverse inertias in the effective mass — a struck standing box
+        acquires angular velocity and can be knocked over (Bullet
+        step_world's observable box-box behavior,
+        tasks/rearrange/rearrange_sim.py:1017-1028).
+        Returns (p, v, wv, support_any)."""
 
         def proj_radius(axis):
             ri = half_c[..., 0][:, :, None] * jnp.abs(
@@ -257,14 +277,82 @@ def contact_step(
             axis=2,
         )
         p = p + corr
-        rel = v[:, :, None, :] - v[:, None, :, :]
-        vn = jnp.sum(rel * nrm, axis=-1)
-        imp = jnp.where(active & (vn < 0), -0.5 * vn, 0.0)
-        v = v + jnp.sum(imp[..., None] * nrm, axis=2)
-        return p, v, jnp.any(support, axis=2)
+        if wv is None:
+            rel = v[:, :, None, :] - v[:, None, :, :]
+            vn = jnp.sum(rel * nrm, axis=-1)
+            imp = jnp.where(active & (vn < 0), -0.5 * vn, 0.0)
+            v = v + jnp.sum(imp[..., None] * nrm, axis=2)
+            return p, v, None, jnp.any(support, axis=2)
 
-    def robot_pushout(p, v, half_c, u_c, w_c, force):
-        """Robot cylinder vs OBB nearest footprint point -> pseudo force."""
+        # ---- contacts v5: impulse at the pair contact point --------------
+        zero = jnp.zeros_like(hy_c)
+        u3 = jnp.stack([u_c[..., 0], zero, u_c[..., 1]], axis=-1)  # (N,O,3)
+        w3 = jnp.stack([w_c[..., 0], zero, w_c[..., 1]], axis=-1)
+
+        def closest_on(rel_c, u3b, w3b, halfb, pb):
+            """Closest point on box b (upright-eff frame u3b/w3b/halfb at
+            center pb) to a point displaced rel_c from pb."""
+            lx = jnp.sum(rel_c * u3b, -1)
+            ly = rel_c[..., 1]
+            lz = jnp.sum(rel_c * w3b, -1)
+            cx = jnp.clip(lx, -halfb[..., 0], halfb[..., 0])
+            cy2 = jnp.clip(ly, -halfb[..., 1], halfb[..., 1])
+            cz = jnp.clip(lz, -halfb[..., 2], halfb[..., 2])
+            out = pb + cx[..., None] * u3b + cz[..., None] * w3b
+            return out.at[..., 1].add(cy2)
+
+        pi = p[:, :, None, :]
+        pj = p[:, None, :, :]
+        cp_j = closest_on(
+            d, u3[:, None, :, :], w3[:, None, :, :], half_c[:, None, :, :], pj
+        )  # on j, closest to center i (d = p_i - p_j)
+        cp_i = closest_on(
+            -d, u3[:, :, None, :], w3[:, :, None, :], half_c[:, :, None, :], pi
+        )
+        c = 0.5 * (cp_i + cp_j)  # (N,O,O,3) shared contact point
+        r_i = c - pi
+        r_j = c - pj
+        vr = (v[:, :, None, :] + jnp.cross(wv[:, :, None, :], r_i)) - (
+            v[:, None, :, :] + jnp.cross(wv[:, None, :, :], r_j)
+        )
+        vn = jnp.sum(vr * nrm, axis=-1)
+        # effective mass along nrm with both lever arms; held (non-free)
+        # bodies are kinematic (zero inverse mass/inertia)
+        mi = jnp.where(free, 1.0, 0.0)  # unit mass
+        rxn_i = jnp.cross(r_i, nrm)
+        rxn_j = jnp.cross(r_j, nrm)
+        ang_i = jnp.sum(
+            jnp.cross(jnp.einsum("noab,nopb->nopa", iw, rxn_i), r_i) * nrm, -1
+        )
+        ang_j = jnp.sum(
+            jnp.cross(jnp.einsum("npab,nopb->nopa", iw, rxn_j), r_j) * nrm, -1
+        )
+        k_n = (
+            mi[:, :, None]
+            + mi[:, None, :]
+            + ang_i * mi[:, :, None]
+            + ang_j * mi[:, None, :]
+        )
+        jn = jnp.where(
+            active & (vn < 0.0), -vn / jnp.maximum(k_n, 1e-6), 0.0
+        )
+        Ji = jn[..., None] * nrm  # impulse ON body i from each j
+        v = v + mi[..., None] * jnp.sum(Ji, axis=2)
+        wv = wv + mi[..., None] * jnp.einsum(
+            "noab,nob->noa", iw, jnp.sum(jnp.cross(r_i, Ji), axis=2)
+        )
+        return p, v, wv, jnp.any(support, axis=2)
+
+    def robot_pushout(p, v, half_c, u_c, w_c, force, wv=None, iw=None,
+                      sdt_c=None):
+        """Robot cylinder vs OBB nearest footprint point -> pseudo force.
+
+        Contacts v5 (wv/iw given): in addition to the positional pushout,
+        a normal impulse is applied AT the contact point (nearest surface
+        point, at the midpoint of the cylinder/box vertical overlap), so a
+        robot ramming a standing box torques it about its support — it tips
+        instead of only sliding (reference: Bullet resolves robot-box
+        contacts with full rigid-body response)."""
         da = p - agent_pos[:, None, :]
         in_h = jnp.abs(da[..., 1]) < 1.2
         da_xz = da[..., jnp.array([0, 2])]
@@ -283,7 +371,36 @@ def contact_step(
         force = force + FORCE_K * jnp.sum(
             jnp.where(hit_a, pen_a, 0.0), axis=1
         )
-        return p, force
+        if wv is None:
+            return p, v, None, force
+        # ---- contacts v5: lever-arm impulse at the contact point ---------
+        zero = jnp.zeros_like(pen_a)
+        u3 = jnp.stack([u_c[..., 0], zero, u_c[..., 1]], axis=-1)
+        w3 = jnp.stack([w_c[..., 0], zero, w_c[..., 1]], axis=-1)
+        y_lo = jnp.maximum(
+            p[..., 1] - half_c[..., 1], agent_pos[:, None, 1] - 1.2
+        )
+        y_hi = jnp.minimum(
+            p[..., 1] + half_c[..., 1], agent_pos[:, None, 1] + 1.2
+        )
+        cp = p + nearx[..., None] * u3 + nearz[..., None] * w3
+        cp = cp.at[..., 1].set(0.5 * (y_lo + y_hi))
+        r = cp - p
+        n3 = jnp.stack([nx, zero, nz], axis=-1)  # pushes box away from agent
+        vn = jnp.sum((v + jnp.cross(wv, r)) * n3, -1)
+        vn_t = jnp.where(hit_a, 0.5 * pen_a / sdt_c, 0.0)  # separating speed
+        rxn = jnp.cross(r, n3)
+        ang = jnp.sum(
+            jnp.cross(jnp.einsum("noab,nob->noa", iw, rxn), r) * n3, -1
+        )
+        k_n = 1.0 + jnp.maximum(ang, 0.0)
+        jn = jnp.where(
+            hit_a & (vn < vn_t), (vn_t - vn) / jnp.maximum(k_n, 1e-6), 0.0
+        )
+        Jv = jn[..., None] * n3
+        v = v + Jv
+        wv = wv + jnp.einsum("noab,nob->noa", iw, jnp.cross(r, Jv))
+        return p, v, wv, force
 
     if quat is not None:
         # ---- contacts v4: rotational floor + translational box-box -------
@@ -299,15 +416,20 @@ def contact_step(
                 p, v, q, wv, half, free, floor_y, sdt, g=g
             )
             yaw_eff, half_eff = rigid.effective_upright_obb(q, half)
+            iw = rigid.world_inertia_inv(q, half)
             cy, sy = jnp.cos(yaw_eff), jnp.sin(yaw_eff)
             u_c = jnp.stack([cy, -sy], axis=-1)
             w_c = jnp.stack([sy, cy], axis=-1)
             hy_c = half_eff[..., 1]
-            p, v, supported = sat_boxbox(p, v, half_eff, hy_c, u_c, w_c, True)
+            p, v, wv, supported = sat_boxbox(
+                p, v, half_eff, hy_c, u_c, w_c, True, wv=wv, iw=iw
+            )
             v = jnp.where(
                 supported[..., None], v * jnp.array([0.2, 0.0, 0.2]), v
             )
-            p, force = robot_pushout(p, v, half_eff, u_c, w_c, force)
+            p, v, wv, force = robot_pushout(
+                p, v, half_eff, u_c, w_c, force, wv=wv, iw=iw, sdt_c=sdt
+            )
         return (
             p - center_off,
             jnp.where(freem, v, 0.0),
@@ -329,7 +451,7 @@ def contact_step(
     for _ in range(n_substeps):
         v = jnp.where(freem, v.at[..., 1].add(-g * sdt), 0.0)
         p = jnp.where(freem, p + v * sdt, p)
-        p, v, supported = sat_boxbox(p, v, half, hy, u, w, True)
+        p, v, _, supported = sat_boxbox(p, v, half, hy, u, w, True)
         # floor/support: ground clamp; friction kills horizontal motion on
         # the floor AND on top of a supporting box
         fy = fy_c + hy
@@ -340,7 +462,7 @@ def contact_step(
             v * jnp.array([0.2, 0.0, 0.2]),  # friction + no bounce
             v,
         )
-        p, force = robot_pushout(p, v, half, u, w, force)
+        p, v, _, force = robot_pushout(p, v, half, u, w, force)
 
     return p - center_off, jnp.where(freem, v, 0.0), force
 

@@ -10,11 +10,12 @@ over the 8 box corners — all batched over (N envs, O objects) with static
 shapes (the 8-corner Gauss-Seidel pass is a compile-time unroll, not a
 dynamic constraint set like Bullet's).
 
-Scope (documented, honest): floor contacts generate torque (tipping/
-tumbling/settling); box-box and robot-box contacts remain translational
-(resolved by the upright-OBB SAT in rearrange_env.contact_step against each
-body's CURRENT orientation footprint) — a box-box collision pushes but does
-not tip. Grasped objects are kinematic (reference kinematic_mode recipe).
+Scope (documented, honest): floor contacts generate torque here (tipping/
+tumbling/settling); box-box and robot-box contacts transfer torque through
+the contacts-v5 lever-arm impulses in rearrange_env.contact_step (contact
+point from the upright-OBB covers of each body's CURRENT orientation — no
+mesh/convex manifolds). Grasped objects are kinematic (reference
+kinematic_mode recipe).
 """
 
 from __future__ import annotations
@@ -108,6 +109,15 @@ def box_inertia_inv(half: jnp.ndarray, mass: float = 1.0) -> jnp.ndarray:
     hz2 = half[..., 2] ** 2
     i = (mass / 3.0) * jnp.stack([hy2 + hz2, hx2 + hz2, hx2 + hy2], axis=-1)
     return 1.0 / jnp.maximum(i, 1e-8)
+
+
+def world_inertia_inv(
+    q: jnp.ndarray, half: jnp.ndarray, mass: float = 1.0
+) -> jnp.ndarray:
+    """World-frame inverse inertia R diag(I_body^-1) R^T, (..., 3, 3)."""
+    R = quat_to_matrix(q)
+    ii = box_inertia_inv(half, mass)
+    return jnp.einsum("...ij,...j,...kj->...ik", R, ii, R)
 
 
 def box_floor_substep(
@@ -205,10 +215,14 @@ def box_floor_substep(
         v = v + inv_m * imp_t
         w = w + jnp.einsum("...ij,...j->...i", iw, jnp.cross(r, imp_t))
 
-    # positional projection: lift out of the support surface (translational)
+    # positional projection: lift out of the support surface (translational).
+    # NOTE: scale the unit corner by half in the BODY frame BEFORE rotating
+    # (R @ (corner*half)) — scaling the rotated corner by half in world axes
+    # is only equivalent for cubes, and disagreed with the impulse loop's
+    # corners for tipped non-cubic boxes (box hovered with no contacts).
     corners = p[..., None, :] + jnp.einsum(
-        "...ij,kj->...ki", R, _CORNERS
-    ) * jnp.broadcast_to(half[..., None, :], p.shape[:-1] + (8, 3))
+        "...ij,...kj->...ki", R, _CORNERS * half[..., None, :]
+    )
     NN, OO = corners.shape[0], corners.shape[1]
     hts = height_under(corners.reshape(NN, OO * 8, 3)).reshape(NN, OO, 8)
     lift = jnp.max(jnp.maximum(hts - corners[..., 1], 0.0), axis=-1)

@@ -27,14 +27,15 @@ from habitat_tpu.models.rnn_state_encoder import initial_hidden_state
 
 S = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 BUDGET_S = float(sys.argv[2]) if len(sys.argv) > 2 else 1500.0
-BACKBONE = sys.argv[3] if len(sys.argv) > 3 else "resnet9"
-HIDDEN = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+BACKBONE = sys.argv[3] if len(sys.argv) > 3 else "resnet18"
+HIDDEN = int(sys.argv[4]) if len(sys.argv) > 4 else 512
 EVAL_EVERY_S = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0  # 0 = end only
 CKPT_DIR = sys.argv[6] if len(sys.argv) > 6 else ""
 NUM_ENVS = int(sys.argv[7]) if len(sys.argv) > 7 else 128
+RES = int(sys.argv[8]) if len(sys.argv) > 8 else 64  # depth sensor H=W
 N_EVAL_SCENES = 16
 SENSORS = (
-    ("HabitatSimDepthSensor", {"height": 64, "width": 64}),
+    ("HabitatSimDepthSensor", {"height": RES, "width": RES}),
     ("PointGoalWithGPSCompassSensor", None),
 )
 

@@ -129,7 +129,9 @@ def test_pddl_apply_action_solves_rearrange(pick_cfg):
         (objs[np.arange(n), tgt] - goals[np.arange(n), tgt])[:, [0, 2]],
         axis=-1,
     )
-    assert (gap < 0.6).all(), gap
+    # contacts v5: neighbor contacts transfer torque, so a push-off can also
+    # roll the box a little further than the v3/v4 translational shove
+    assert (gap < 0.8).all(), gap
     assert (np.asarray(info["obj_at_goal"]) > 0).any()
 
 
