@@ -122,8 +122,18 @@ def _scan_scene_row(N: int):
     from habitat_tpu.datasets.pointnav import generate_pointnav_episode
     from habitat_tpu.models.policy import make_pointnav_resnet_policy
     from habitat_tpu.utils.geometry import camera_rays
-    from habitat_tpu.ops.raycast import ray_feature_matrix, select_chunks_occluded, _lod_band_ok
-    from habitat_tpu.ops.raycast_pallas import group_tri_mat_pad16, raycast_pallas_stream_t
+    from habitat_tpu.ops.raycast import (
+        _lod_band_ok,
+        ray_feature_matrix,
+        select_chunks,
+        select_chunklets_exact,
+        tile_plane_normals_cam,
+    )
+    from habitat_tpu.ops.raycast_pallas import (
+        group_tri_mat_pad16,
+        raycast_pallas_exactsel_t,
+        raycast_pallas_stream_t,
+    )
 
     scene = generate_scan_apartment(0, tess=0.04, n_clutter=40)
     lod = build_lod_scene(scene, cells=(0.08, 0.25, 0.6), bands=(1.2, 3.0, 8.0))
@@ -171,10 +181,7 @@ def _scan_scene_row(N: int):
         ((0, 0), (0, 6), (0, 0)),
     )
 
-    def run_stream(ids, cnt):
-        t, idx = raycast_pallas_stream_t(
-            gm, svids, ids, cnt, d_t, Bt, ray_tile=1024, tri_chunk=C_big
-        )
+    def exact_epilogue(t, idx):
         t, idx = blk(t, inv=True), blk(idx, inv=True)
         hit = idx >= 0
         safe = jnp.maximum(idx, 0)
@@ -202,15 +209,41 @@ def _scan_scene_row(N: int):
     ids_all = (
         (jnp.where(in_c, dmin_c, 0) << 18) | jnp.where(in_c, idx_c, 0)
     ).astype(jnp.int32)
-    t_full, i_full = jax.jit(run_stream)(ids_all, cnt_all)
+
+    def run_oracle(ids, cnt):
+        # band-valid ALL-chunks oracle through the v10 stream kernel
+        t, idx = raycast_pallas_stream_t(
+            gm, svids, ids, cnt, d_t, Bt, ray_tile=1024, tri_chunk=C_big
+        )
+        return exact_epilogue(t, idx)
+
+    def run_deployed():
+        # the DEPLOYED v13 selection + kernel — the same call sequence
+        # render_batch's large-scene path makes (ops/raycast.py:1176-1215),
+        # so this exactness number guards what actually trains
+        ids0, cnt0 = select_chunks(
+            pack.chunk_bounds[svids], ob, db, 1024, max(160, 320),
+            with_cnt=True,
+        )
+        planes = jnp.asarray(
+            tile_plane_normals_cam(np.deg2rad(90.0), H, W, 32, 32)
+        )
+        ids, cnt = select_chunklets_exact(
+            pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid,
+            pack.chunklet_ab32, svids, posj, yawj, pitchj,
+            planes, ids0, cnt0, parent_c=C_big, c=32, skip_exact=True,
+        )
+        t, idx = raycast_pallas_exactsel_t(
+            pack.tri_mat_g32, svids, ids, cnt, d_t, Bt,
+            ray_tile=1024, tri_chunk=32,
+        )
+        return exact_epilogue(t, idx)
+
+    t_full, i_full = jax.jit(run_oracle)(ids_all, cnt_all)
     t_full = np.asarray(t_full)
     hit_full = np.asarray(i_full) >= 0
 
-    K = 160
-    ids, cnt = select_chunks_occluded(
-        pack.tri_mat, cb, svids, ob, db, 1024, K, with_cnt=True
-    )
-    tK, iK = jax.jit(run_stream)(ids, cnt)
+    tK, iK = jax.jit(run_deployed)()
     tK = np.asarray(tK)
     hitK = np.asarray(iK) >= 0
     both = hit_full & hitK

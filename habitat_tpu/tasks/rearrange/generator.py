@@ -216,9 +216,16 @@ def build_rearrange_table(
     max_objects: Optional[int] = None,
     settle: bool = False,
     art_joint: str = "prismatic",
+    art_asset=None,  # loaders.ArticulatedObjectAsset: URDF-defined joint
 ):
     """Pack rearrange episodes into device arrays (+ nav table whose goal is
-    the pick-target object's initial position — drives nav-reward fields)."""
+    the pick-target object's initial position — drives nav-reward fields).
+
+    art_asset: when given, the articulated slot's joint kind, slide/hinge
+    axis, joint-origin offset, and open joint value come from the URDF's
+    primary movable joint (reference: ao manager loads furniture URDFs,
+    rearrange_sim.py:209-233) instead of the procedural drawer defaults.
+    """
     from habitat_tpu.tasks.rearrange.rearrange_env import RearrangeTable
 
     E = len(episodes)
@@ -290,14 +297,46 @@ def build_rearrange_table(
             p = scene.sample_navigable_point(rng_art)
             art_pos[i, 0] = p
         ang = rng_art.uniform(-np.pi, np.pi)
-        art_axis[i, 0] = [np.cos(ang), 0.0, np.sin(ang)]
         art_valid[i, 0] = True
         task_kind = ep.info.get("art_task", "open")
-        # fridge doors are revolute (q in radians about the vertical hinge,
-        # reference open_fridge/close_fridge); drawers prismatic (q meters)
-        revolute = ep.info.get("art_joint", art_joint) == "revolute"
+        if art_asset is not None:
+            # URDF-defined articulated object: joint kind, axis, origin and
+            # open value come from the asset's primary movable joint; the
+            # placement yaw rotates the object-frame axis into the world
+            j = art_asset.primary
+            revolute = j.joint_type == "revolute"
+            ca, sa = np.cos(ang), np.sin(ang)
+            axo = j.axis if not revolute else (
+                # hinge about vertical: art_axis stores the DOOR DIRECTION
+                # at q=0 (the env swings it about +Y); use the child box's
+                # center direction, or x if degenerate
+                j.box_center if np.linalg.norm(j.box_center[[0, 2]]) > 1e-5
+                else np.array([1.0, 0.0, 0.0], np.float32)
+            )
+            axw = np.array(
+                [ca * axo[0] + sa * axo[2], axo[1], -sa * axo[0] + ca * axo[2]],
+                np.float32,
+            )
+            n = np.linalg.norm(axw[[0, 2]])
+            axw = axw / max(n, 1e-6)
+            axw[1] = 0.0  # furniture joints actuate in the horizontal plane
+            art_axis[i, 0] = axw
+            oo = j.origin
+            art_pos[i, 0] = art_pos[i, 0] + np.array(
+                [ca * oo[0] + sa * oo[2], oo[1], -sa * oo[0] + ca * oo[2]],
+                np.float32,
+            )
+            open_q = float(j.upper) if j.upper > j.lower else (
+                1.5 if revolute else 0.35
+            )
+        else:
+            art_axis[i, 0] = [np.cos(ang), 0.0, np.sin(ang)]
+            # fridge doors are revolute (q in radians about the vertical
+            # hinge, reference open_fridge/close_fridge); drawers prismatic
+            # (q meters)
+            revolute = ep.info.get("art_joint", art_joint) == "revolute"
+            open_q = 1.5 if revolute else 0.35
         art_is_revolute[i, 0] = revolute
-        open_q = 1.5 if revolute else 0.35
         if task_kind == "close":
             art_init_q[i], art_goal_q[i] = open_q, 0.0
         else:
@@ -355,6 +394,7 @@ def make_rearrange_env(
     num_envs: int = 4,
     task: str = "pick",
     art_joint: str = "prismatic",
+    art_urdf: Optional[str] = None,  # URDF path for the articulated object
     num_scenes: int = 2,
     episodes_per_scene: int = 8,
     seed: int = 0,
@@ -380,10 +420,16 @@ def make_rearrange_env(
     scene_map = {s.scene_id: s for s in scenes}
     pack = pack_scenes(scenes)
     # contact dynamics: settle generated placements (reference settle_sim)
+    art_asset = None
+    if art_urdf is not None:
+        from habitat_tpu.sims.loaders import load_articulated_object
+
+        art_asset = load_articulated_object(art_urdf)
     table = build_rearrange_table(
         episodes, scene_map, scene_index,
         settle=env_kw.get("dynamics") == "contacts",
         art_joint=art_joint,
+        art_asset=art_asset,
     )
     order = build_env_episode_order(episodes, num_envs, seed=seed)
     return RearrangeBatchedEnv(
