@@ -1232,7 +1232,7 @@ def render_batch(
                         sids, ids, cnt, d_t_l, Bt_l,
                         ray_tile=1024, tri_chunk=C_big,
                     )
-                if pack.tri_attr16 is not None and dynamic is None:
+                if pack.tri_attr16 is not None:
                     # v14 CHANNEL-MAJOR epilogue (round 4): every (N,R,c)
                     # intermediate with a 3/8/16-wide minor dim tiles to
                     # 128 lanes on TPU, so the old channel-minor epilogue
@@ -1241,6 +1241,10 @@ def render_batch(
                     # is 7 ms; scripts/exp_v14_epilogue.py). Everything
                     # after the ONE row gather runs as (N,c,R) with rays
                     # packing the lanes, mirroring the fused path above.
+                    # Round 5: the dynamic-geometry pass merges here in the
+                    # SAME channel-major block order (previously any dynamic
+                    # geometry dropped the whole render to the channel-minor
+                    # epilogue — rearrange-on-scan never got the fast path).
                     hit = idx >= 0
                     safe_idx = jnp.maximum(idx, 0)
                     a16 = pack.tri_attr16[sids[:, None], safe_idx]
@@ -1270,6 +1274,62 @@ def render_batch(
                         (at_t[:, ATTR16_NV0] - n_o) / jnp.where(ok, nd, 1.0),
                         t,
                     )
+                    col_t = at_t[:, 3:6]
+                    sem_t = at_t[:, 6]
+                    if dynamic is not None:
+                        # dynamic pass in BLOCK order, merged channel-major
+                        # (attribute lookup stays a transposed one-hot
+                        # matmul — rays in lanes, same as the static side)
+                        from habitat_tpu.ops.raycast_pallas import (
+                            raycast_pallas_index_t,
+                        )
+
+                        td = dynamic["v0"].shape[1]
+                        dpad = (-td) % 128
+                        v0d = jnp.pad(dynamic["v0"], ((0, 0), (0, dpad), (0, 0)))
+                        e1d = jnp.pad(dynamic["e1"], ((0, 0), (0, dpad), (0, 0)))
+                        e2d = jnp.pad(dynamic["e2"], ((0, 0), (0, dpad), (0, 0)))
+                        validd = jnp.pad(dynamic["valid"], ((0, 0), (0, dpad)))
+                        dmat = build_tri_matrix_jnp(v0d, e1d, e2d, validd)
+                        nrm_d = jnp.cross(e1d, e2d)
+                        nrm_d = nrm_d / (
+                            jnp.linalg.norm(nrm_d, axis=-1, keepdims=True) + 1e-9
+                        )
+                        cold = jnp.pad(
+                            dynamic["color"], ((0, 0), (0, dpad), (0, 0))
+                        )
+                        semd = jnp.pad(
+                            dynamic["sem"], ((0, 0), (0, dpad))
+                        ).astype(jnp.float32)
+                        t2, idx2 = raycast_pallas_index_t(
+                            dmat,
+                            jnp.arange(N, dtype=jnp.int32),
+                            ray_features_t(origins_c, dirs_c, 1024),
+                            ray_tile=1024,
+                        )
+                        closer = (idx2 >= 0) & (t2 < t)
+                        Tp = dmat.shape[-1]
+                        table_t = jnp.concatenate(
+                            [nrm_d, cold, semd[..., None]], axis=-1
+                        ).transpose(0, 2, 1)  # (N, 7, Tp)
+                        oh = (
+                            jnp.arange(Tp, dtype=idx2.dtype)[None, :, None]
+                            == idx2[:, None, :]
+                        ).astype(jnp.float32)  # (N, Tp, R)
+                        attr2_t = jax.lax.dot_general(
+                            table_t,
+                            oh,
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32,
+                        )  # (N, 7, R)
+                        nd2 = jnp.sum(attr2_t[:, 0:3] * dirs_bt, axis=1)
+                        hit = hit | closer
+                        t_pl = jnp.where(closer, t2, t_pl)
+                        nd = jnp.where(closer, nd2, nd)
+                        col_t = jnp.where(
+                            closer[:, None, :], attr2_t[:, 3:6], col_t
+                        )
+                        sem_t = jnp.where(closer, attr2_t[:, 6], sem_t)
                     # mask t before the depth multiply so a +inf kernel-miss
                     # t can never reach the multiply (NaN-safety independent
                     # of the pinhole gating on dcb.z != 0)
@@ -1285,7 +1345,7 @@ def render_batch(
                     sky_l = jnp.array([0.65, 0.75, 0.9], jnp.float32)
                     rgb_t = jnp.where(
                         hit[:, None, :],
-                        at_t[:, 3:6] * shade[:, None, :],
+                        col_t * shade[:, None, :],
                         sky_l[None, :, None],
                     )
                     rgb_u8 = from_blocks(
@@ -1294,7 +1354,7 @@ def render_batch(
                         .transpose(0, 2, 1)
                     ).reshape(N, height, width, 3)
                     sem_b = jnp.where(
-                        hit, jnp.round(at_t[:, 6]).astype(jnp.int32), 0
+                        hit, jnp.round(sem_t).astype(jnp.int32), 0
                     )
                     return {
                         "rgb": rgb_u8,

@@ -103,3 +103,65 @@ def test_attr16_nv0_slot_contract(setup):
     assert np.allclose(a16[valid, ATTR16_NV0], nv0[valid], atol=1e-5)
     # valid triangles in this scene have non-degenerate plane rows
     assert np.abs(a16[valid, ATTR16_NV0]).max() > 0
+
+
+def _box_dynamic(N, center, half):
+    """Per-env dynamic box geometry (12 tris) like the rearrange env emits."""
+    c = np.array(
+        [[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+         [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], np.float32
+    ) * np.asarray(half, np.float32) + np.asarray(center, np.float32)
+    faces = np.array(
+        [[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
+         [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5], [0, 4, 7], [0, 7, 3]],
+        np.int64,
+    )
+    tri = c[faces]  # (12,3,3)
+    v0 = np.broadcast_to(tri[:, 0], (N, 12, 3)).copy()
+    e1 = np.broadcast_to(tri[:, 1] - tri[:, 0], (N, 12, 3)).copy()
+    e2 = np.broadcast_to(tri[:, 2] - tri[:, 0], (N, 12, 3)).copy()
+    return {
+        "v0": jnp.asarray(v0),
+        "e1": jnp.asarray(e1),
+        "e2": jnp.asarray(e2),
+        "valid": jnp.ones((N, 12), bool),
+        "color": jnp.broadcast_to(
+            jnp.asarray([0.9, 0.2, 0.1], jnp.float32), (N, 12, 3)
+        ),
+        "sem": jnp.full((N, 12), 7, jnp.int32),
+    }
+
+
+def test_v14_epilogue_with_dynamic_matches_legacy(setup):
+    """Round 5: the dynamic-geometry pass merges inside the channel-major
+    epilogue (previously dynamic dropped the whole render to the legacy
+    path). Parity vs the legacy epilogue with the same dynamic boxes."""
+    pack, sids, pos, yaw, pitch, (N, H, W) = setup
+    cull_k = max(4, pack.tri_mat.shape[3] // 128 // 4)
+    # a box floating right in front of the first camera's general area
+    dyn = _box_dynamic(N, center=np.asarray(pos)[0] + [0.0, 0.2, 0.6],
+                       half=[0.3, 0.3, 0.3])
+
+    with pltpu.force_tpu_interpret_mode():
+        out_v14 = render_batch(
+            pack, sids, pos, yaw, pitch, height=H, width=W,
+            backend="pallas", cull_k=cull_k, dynamic=dyn,
+        )
+        out_legacy = render_batch(
+            dataclasses.replace(pack, tri_attr16=None), sids, pos, yaw,
+            pitch, height=H, width=W, backend="pallas", cull_k=cull_k,
+            dynamic=dyn,
+        )
+
+    sem14 = np.asarray(out_v14["semantic"])
+    semlg = np.asarray(out_legacy["semantic"])
+    assert (sem14 == 7).any(), "dynamic box not visible in v14 render"
+    assert (sem14 == semlg).mean() > 0.995  # boundary lanes may differ by
+    # one pixel where static t (plane-exact vs kernel) crosses dynamic t
+    d14 = np.asarray(out_v14["depth"], np.float64)
+    dlg = np.asarray(out_legacy["depth"], np.float64)
+    agree = np.abs(d14 - dlg) < 1e-3
+    assert agree.mean() > 0.995
+    r14 = np.asarray(out_v14["rgb"], np.int32)
+    rlg = np.asarray(out_legacy["rgb"], np.int32)
+    assert (np.abs(r14 - rlg) <= 1).mean() > 0.995
