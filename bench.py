@@ -232,6 +232,7 @@ def _scan_scene_row(N: int):
             pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid,
             pack.chunklet_ab32, svids, posj, yawj, pitchj,
             planes, ids0, cnt0, parent_c=C_big, c=32, skip_exact=True,
+            verts16=pack.tri_verts16,
         )
         t, idx = raycast_pallas_exactsel_t(
             pack.tri_mat_g32, svids, ids, cnt, d_t, Bt,

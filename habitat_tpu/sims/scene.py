@@ -351,6 +351,10 @@ class ScenePack:
     # replaces the attr + v0 pair (two small-row gathers measured 115.8 ms
     # vs 23.3 for one packed gather at 4.2M rays, round 4)
     tri_attr16: Optional[jnp.ndarray] = None  # (S, T, 16)
+    # per-triangle vertex rows [v0|e1|e2|pad7] for the exact-select L2 pass
+    # (round 5): gathered chunklet-major as (S*T//32, 512) 2KB rows so the
+    # per-candidate gather is one wide row, not 32 small ones
+    tri_verts16: Optional[jnp.ndarray] = None  # (S, T, 16)
     nav_res: float = 0.1  # static
     scene_ids: Tuple[str, ...] = ()  # static (host metadata)
 
@@ -498,7 +502,7 @@ def pack_scenes(
         lo[i] = s.nav_lo
         fy[i] = s.floor_y
 
-    g32 = ab32 = attr16 = None
+    g32 = ab32 = attr16 = verts16 = None
     if chunk == 256:  # scan-scale pack: precompute the stream tables
         from habitat_tpu.ops.raycast import chunklet_aabbs
         from habitat_tpu.ops.raycast_pallas import group_tri_mat_pad16
@@ -531,6 +535,9 @@ def pack_scenes(
             axis=-1,
         )
         assert attr16.shape[-1] == 16 and ATTR16_NV0 == 8 + 3
+        verts16 = jnp.concatenate(
+            [vj, e1j, e2j, jnp.zeros((S, t_max, 7), jnp.float32)], axis=-1
+        )
     return ScenePack(
         tri_v0=jnp.asarray(v0),
         tri_e1=jnp.asarray(e1),
@@ -548,6 +555,7 @@ def pack_scenes(
         tri_mat_g32=g32,
         chunklet_ab32=ab32,
         tri_attr16=attr16,
+        tri_verts16=verts16,
         nav_res=scenes[0].nav_res,
         scene_ids=tuple(s.scene_id for s in scenes),
     )
@@ -574,6 +582,7 @@ def _scenepack_flatten(sp: ScenePack):
         sp.tri_mat_g32,
         sp.chunklet_ab32,
         sp.tri_attr16,
+        sp.tri_verts16,
     )
     aux = (sp.nav_res, sp.scene_ids)
     return children, aux

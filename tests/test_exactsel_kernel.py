@@ -117,3 +117,69 @@ def test_exactsel_kernel_matches_oracle(setup, groups):
         # tightly where the same winner was picked
         same = both & (idx[n] == i_o)
         assert np.abs(t[n][same] - t_o[same]).max() < 5e-2
+
+
+def test_packed_exact_select_overflow_passthrough():
+    """Round-5 packed-exact L2 (verts16): the k_exact cap only bypasses the
+    exact test for overflow survivors — never drops them. With a tiny cap
+    the survivor set must still contain every uncapped-exact survivor and
+    stay within the L1 set."""
+    scene = generate_scan_apartment(
+        seed=3, extent=6.0, n_rooms_per_axis=2, n_clutter=6, tess=0.35
+    )
+    pack = pack_scenes([scene])
+    T = pack.tri_v0.shape[1]
+    parent_c = T // pack.chunk_bounds.shape[1]
+    N, H, W = 2, 32, 32
+    rng = np.random.RandomState(7)
+    pos = jnp.asarray(
+        np.array([[4.0, 1.25, 4.0]]) + rng.uniform(-1, 1, (N, 3)) * [1, 0, 1],
+        jnp.float32,
+    )
+    yaw = jnp.asarray(rng.uniform(-np.pi, np.pi, N).astype(np.float32))
+    pitch = jnp.zeros(N)
+    sids = jnp.zeros((N,), jnp.int32)
+    d_all = jax.vmap(
+        lambda y: camera_rays(y, jnp.float32(0.0), jnp.deg2rad(90.0), H, W)
+    )(yaw).reshape(N, H * W, 3)
+    o_all = jnp.broadcast_to(pos[:, None, :], d_all.shape)
+    planes = jnp.asarray(tile_plane_normals_cam(np.deg2rad(90.0), H, W, 32, 32))
+    ids0, cnt0 = select_chunks(
+        pack.chunk_bounds[sids], o_all, d_all, 1024, 64, with_cnt=True
+    )
+    ab = chunklet_aabbs(
+        pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid, c=32
+    )
+    verts16 = jnp.concatenate(
+        [
+            pack.tri_v0,
+            pack.tri_e1,
+            pack.tri_e2,
+            jnp.zeros(pack.tri_v0.shape[:-1] + (7,), jnp.float32),
+        ],
+        axis=-1,
+    )
+    common = dict(parent_c=parent_c, c=32)
+    ids_l1, cnt_l1 = select_chunklets_exact(
+        pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid, ab, sids,
+        pos, yaw, pitch, planes, ids0, cnt0, skip_exact=True, **common
+    )
+    ids_full, cnt_full = select_chunklets_exact(
+        pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid, ab, sids,
+        pos, yaw, pitch, planes, ids0, cnt0, verts16=verts16,
+        k_exact=4096, **common
+    )
+    ids_cap, cnt_cap = select_chunklets_exact(
+        pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid, ab, sids,
+        pos, yaw, pitch, planes, ids0, cnt0, verts16=verts16,
+        k_exact=8, **common
+    )
+    MASK = (1 << 18) - 1
+    for n in range(ids_l1.shape[0]):
+        for t in range(ids_l1.shape[1]):
+            s_l1 = set((np.asarray(ids_l1[n, t, : cnt_l1[n, t]]) & MASK).tolist())
+            s_full = set((np.asarray(ids_full[n, t, : cnt_full[n, t]]) & MASK).tolist())
+            s_cap = set((np.asarray(ids_cap[n, t, : cnt_cap[n, t]]) & MASK).tolist())
+            assert s_full <= s_cap <= s_l1, (n, t)
+    # the exact pass must actually cull something somewhere
+    assert int(jnp.sum(cnt_full)) < int(jnp.sum(cnt_l1))
