@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-pytestmark = pytest.mark.smoke
 
 ROOT = os.path.join(os.path.dirname(__file__), "assets", "mini_dataset")
 

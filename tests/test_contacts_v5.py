@@ -15,7 +15,6 @@ from habitat_tpu.tasks.rearrange.rigid_body import (
     quat_to_matrix,
 )
 
-pytestmark = pytest.mark.smoke
 
 
 def _body_y_upness(q):

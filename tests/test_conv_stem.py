@@ -13,7 +13,6 @@ import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 from conv_stem_kernel import conv_stem, conv_stem_reference
 
-pytestmark = pytest.mark.smoke
 
 
 @pytest.fixture(scope="module")

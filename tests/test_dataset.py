@@ -18,7 +18,6 @@ from habitat_tpu.core.dataset import (
     NavigationGoal,
 )
 
-pytestmark = pytest.mark.smoke
 
 
 def _construct_dataset(num_episodes, num_groups=10):

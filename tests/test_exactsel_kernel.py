@@ -27,7 +27,6 @@ from habitat_tpu.ops.raycast_pallas import (
 )
 from habitat_tpu.utils.geometry import camera_rays
 
-pytestmark = pytest.mark.smoke
 
 
 @pytest.fixture(scope="module")

@@ -87,3 +87,21 @@ def test_hitl_rearrange_v2_app_scripted(tmp_path):
     rec = main(output_path=str(tmp_path / "s.json.gz"))
     assert rec["finished"] and len(rec["episodes"]) == 2
     assert len(rec["users"]) == 2
+
+
+def test_hitl_sim_viewer_example():
+    """Free-camera scene viewer with scene cycling (reference
+    examples/hitl/sim_viewer)."""
+    from examples.hitl_sim_viewer_app import main
+
+    app, rendered = main()
+    assert app.frames > 50
+
+
+def test_hitl_pick_throw_example():
+    """VR-hand grab/carry/throw over the contacts stepper (reference
+    examples/hitl/pick_throw_vr)."""
+    from examples.hitl_pick_throw_app import main
+
+    app = main()
+    assert [e[0] for e in app.events] == ["grasp", "throw"]

@@ -21,7 +21,6 @@ from habitat_tpu.core.construct import rearrange_env_from_config
 
 BL_ROOT = "/root/reference/habitat-baselines/habitat_baselines/config"
 
-pytestmark = pytest.mark.smoke
 
 
 @pytest.mark.skipif(not os.path.isdir(BL_ROOT), reason="baselines absent")

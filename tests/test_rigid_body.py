@@ -15,7 +15,6 @@ from habitat_tpu.tasks.rearrange.rigid_body import (
     yaw_from_quat,
 )
 
-pytestmark = pytest.mark.smoke
 
 
 def _run(p, v, q, w, half, steps=200, dt=0.02, ledges=None, mu=0.5):

@@ -19,7 +19,6 @@ from habitat_tpu.sims.procedural import generate_scan_apartment
 from habitat_tpu.sims.scene import pack_scenes
 from habitat_tpu.ops.raycast import ATTR16_NV0, render_batch
 
-pytestmark = pytest.mark.smoke
 
 
 @pytest.fixture(scope="module")
