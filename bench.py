@@ -181,12 +181,12 @@ def _scan_scene_row(N: int):
         ((0, 0), (0, 6), (0, 0)),
     )
 
-    def exact_epilogue(t, idx):
+    def exact_epilogue(pk, t, idx):
         t, idx = blk(t, inv=True), blk(idx, inv=True)
         hit = idx >= 0
         safe = jnp.maximum(idx, 0)
-        nrm = pack.tri_attr[svids[:, None], safe, 0:3]
-        v0g = pack.tri_v0[svids[:, None], safe]
+        nrm = pk.tri_attr[svids[:, None], safe, 0:3]
+        v0g = pk.tri_v0[svids[:, None], safe]
         nd = jnp.sum(nrm * d4, axis=-1)
         num = jnp.sum(nrm * (v0g - o4), axis=-1)
         ok = hit & (jnp.abs(nd) > 1e-6)
@@ -210,14 +210,17 @@ def _scan_scene_row(N: int):
         (jnp.where(in_c, dmin_c, 0) << 18) | jnp.where(in_c, idx_c, 0)
     ).astype(jnp.int32)
 
-    def run_oracle(ids, cnt):
+    # NOTE: pk is a jit ARGUMENT everywhere below — closing over the pack
+    # inlines its tables as HLO constants, and with tri_verts16 (round 5)
+    # the remote-compile request exceeds the tunnel's body limit (HTTP 413)
+    def run_oracle(pk, gmk, ids, cnt):
         # band-valid ALL-chunks oracle through the v10 stream kernel
         t, idx = raycast_pallas_stream_t(
-            gm, svids, ids, cnt, d_t, Bt, ray_tile=1024, tri_chunk=C_big
+            gmk, svids, ids, cnt, d_t, Bt, ray_tile=1024, tri_chunk=C_big
         )
-        return exact_epilogue(t, idx)
+        return exact_epilogue(pk, t, idx)
 
-    def run_deployed():
+    def run_deployed(pack):
         # the DEPLOYED v13 selection + kernel — the same call sequence
         # render_batch's large-scene path makes (ops/raycast.py:1176-1215),
         # so this exactness number guards what actually trains
@@ -238,13 +241,13 @@ def _scan_scene_row(N: int):
             pack.tri_mat_g32, svids, ids, cnt, d_t, Bt,
             ray_tile=1024, tri_chunk=32,
         )
-        return exact_epilogue(t, idx)
+        return exact_epilogue(pack, t, idx)
 
-    t_full, i_full = jax.jit(run_oracle)(ids_all, cnt_all)
+    t_full, i_full = jax.jit(run_oracle)(pack, gm, ids_all, cnt_all)
     t_full = np.asarray(t_full)
     hit_full = np.asarray(i_full) >= 0
 
-    tK, iK = jax.jit(run_deployed)()
+    tK, iK = jax.jit(run_deployed)(pack)
     tK = np.asarray(tK)
     hitK = np.asarray(iK) >= 0
     both = hit_full & hitK

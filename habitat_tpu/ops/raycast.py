@@ -117,6 +117,10 @@ def raycast_rays(
 # tri_attr16 row layout contract (built by sims/scene.pack_scenes, consumed by
 # the v14 channel-major epilogue below): [attr(8) | v0(3) | n.v0 | pad(4)].
 ATTR16_NV0 = 11
+# tri_verts16 row layout contract (pack_scenes <-> select_chunklets_exact):
+# [v0(3) | e1(3) | e2(3) | pad(6) | valid]. Validity lives in the row so the
+# exact select needs ONE wide-row gather per candidate, not a second bool one.
+VERTS16_VALID = 15
 
 
 def build_tri_matrix(tri_v0, tri_e1, tri_e2, tri_valid) -> np.ndarray:
@@ -658,14 +662,23 @@ def select_chunklets_exact(
         ids1 = head & ((1 << 18) - 1)
         pos_a = jnp.arange(ka, dtype=jnp.int32)
         in_head = pos_a[None, None, :] < jnp.minimum(cnt1, ka)[..., None]
-        # ONE wide-row gather: (S*NCH, 512) rows keyed by chunklet id
+        # ONE wide-row gather: (S*NCH, c, 16) rows keyed by chunklet id.
+        # Validity rides in lane VERTS16_VALID of the same row — a separate
+        # tri_valid gather is a 32-byte-row gather (the measured-slow
+        # class). The table is VIEWED 3D so the gather output is already
+        # (N, nt, ka, c, 16): gathering (.., 512) and reshaping after was
+        # a lanes-to-sublanes relayout of the full 1.6 GB gathered set,
+        # measured 22 ms/step at N=256 (profile, round 5).
         rows = verts16.reshape(S * NCH, c * 16)
         p16 = rows[sids[:, None, None] * NCH + ids1].reshape(
             N, nt, ka, c, 16
         )
-        vgood = tri_valid.reshape(S * NCH, c)[
-            sids[:, None, None] * NCH + ids1
-        ]
+        # NEGATIVES (round 5, N=256 timings): gathering with (c, 16)
+        # trailing block dims instead of lane-perfect (.., 512) rows:
+        # 227.8 ms (vs 79.5); replacing the 12 multiply-reduce passes
+        # below with one batched dot_general against a (16, 16) component
+        # map: 89.2 ms. The loop + reshape IS the fast XLA formulation.
+        vgood = p16[..., VERTS16_VALID] > 0.5
         rel0 = p16[..., 0:3] - cam_pos[:, None, None, None, :]
         eps = -1e-3
         out_any = None
@@ -678,6 +691,11 @@ def select_chunklets_exact(
             out_any = out_p if out_any is None else (out_any | out_p)
         keep_head = jnp.any(~out_any & vgood, axis=-1) & in_head
         head2 = jnp.where(keep_head, head, jnp.int32(0x7FFFFFFF))
+        # compaction: full-Kc re-sort. A head-only sort + shifted
+        # take_along_axis gap-close was tried (round 5) and measured 2.8x
+        # SLOWER overall (223.7 vs 79.5 ms select at N=256): the per-lane
+        # dynamic gather along the 2560-lane minor axis lowers to a
+        # generic gather that costs far more than the sort it saves.
         packed = jnp.concatenate([head2, packed[..., ka:]], axis=-1)
         packed = lax.sort(packed, dimension=-1)  # push culled to the tail
         cnt2 = (

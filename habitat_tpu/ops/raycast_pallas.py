@@ -1318,17 +1318,35 @@ def _exactsel_kernel_t(
                         p = unum * detA
                         q = vnum * detA
                         w = tnum * detA
-                        m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
-                        m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
-                        hit = (m1 >= 0.0) & (m2 > 0.0)
+                        # single fused margin: m1 >= 0 & m2 > 0 collapsed
+                        # to min(m1, m2) >= 0 (round-5 VPU trim). >= keeps
+                        # the shared-edge u==0/v==0 acceptance (crack-free
+                        # adjacent triangles); the flips it admits on the
+                        # m2 side (t exactly TMIN, |detA| exactly EPS) are
+                        # measure-zero and detA != 0 still holds there, so
+                        # the division below stays safe. Oracle and
+                        # deployed paths share this kernel, so exactness
+                        # comparisons see the same boundary rule.
+                        m = jnp.minimum(
+                            jnp.minimum(jnp.minimum(p, q), aa - p - q),
+                            jnp.minimum(
+                                w - _TMIN * aa, aa - _EPS * _EPS
+                            ),
+                        )
+                        hit = m >= 0.0
                         t = jnp.where(
                             hit, tnum / jnp.where(hit, detA, 1.0), _TMAX
                         )
                         tmin = jnp.min(t, axis=0)  # (gs,)
                         win = jnp.argmin(t, axis=0).astype(jnp.int32)
                         cid, _ = unpack(it * U + u)
-                        valid_u = (it * U + u) < nch
-                        better = (tmin < bt) & valid_u
+                        # NOTE no (it*U+u) < nch gate: the survivor tail is
+                        # duplicate-padded with the LAST survivor
+                        # (select_chunklets_exact contract), so re-testing
+                        # tail slots reproduces an already-seen chunklet's
+                        # t and cannot change the min (round-5 VPU trim).
+                        # nch == 0 never reaches here (n_iter == 0).
+                        better = tmin < bt
                         bt = jnp.where(better, tmin, bt)
                         bi = jnp.where(better, cid * c + win, bi)
                     tb_ref[0, lo : lo + gs] = bt

@@ -535,9 +535,22 @@ def pack_scenes(
             axis=-1,
         )
         assert attr16.shape[-1] == 16 and ATTR16_NV0 == 8 + 3
+        # [v0|e1|e2|pad6|valid]: validity rides in lane VERTS16_VALID so
+        # the exact-select consumer needs no second (32-byte-row) bool
+        # gather per candidate — the round-5 select breakdown measured the
+        # separate tri_valid gather as part of a 49 ms L2 overhead at
+        # N=256 (scripts/exp_v15_breakdown.py)
+        from habitat_tpu.ops.raycast import VERTS16_VALID
+
         verts16 = jnp.concatenate(
-            [vj, e1j, e2j, jnp.zeros((S, t_max, 7), jnp.float32)], axis=-1
+            [
+                vj, e1j, e2j,
+                jnp.zeros((S, t_max, 6), jnp.float32),
+                vaj[..., None].astype(jnp.float32),
+            ],
+            axis=-1,
         )
+        assert verts16.shape[-1] == 16 and VERTS16_VALID == 15
     return ScenePack(
         tri_v0=jnp.asarray(v0),
         tri_e1=jnp.asarray(e1),

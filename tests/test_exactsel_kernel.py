@@ -149,12 +149,14 @@ def test_packed_exact_select_overflow_passthrough():
     ab = chunklet_aabbs(
         pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid, c=32
     )
+    # layout contract: [v0|e1|e2|pad6|valid] (raycast.VERTS16_VALID)
     verts16 = jnp.concatenate(
         [
             pack.tri_v0,
             pack.tri_e1,
             pack.tri_e2,
-            jnp.zeros(pack.tri_v0.shape[:-1] + (7,), jnp.float32),
+            jnp.zeros(pack.tri_v0.shape[:-1] + (6,), jnp.float32),
+            pack.tri_valid[..., None].astype(jnp.float32),
         ],
         axis=-1,
     )
