@@ -1133,18 +1133,27 @@ def render_batch(
         # reference, round 3) — t = n.(v0 - o) / (n.d) recomputed in exact
         # f32 removes it. HIGHEST keeps the one-hot COPY exact (default
         # bf16 passes round v0/n into a 15-40mm bimodal tail).
-        table_t = jnp.concatenate(
+        # attribute extraction: XLA transposed one-hot dot. An in-VMEM
+        # Pallas one-hot kernel (build each (T, Rt) one-hot in VMEM, never
+        # ship it to HBM) was built and MEASURED NEGATIVE in round 5:
+        # render32 236.4 ms vs 221.8 clean at the headline shape — XLA
+        # already keeps this fused well, and the render is actually bound
+        # by the raycast kernel's VPU ray-tri floor (4.8 of 6.9 ms/frame,
+        # single-frame trace). Experiment + kernel preserved in
+        # scripts/exp_onehot_attr_kernel.py.
+        table_s = jnp.concatenate(
             [
-                pack.tri_attr[sids].transpose(0, 2, 1),  # (N,8,T)
-                pack.tri_v0[sids].transpose(0, 2, 1),  # (N,3,T)
+                jnp.swapaxes(pack.tri_attr, 1, 2),  # (S,8,T)
+                jnp.swapaxes(pack.tri_v0, 1, 2),  # (S,3,T)
             ],
             axis=1,
-        )  # (N, 11, T)
+        )  # (S, 11, T)
         oh = (
-            jnp.arange(T, dtype=idx.dtype)[None, :, None] == idx[:, None, :]
+            jnp.arange(T, dtype=idx.dtype)[None, :, None]
+            == idx[:, None, :]
         ).astype(jnp.float32)  # (N,T,R)
         attrs_t = jax.lax.dot_general(
-            table_t,
+            table_s[sids],
             oh,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,

@@ -255,9 +255,14 @@ def _kernel_t(
         p = unum * detA
         q = vnum * detA
         w = tnum * detA
-        m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
-        m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
-        hit = (m1 >= 0.0) & (m2 > 0.0)
+        # round-5 VPU trim: single fused margin (see _exactsel_kernel_t —
+        # >= keeps shared-edge acceptance; the m2-side boundary flips it
+        # admits are measure-zero and detA != 0 there)
+        m = jnp.minimum(
+            jnp.minimum(jnp.minimum(p, q), aa - p - q),
+            jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS),
+        )
+        hit = m >= 0.0
         t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
         tmin = jnp.min(t, axis=0)  # (Rt,)
         win = jnp.argmin(t, axis=0).astype(jnp.int32)
@@ -390,9 +395,14 @@ def _fused_kernel_t(
         p = unum * detA
         q = vnum * detA
         w = tnum * detA
-        m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
-        m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
-        hit = (m1 >= 0.0) & (m2 > 0.0)
+        # round-5 VPU trim: single fused margin (see _exactsel_kernel_t —
+        # >= keeps shared-edge acceptance; the m2-side boundary flips it
+        # admits are measure-zero and detA != 0 there)
+        m = jnp.minimum(
+            jnp.minimum(jnp.minimum(p, q), aa - p - q),
+            jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS),
+        )
+        hit = m >= 0.0
         t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
         tmin = jnp.min(t, axis=0)  # (Rt,)
         win = jnp.argmin(t, axis=0).astype(jnp.int32)
@@ -544,9 +554,14 @@ def _fused_sel_kernel_t(
         p = unum * detA
         q = vnum * detA
         w = tnum * detA
-        m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
-        m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
-        hit = (m1 >= 0.0) & (m2 > 0.0)
+        # round-5 VPU trim: single fused margin (see _exactsel_kernel_t —
+        # >= keeps shared-edge acceptance; the m2-side boundary flips it
+        # admits are measure-zero and detA != 0 there)
+        m = jnp.minimum(
+            jnp.minimum(jnp.minimum(p, q), aa - p - q),
+            jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS),
+        )
+        hit = m >= 0.0
         t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
         tmin = jnp.min(t, axis=0)  # (Rt,)
         win = jnp.argmin(t, axis=0).astype(jnp.int32)
@@ -719,9 +734,14 @@ def _tilecull_kernel_t(
         p = unum * detA
         q = vnum * detA
         w = tnum * detA
-        m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
-        m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
-        hit = (m1 >= 0.0) & (m2 > 0.0)
+        # round-5 VPU trim: single fused margin (see _exactsel_kernel_t —
+        # >= keeps shared-edge acceptance; the m2-side boundary flips it
+        # admits are measure-zero and detA != 0 there)
+        m = jnp.minimum(
+            jnp.minimum(jnp.minimum(p, q), aa - p - q),
+            jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS),
+        )
+        hit = m >= 0.0
         t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
         tmin = jnp.min(t, axis=0)  # (Rt,)
         win = jnp.argmin(t, axis=0).astype(jnp.int32)
@@ -1036,9 +1056,11 @@ def _stream_kernel_t(
                 p = unum * detA
                 q = vnum * detA
                 w = tnum * detA
-                m1 = jnp.minimum(jnp.minimum(p, q), aa - p - q)
-                m2 = jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS)
-                hit = (m1 >= 0.0) & (m2 > 0.0)
+                m = jnp.minimum(
+                    jnp.minimum(jnp.minimum(p, q), aa - p - q),
+                    jnp.minimum(w - _TMIN * aa, aa - _EPS * _EPS),
+                )  # round-5 fused margin (see _exactsel_kernel_t)
+                hit = m >= 0.0
                 t = jnp.where(hit, tnum / jnp.where(hit, detA, 1.0), _TMAX)
                 tmin = jnp.min(t, axis=0)  # (Rt,)
                 win = jnp.argmin(t, axis=0).astype(jnp.int32)

@@ -99,19 +99,22 @@ def main():
 
     # update-only on a fixed buffer
     batch, last_value, h0 = None, None, None
-    coll = jax.jit(lambda t: learner._collect_rollout(t, data))
-    ts2, batch, last_value, h0, _ = coll(ts)
+    coll = jax.jit(lambda t, d: learner._collect_rollout(t, d))
+    ts2, batch, last_value, h0, _ = coll(ts, data)
     jax.block_until_ready(last_value)
 
     def mk_upd(k):
-        def run():
+        # batch as a jit ARGUMENT: closing over the (T,N,128,128,C) frames
+        # inlines >1 GB of constants -> remote-compile HTTP 413
+        def run(t0, b, lv, h):
             def body(i, c):
-                return learner._update(c, batch, last_value, h0)[0]
-            out = jax.lax.fori_loop(0, k, body, ts)
+                return learner._update(c, b, lv, h)[0]
+            out = jax.lax.fori_loop(0, k, body, t0)
             return jnp.sum(
                 jax.tree_util.tree_leaves(out.params)[0].astype(jnp.float32).ravel()[:1]
             )
-        return jax.jit(run, compiler_options=opts)
+        f = jax.jit(run, compiler_options=opts)
+        return lambda: f(ts, batch, last_value, h0)
     res["update_ms"] = round(slope(mk_upd) * 1e3, 1)
     print(json.dumps(res), flush=True)
 

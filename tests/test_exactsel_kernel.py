@@ -184,3 +184,35 @@ def test_packed_exact_select_overflow_passthrough():
             assert s_full <= s_cap <= s_l1, (n, t)
     # the exact pass must actually cull something somewhere
     assert int(jnp.sum(cnt_full)) < int(jnp.sum(cnt_l1))
+
+
+def test_onehot_attrs_kernel_matches_xla():
+    """Round-5 in-VMEM one-hot attr kernel == the XLA transposed one-hot
+    dot, bit-exactly (both are f32 selection), including miss rows."""
+    import os, sys
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    from exp_onehot_attr_kernel import onehot_attrs_t
+
+    rng = np.random.RandomState(0)
+    S, A, T = 3, 11, 128
+    N, R = 4, 4096
+    table = jnp.asarray(rng.randn(S, A, T).astype(np.float32))
+    sids = jnp.asarray(rng.randint(0, S, N).astype(np.int32))
+    idx = jnp.asarray(
+        rng.randint(-1, T, (N, R)).astype(np.int32)
+    )  # -1 = miss
+    with pltpu.force_tpu_interpret_mode():
+        out = onehot_attrs_t(table, sids, idx, ray_tile=2048)
+    safe = jnp.maximum(idx, 0)
+    ref = jnp.swapaxes(
+        jnp.asarray(np.asarray(table)[np.asarray(sids)])[
+            jnp.arange(N)[:, None], :, safe
+        ],
+        1,
+        2,
+    ) * (idx >= 0)[:, None, :]
+    assert out.shape == (N, A, R)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
