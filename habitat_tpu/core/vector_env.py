@@ -1,23 +1,35 @@
-"""VectorEnv — API-parity facade (reference habitat-lab/habitat/core/vector_env.py).
+"""VectorEnv — worker-backed vectorized envs (reference core/vector_env.py).
 
 The reference runs one env per worker PROCESS over pipes (VectorEnv:135,
-worker loop :234-301, async_step_at:402, pause_at:486, call_at:511) because
-its simulator is single-env and host-bound. On TPU that architecture is
-obsolete: core/batched_env.py steps thousands of envs as one array program.
+worker loop :234-301, async_step_at:402, pause_at:486, call_at:511)
+because its simulator is single-env and host-bound. On TPU that
+architecture is obsolete for throughput — core/batched_env.py steps
+thousands of envs as one array program — but the surface is still part of
+the reference API, and host-bound user envs (wrappers, debuggers, custom
+gym envs) can legitimately want process isolation. So, since round 5,
+this is a REAL implementation of the reference architecture, not a
+facade:
 
-This facade preserves the reference's surface for user code that expects it
-(construct-by-factory, sync/async step, pause/resume, call-by-name). Envs run
-in-process (the reference's own ThreadedVectorEnv debugging mode,
-vector_env.py:622-668, has the same execution model); "async" steps are
-buffered, satisfying the one-outstanding-message discipline
-(_ReadWrapper/_WriteWrapper, vector_env.py:95-132) by construction.
+- ``VectorEnv`` spawns one worker process per env (forkserver by
+  default, reference :169) and speaks (command, data) tuples over pipes
+  with the one-outstanding-message discipline of the reference's
+  _ReadWrapper/_WriteWrapper (:95-132).
+- ``ThreadedVectorEnv`` (reference :622-668) runs the SAME worker loop in
+  threads — the debugging mode (HABITAT_ENV_DEBUG), and the right choice
+  when make_env_fn closes over unpicklable state.
+
+Command set mirrors the reference worker (:234-301): step / reset /
+render / close / call / count_episodes, with auto-reset-on-done for both
+gym-style (4-tuple) and habitat.Env-style (observations + episode_over)
+envs.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
-
-import numpy as np
+import multiprocessing
+import queue as _queue
+import threading
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 STEP_COMMAND = "step"
 RESET_COMMAND = "reset"
@@ -27,64 +39,158 @@ CALL_COMMAND = "call"
 COUNT_EPISODES_COMMAND = "count_episodes"
 
 
+def _worker_env(
+    connection,
+    make_env_fn: Callable,
+    env_fn_args: Tuple,
+    auto_reset_done: bool,
+) -> None:
+    """Worker loop (reference vector_env.py:234-301): build the env, then
+    serve commands until CLOSE. Runs in a child process (VectorEnv) or a
+    thread (ThreadedVectorEnv)."""
+    env = make_env_fn(*env_fn_args)
+    try:
+        while True:
+            command, data = connection.recv()
+            if command == STEP_COMMAND:
+                out = env.step(data)
+                if isinstance(out, tuple) and len(out) == 4:
+                    obs, reward, done, info = out
+                    if auto_reset_done and done:
+                        obs = env.reset()
+                    connection.send((obs, reward, done, info))
+                else:
+                    if auto_reset_done and getattr(env, "episode_over", False):
+                        out = env.reset()
+                    connection.send(out)
+            elif command == RESET_COMMAND:
+                connection.send(env.reset())
+            elif command == RENDER_COMMAND:
+                connection.send(env.render(*data[0], **data[1]))
+            elif command == CALL_COMMAND:
+                function_name, function_args = data
+                fn = getattr(env, function_name)
+                if callable(fn):
+                    connection.send(fn(**(function_args or {})))
+                else:
+                    connection.send(fn)
+            elif command == COUNT_EPISODES_COMMAND:
+                connection.send(len(getattr(env, "episodes", [])))
+            elif command == CLOSE_COMMAND:
+                connection.send(None)
+                break
+            else:  # pragma: no cover
+                raise RuntimeError(f"unknown command {command}")
+    finally:
+        env.close()
+
+
+class _ThreadConn:
+    """Duplex queue pair with the Pipe send/recv surface, for the threaded
+    variant (same worker loop, no pickling)."""
+
+    def __init__(self, inbox, outbox):
+        self._in, self._out = inbox, outbox
+
+    def send(self, x):
+        self._out.put(x)
+
+    def recv(self):
+        return self._in.get()
+
+    def close(self):
+        pass
+
+
+class _Worker:
+    """One env worker: its parent-side connection + join/terminate handle."""
+
+    def __init__(self, conn, handle):
+        self.conn = conn
+        self.handle = handle
+        self.pending = False  # one-outstanding-message discipline
+
+
 class VectorEnv:
+    """Process-backed vectorized envs (reference vector_env.py:135)."""
+
     def __init__(
         self,
         make_env_fn: Callable,
         env_fn_args: Sequence[Tuple] = (),
         auto_reset_done: bool = True,
-        multiprocessing_start_method: str = "forkserver",  # accepted, unused
+        multiprocessing_start_method: str = "forkserver",
         workers_ignore_signals: bool = False,
     ) -> None:
-        self._envs = [make_env_fn(*args) for args in env_fn_args]
-        assert len(self._envs) > 0, "VectorEnv requires at least one env"
+        assert len(env_fn_args) > 0, "VectorEnv requires at least one env"
         self._auto_reset_done = auto_reset_done
-        self._paused: List[Tuple[int, Any]] = []
-        self._pending: Dict[int, Any] = {}
+        self._workers: List[_Worker] = []
+        self._paused: List[Tuple[int, _Worker]] = []
         self._is_closed = False
-        first = self._envs[0]
-        self.observation_spaces = [e.observation_space for e in self._envs]
-        self.action_spaces = [e.action_space for e in self._envs]
+        self._spawn_workers(
+            make_env_fn, env_fn_args, multiprocessing_start_method
+        )
+        self.observation_spaces = [
+            self._req(w, (CALL_COMMAND, ("observation_space", None)))
+            for w in self._workers
+        ]
+        self.action_spaces = [
+            self._req(w, (CALL_COMMAND, ("action_space", None)))
+            for w in self._workers
+        ]
         self.orig_action_spaces = list(self.action_spaces)
         self.number_of_episodes = [
-            getattr(e, "number_of_episodes", None) for e in self._envs
+            self._req(w, (CALL_COMMAND, ("number_of_episodes", None)))
+            for w in self._workers
         ]
+
+    # -- worker management --------------------------------------------------
+    def _spawn_workers(self, make_env_fn, env_fn_args, start_method) -> None:
+        ctx = multiprocessing.get_context(start_method)
+        for args in env_fn_args:
+            parent_conn, child_conn = ctx.Pipe()
+            proc = ctx.Process(
+                target=_worker_env,
+                args=(child_conn, make_env_fn, args, self._auto_reset_done),
+                daemon=True,
+            )
+            proc.start()
+            child_conn.close()
+            self._workers.append(_Worker(parent_conn, proc))
+
+    @staticmethod
+    def _req(worker: _Worker, msg) -> Any:
+        worker.conn.send(msg)
+        return worker.conn.recv()
 
     @property
     def num_envs(self) -> int:
-        return len(self._envs)
+        return len(self._workers)
 
     # -- reset -------------------------------------------------------------
     def reset(self) -> List[Any]:
-        return [self.reset_at(i) for i in range(self.num_envs)]
+        for w in self._workers:
+            w.conn.send((RESET_COMMAND, None))
+        return [w.conn.recv() for w in self._workers]
 
     def reset_at(self, index_env: int):
-        out = self._envs[index_env].reset()
-        return out
+        return self._req(self._workers[index_env], (RESET_COMMAND, None))
 
     # -- step --------------------------------------------------------------
-    def _step_env(self, index_env: int, action):
-        env = self._envs[index_env]
-        out = env.step(action)
-        if isinstance(out, tuple) and len(out) == 4 and self._auto_reset_done:
-            obs, reward, done, info = out
-            if done:
-                obs = env.reset()
-            out = (obs, reward, done, info)
-        elif not isinstance(out, tuple) and self._auto_reset_done:
-            if getattr(env, "episode_over", False):
-                out = env.reset()
-        return out
-
     def async_step_at(self, index_env: int, action) -> None:
-        assert index_env not in self._pending, (
+        w = self._workers[index_env]
+        assert not w.pending, (
             "Already waiting on a step for this env"  # one-outstanding-message
         )
-        self._pending[index_env] = self._step_env(index_env, action)
+        w.pending = True
+        w.conn.send((STEP_COMMAND, action))
 
     def wait_step_at(self, index_env: int):
-        assert index_env in self._pending, "No pending step for this env"
-        return self._pending.pop(index_env)
+        w = self._workers[index_env]
+        assert w.pending, "No pending step for this env"
+        out = w.conn.recv()
+        w.pending = False
+        return out
 
     def async_step(self, data: Sequence) -> None:
         for i, action in enumerate(data):
@@ -94,7 +200,9 @@ class VectorEnv:
         return [self.wait_step_at(i) for i in range(self.num_envs)]
 
     def step(self, data: Sequence) -> List[Any]:
-        """Synchronous batched step (reference vector_env.py:440)."""
+        """Synchronous batched step (reference vector_env.py:440): actions
+        fan out to every worker before any result is awaited, so the envs
+        genuinely step in parallel."""
         self.async_step(data)
         return self.wait_step()
 
@@ -109,16 +217,20 @@ class VectorEnv:
 
     # -- pause/resume (reference :486-510) ----------------------------------
     def pause_at(self, index: int) -> None:
-        env = self._envs.pop(index)
+        w = self._workers.pop(index)
         self.observation_spaces.pop(index)
         self.action_spaces.pop(index)
-        self._paused.append((index, env))
+        self._paused.append((index, w))  # worker stays alive, unqueried
 
     def resume_all(self) -> None:
-        for index, env in reversed(self._paused):
-            self._envs.insert(index, env)
-            self.observation_spaces.insert(index, env.observation_space)
-            self.action_spaces.insert(index, env.action_space)
+        for index, w in reversed(self._paused):
+            self._workers.insert(index, w)
+            self.observation_spaces.insert(
+                index, self._req(w, (CALL_COMMAND, ("observation_space", None)))
+            )
+            self.action_spaces.insert(
+                index, self._req(w, (CALL_COMMAND, ("action_space", None)))
+            )
         self._paused = []
 
     # -- call-by-name (reference :511-556) -----------------------------------
@@ -128,10 +240,9 @@ class VectorEnv:
         function_name: str,
         function_args: Optional[Dict[str, Any]] = None,
     ) -> Any:
-        fn = getattr(self._envs[index], function_name)
-        if callable(fn):
-            return fn(**(function_args or {}))
-        return fn
+        return self._req(
+            self._workers[index], (CALL_COMMAND, (function_name, function_args))
+        )
 
     def call(
         self,
@@ -140,30 +251,40 @@ class VectorEnv:
     ) -> List[Any]:
         if function_args_list is None:
             function_args_list = [None] * len(function_names)
-        return [
-            self.call_at(i, fn, args)
-            for i, (fn, args) in enumerate(zip(function_names, function_args_list))
-        ]
+        for w, fn, args in zip(self._workers, function_names, function_args_list):
+            w.conn.send((CALL_COMMAND, (fn, args)))
+        return [w.conn.recv() for w in self._workers]
 
     def count_episodes(self) -> List[int]:
-        return [len(getattr(e, "episodes", [])) for e in self._envs]
+        for w in self._workers:
+            w.conn.send((COUNT_EPISODES_COMMAND, None))
+        return [w.conn.recv() for w in self._workers]
 
     def render(self, mode: str = "human", *args, **kwargs):
-        images = [e.render(mode="rgb") for e in self._envs]
+        for w in self._workers:
+            w.conn.send((RENDER_COMMAND, (("rgb",), {})))
+        images = [w.conn.recv() for w in self._workers]
         from habitat_tpu.utils.visualizations.utils import tile_images
 
         tiled = tile_images(images)
-        if mode == "rgb_array":
-            return tiled
         return tiled
 
     def close(self) -> None:
         if self._is_closed:
             return
-        for e in self._envs:
-            e.close()
-        for _, e in self._paused:
-            e.close()
+        for _, w in self._paused:
+            self._workers.append(w)
+        self._paused = []
+        for w in self._workers:
+            if w.pending:  # drain an in-flight step first
+                w.conn.recv()
+                w.pending = False
+            w.conn.send((CLOSE_COMMAND, None))
+        for w in self._workers:
+            w.conn.recv()
+            w.conn.close()
+            if hasattr(w.handle, "join"):
+                w.handle.join(timeout=5)
         self._is_closed = True
 
     def __del__(self):
@@ -177,5 +298,20 @@ class VectorEnv:
 
 
 class ThreadedVectorEnv(VectorEnv):
-    """Same API (reference vector_env.py:622-668); in this engine both run
-    in-process, so this is an alias kept for HABITAT_ENV_DEBUG parity."""
+    """Same API over worker THREADS (reference vector_env.py:622-668) —
+    the HABITAT_ENV_DEBUG mode, and the right variant when make_env_fn
+    is a closure (nothing is pickled)."""
+
+    def _spawn_workers(self, make_env_fn, env_fn_args, start_method) -> None:
+        for args in env_fn_args:
+            to_worker: _queue.Queue = _queue.Queue()
+            to_parent: _queue.Queue = _queue.Queue()
+            worker_conn = _ThreadConn(to_worker, to_parent)
+            parent_conn = _ThreadConn(to_parent, to_worker)
+            th = threading.Thread(
+                target=_worker_env,
+                args=(worker_conn, make_env_fn, args, self._auto_reset_done),
+                daemon=True,
+            )
+            th.start()
+            self._workers.append(_Worker(parent_conn, th))

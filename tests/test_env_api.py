@@ -67,10 +67,13 @@ def test_rl_env(config):
 
 
 def test_vector_env_facade(config):
+    # ThreadedVectorEnv: same worker loop in threads — the variant for
+    # closure make_env_fns (nothing pickled). The process-backed VectorEnv
+    # is exercised in test_vector_env_processes.
     from habitat_tpu.core.environments import RLTaskEnv
-    from habitat_tpu.core.vector_env import VectorEnv
+    from habitat_tpu.core.vector_env import ThreadedVectorEnv
 
-    envs = VectorEnv(
+    envs = ThreadedVectorEnv(
         make_env_fn=lambda c: RLTaskEnv(c),
         env_fn_args=[(config,), (config,)],
     )
@@ -239,3 +242,45 @@ def test_velocity_control_substeps(config):
     a_stop = jnp.asarray([[-1.0, 0.0], [-1.0, 0.0]], jnp.float32)
     state3, obs3, rew3, done3, info3 = env.step(state2, a_stop)
     assert bool(np.asarray(done3).all())
+
+
+def _mp_make_env(overrides):
+    """Top-level so forkserver/spawn can pickle it (reference pattern:
+    module-level make_env_fn)."""
+    import jax
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    from habitat_tpu.core.environments import RLTaskEnv
+
+    return RLTaskEnv(get_config(CFG, list(overrides)))
+
+
+def test_vector_env_processes():
+    """Real process workers over pipes (reference VectorEnv:135): build in
+    children, parallel fan-out step, call-by-name, auto-reset, clean join."""
+    from habitat_tpu.core.vector_env import VectorEnv
+
+    envs = VectorEnv(
+        make_env_fn=_mp_make_env,
+        env_fn_args=[(tuple(SMALL_OVERRIDES),), (tuple(SMALL_OVERRIDES),)],
+        multiprocessing_start_method="forkserver",
+    )
+    try:
+        assert envs.num_envs == 2
+        assert envs.number_of_episodes == [6, 6]
+        obs = envs.reset()
+        assert len(obs) == 2
+        results = envs.step([1, 1])
+        obs0, reward0, done0, info0 = results[0]
+        assert isinstance(reward0, float)
+        assert envs.call(
+            ["number_of_episodes", "number_of_episodes"]
+        ) == [6, 6]
+        # auto-reset on done: "stop" ends the episode in the worker, which
+        # resets before replying
+        results = envs.step([0, 0])
+        _, _, done0, _ = results[0]
+        assert done0 is True
+        assert envs.count_episodes() == [6, 6]
+    finally:
+        envs.close()
