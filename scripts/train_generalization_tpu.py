@@ -33,11 +33,29 @@ EVAL_EVERY_S = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0  # 0 = end only
 CKPT_DIR = sys.argv[6] if len(sys.argv) > 6 else ""
 NUM_ENVS = int(sys.argv[7]) if len(sys.argv) > 7 else 128
 RES = int(sys.argv[8]) if len(sys.argv) > 8 else 64  # depth sensor H=W
+RESUME = sys.argv[9] if len(sys.argv) > 9 else ""  # orbax params dir
+LR = float(sys.argv[10]) if len(sys.argv) > 10 else 2.5e-4
 N_EVAL_SCENES = 16
 SENSORS = (
     ("HabitatSimDepthSensor", {"height": RES, "width": RES}),
     ("PointGoalWithGPSCompassSensor", None),
 )
+
+
+def _params_target(ts):
+    return (
+        ts.params["policy"]
+        if isinstance(ts.params, dict) and "policy" in ts.params
+        else ts.params
+    )
+
+
+def _with_params(ts, new_params):
+    if isinstance(ts.params, dict) and "policy" in ts.params:
+        p = dict(ts.params)
+        p["policy"] = new_params
+        return ts._replace(params=p)
+    return ts._replace(params=new_params)
 
 
 def build(scenes, episodes, fields, num_envs):
@@ -101,10 +119,21 @@ def main():
         len(env.actions), backbone=BACKBONE, hidden_size=HIDDEN
     )
     learner = PPOLearner(
-        env, policy, PPOConfig(num_steps=32, num_mini_batch=2, ppo_epoch=2)
+        env, policy, PPOConfig(num_steps=32, num_mini_batch=2, ppo_epoch=2, lr=LR)
     )
     data = env.env_data
     ts = jax.jit(learner.init_fn)(jax.random.PRNGKey(0), data)
+    if RESUME:
+        # warm restart from a saved flagship checkpoint (params only;
+        # optimizer moments start fresh — pass a lower LR to soften the
+        # Adam transient)
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(RESUME), jax.tree.map(lambda x: x, _params_target(ts))
+        )
+        ts = _with_params(ts, restored)
+        print("resumed params from", RESUME, flush=True)
     step = jax.jit(learner.train_step, donate_argnums=(0,))
 
     eenv = build(ev_scenes, ev_eps, ev_fields, num_envs=64)

