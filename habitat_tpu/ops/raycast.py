@@ -549,6 +549,7 @@ def select_chunklets_exact(
     skip_exact: bool = True,
     verts16: Optional[jnp.ndarray] = None,
     k_exact: int = 384,
+    cull_backend: str = "xla",  # "pallas": v16 in-kernel exact test
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """v11 hierarchical EXACT chunklet selection (VERDICT r3 missing #1).
 
@@ -662,34 +663,45 @@ def select_chunklets_exact(
         ids1 = head & ((1 << 18) - 1)
         pos_a = jnp.arange(ka, dtype=jnp.int32)
         in_head = pos_a[None, None, :] < jnp.minimum(cnt1, ka)[..., None]
-        # ONE wide-row gather: (S*NCH, c, 16) rows keyed by chunklet id.
-        # Validity rides in lane VERTS16_VALID of the same row — a separate
-        # tri_valid gather is a 32-byte-row gather (the measured-slow
-        # class). The table is VIEWED 3D so the gather output is already
-        # (N, nt, ka, c, 16): gathering (.., 512) and reshaping after was
-        # a lanes-to-sublanes relayout of the full 1.6 GB gathered set,
-        # measured 22 ms/step at N=256 (profile, round 5).
-        rows = verts16.reshape(S * NCH, c * 16)
-        p16 = rows[sids[:, None, None] * NCH + ids1].reshape(
-            N, nt, ka, c, 16
-        )
-        # NEGATIVES (round 5, N=256 timings): gathering with (c, 16)
-        # trailing block dims instead of lane-perfect (.., 512) rows:
-        # 227.8 ms (vs 79.5); replacing the 12 multiply-reduce passes
-        # below with one batched dot_general against a (16, 16) component
-        # map: 89.2 ms. The loop + reshape IS the fast XLA formulation.
-        vgood = p16[..., VERTS16_VALID] > 0.5
-        rel0 = p16[..., 0:3] - cam_pos[:, None, None, None, :]
-        eps = -1e-3
-        out_any = None
-        for pl_i in range(4):
-            nw_p = nw[:, :, None, None, pl_i, :]
-            d0 = jnp.sum(rel0 * nw_p, axis=-1)
-            de1 = jnp.sum(p16[..., 3:6] * nw_p, axis=-1)
-            de2 = jnp.sum(p16[..., 6:9] * nw_p, axis=-1)
-            out_p = (d0 < eps) & (d0 + de1 < eps) & (d0 + de2 < eps)
-            out_any = out_p if out_any is None else (out_any | out_p)
-        keep_head = jnp.any(~out_any & vgood, axis=-1) & in_head
+        if cull_backend == "pallas" and ka % 128 == 0:
+            # v16 (round 5): the L2 test as a Pallas kernel — the XLA form
+            # below is data-movement bound (~36 of 78.8 ms select at
+            # N=256: 22 ms lanes-to-sublanes relayout of the gathered
+            # rows + 12 x 0.77 ms reduces). The kernel streams the head's
+            # verts16 rows per (env, tile) and evaluates all 12 plane
+            # conditions + validity as one blockdiag-masked MXU matmul.
+            from habitat_tpu.ops.raycast_pallas import cullmask_pallas_t
+
+            tri_pass = cullmask_pallas_t(
+                verts16, sids, head, jnp.minimum(cnt1, ka), nw, cam_pos,
+                c=c,
+            )
+            keep_head = jnp.any(tri_pass > 0.5, axis=-1) & in_head
+        else:
+            # ONE wide-row gather: (S*NCH, 512) lane-perfect rows keyed by
+            # chunklet id; validity rides in lane VERTS16_VALID (a separate
+            # tri_valid gather is a 32-byte-row gather — the measured-slow
+            # class). NEGATIVES (round 5, N=256): gathering with (c, 16)
+            # trailing block dims: 227.8 ms (vs 79.5); one batched
+            # dot_general against a (16, 16) component map: 89.2 ms. The
+            # loop + reshape is the fast XLA formulation; the Pallas
+            # branch above is the only thing measured faster.
+            rows = verts16.reshape(S * NCH, c * 16)
+            p16 = rows[sids[:, None, None] * NCH + ids1].reshape(
+                N, nt, ka, c, 16
+            )
+            vgood = p16[..., VERTS16_VALID] > 0.5
+            rel0 = p16[..., 0:3] - cam_pos[:, None, None, None, :]
+            eps = -1e-3
+            out_any = None
+            for pl_i in range(4):
+                nw_p = nw[:, :, None, None, pl_i, :]
+                d0 = jnp.sum(rel0 * nw_p, axis=-1)
+                de1 = jnp.sum(p16[..., 3:6] * nw_p, axis=-1)
+                de2 = jnp.sum(p16[..., 6:9] * nw_p, axis=-1)
+                out_p = (d0 < eps) & (d0 + de1 < eps) & (d0 + de2 < eps)
+                out_any = out_p if out_any is None else (out_any | out_p)
+            keep_head = jnp.any(~out_any & vgood, axis=-1) & in_head
         head2 = jnp.where(keep_head, head, jnp.int32(0x7FFFFFFF))
         # compaction: full-Kc re-sort. A head-only sort + shifted
         # take_along_axis gap-close was tried (round 5) and measured 2.8x

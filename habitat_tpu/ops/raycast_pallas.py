@@ -1775,3 +1775,306 @@ def raycast_pallas_culled(
         ),
     )(sids.astype(jnp.int32), chunk_ids.astype(jnp.int32), F, tri_mat, tri_attr)
     return t.reshape(N, R), attrs.reshape(N, R, ATTR_CH)
+
+
+# ---------------------------------------------------------------------------
+# v16 exact-cull mask kernel (round 5)
+# ---------------------------------------------------------------------------
+
+_CULL_CONSTS = {}
+
+
+def _cull_consts(c: int = 32):
+    """Static matmul operands for the cull-mask kernel at chunklet size c:
+    blockdiag tri mask, plane/validity group summer + outside-event
+    thresholds. Cached per c. Kind columns (16 per tri): [3p+0: d0 |
+    3p+1: d0+de1 | 3p+2: d0+de2 for planes p=0..3 | 12: valid | 13-15 pad].
+    """
+    if c in _CULL_CONSTS:
+        return _CULL_CONSTS[c]
+    L = c * 16  # verts16 lanes per chunklet row
+    KC = c * 16  # D columns: c*k + t
+    t_of_l = np.arange(L) // 16
+    t_of_col = np.arange(KC) % c
+    k_of_col = np.arange(KC) // c
+    mask = (t_of_l[:, None] == t_of_col[None, :]).astype(np.float32)
+    # G1 col layout: c*g + t for groups g=0..3 (planes: kinds 3g..3g+2)
+    # and g=4 (validity: kind 12); padded to a 128 multiple
+    G1C = -(-5 * c // 128) * 128
+    g_of_k = np.where(
+        k_of_col < 12, k_of_col // 3, np.where(k_of_col == 12, 4, -1)
+    )
+    g_of_out = np.arange(G1C) // c
+    t_of_out = np.arange(G1C) % c
+    g1 = (
+        (t_of_col[:, None] == t_of_out[None, :])
+        & (g_of_k[:, None] == g_of_out[None, :])
+    ).astype(np.float32)
+    need = np.where(
+        g_of_out < 4, 3.0, np.where(g_of_out == 4, 1.0, 1e9)
+    ).astype(np.float32)[None, :]
+    g2 = (
+        (t_of_out[:, None] == np.arange(c)[None, :])
+        & (g_of_out[:, None] <= 4)
+    ).astype(np.float32)
+    out = (
+        jnp.asarray(mask),
+        jnp.asarray(g1),
+        jnp.asarray(need),
+        jnp.asarray(g2),
+    )
+    _CULL_CONSTS[c] = out
+    return out
+
+
+def _cullmask_kernel_t(
+    sids_ref,  # scalar-prefetch (N,)
+    cntk_ref,  # scalar-prefetch (N*nt,) — head counts min(cnt1, ka)
+    thr_ref,  # (1, 1, KC) VMEM — per-(env,tile) cmp thresholds by D col
+    mexp_ref,  # (1, 16, KC) VMEM — M[f,k] repeated per tri col
+    head_hbm,  # (N*nt, 1, ka) HBM int32 packed head (nearest-first)
+    verts_hbm,  # (S*NCH, 1, L) ANY — verts16 2KB rows
+    mask_ref,  # (1, L, KC) VMEM static blockdiag tri mask (const block)
+    g1_ref,  # (1, KC, G1C) VMEM static plane-group summer (const block)
+    need_ref,  # (1, 1, G1C) VMEM outside-event thresholds (const block)
+    g2_ref,  # (1, G1C, c) VMEM group collapse (const block)
+    pass_out,  # (1, ka, c) f32 — per-(head slot, tri) pass indicator
+    hd_smem,  # SMEM scratch (1, ka) i32
+    mbuf,  # VMEM scratch (nslot, U, L)
+    wbuf,  # VMEM scratch (L, KC) — W = mask * M_expanded
+    row_sem,  # DMA semaphore ()
+    sem,  # DMA semaphores (nslot, U)
+    *,
+    c: int,
+    n_tiles: int,
+    ka: int,
+    unroll: int,
+    nslot: int,
+    nch: int,
+):
+    """Exact-cull mask for the k_exact head, computed in-kernel (v16).
+
+    The XLA form of the L2 test (gather 2KB verts rows -> relayout -> 12
+    multiply-reduce passes) is data-movement bound: ~36 ms of the 78.8 ms
+    select at the N=256 scan shape (round-5 profile: the
+    lanes-to-sublanes relayout of the gathered set alone is 22 ms/step).
+    Here each (env, tile) program streams its head chunklets' verts16
+    rows U at a time and evaluates all 12 plane conditions + validity as
+    ONE (U, 512) x (512, 512) MXU matmul against a blockdiag-masked,
+    per-program-expanded component map (kind cols carry d0, d0+de1,
+    d0+de2 directly, so the exact 3-corners-outside test is a straight
+    per-column threshold), then collapses corners->plane-events->tri with
+    two small matmuls. Head slots at/beyond the head count produce
+    garbage (DMAs are clamped in-bounds); the caller gates by position.
+
+    MEASURED: PARITY, not a win (round 5, N=256 scan shape, flagship
+    paused): select 77.3 ms with this kernel vs 77.8 with the XLA form;
+    the kernel's device time (36.9 ms) equals the XLA block it replaces.
+    Why: the kernel is DMA-ISSUE bound — ~164 scattered 2KB row copies
+    per (env, tile) program x 4096 programs ~ 24 ms of pure issue/wait
+    overhead, and the HIGHEST-precision (bf16x6) dense matmul adds the
+    rest (Mosaic cannot lower bf16x3, and bf16x1 would break the 1e-3
+    conservative margin). A 16-contraction reformulation would cut the
+    matmul but not the DMA floor, capping the best case at ~8 ms saved
+    (~4%% of the render) — not worth the second formulation. Kept behind
+    select_chunklets_exact(cull_backend="pallas") with an exact-equality
+    test; the deployed default stays the XLA form.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tile = i * n_tiles + j
+    U = unroll
+    row = pltpu.make_async_copy(head_hbm.at[tile], hd_smem, row_sem)
+    row.start()
+
+    # W = blockdiag mask * M_expanded — once per program
+    wbuf[...] = mask_ref[0] * jnp.concatenate([mexp_ref[0]] * c, axis=0)
+
+    sid = sids_ref[i]
+    nck = cntk_ref[tile]
+    n_iter = lax.div(nck + (U - 1), U)
+    row.wait()
+
+    def cid_of(k):
+        v = hd_smem[0, jnp.minimum(k, ka - 1)]
+        # sentinel/pad slots decode to huge ids; clamp into the table
+        return jnp.minimum(v & 0x3FFFF, nch - 1)
+
+    def row_dma(slot, u, it):
+        # mbuf is (nslot, U, 1, L): u indexes a leading dim so the copied
+        # (1, L) block never slices the (8, 128) tiling (Mosaic rejects
+        # sub-8 sublane slices)
+        return pltpu.make_async_copy(
+            verts_hbm.at[sid * nch + cid_of(it * U + u)],
+            mbuf.at[slot, u],
+            sem.at[slot, u],
+        )
+
+    for it0 in range(nslot - 1):
+        @pl.when(it0 < n_iter)
+        def _(it0=it0):
+            for u in range(U):
+                row_dma(it0 % nslot, u, jnp.int32(it0)).start()
+
+    def body(it, carry):
+        nxt = it + (nslot - 1)
+
+        @pl.when(nxt < n_iter)
+        def _():
+            for u in range(U):
+                row_dma(lax.rem(nxt, nslot), u, nxt).start()
+
+        slot = lax.rem(it, nslot)
+        for u in range(U):
+            row_dma(slot, u, it).wait()
+        X = mbuf[slot].reshape(U, c * 16)  # (U, 1, L) -> (U, L)
+        D = jax.lax.dot_general(
+            X, wbuf[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (U, KC) — HIGH (bf16x3) is not lowerable by Mosaic; DEFAULT
+        # (bf16x1) would put ~cm-scale error against the 1e-3 margin
+        cond = (D < thr_ref[0]).astype(jnp.float32)
+        andsum = jax.lax.dot_general(
+            cond, g1_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (U, G1C): per (plane-group, tri) satisfied-corner counts
+        outev = (andsum >= need_ref[0]).astype(jnp.float32)
+        cullcnt = jax.lax.dot_general(
+            outev, g2_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (U, c): culling events per tri
+        tri_pass = (cullcnt < 0.5).astype(jnp.float32)
+        pass_out[0, pl.ds(it * U, U)] = tri_pass
+        return carry
+
+    lax.fori_loop(0, n_iter, body, 0)
+
+
+def cullmask_pallas_t(
+    verts16: jnp.ndarray,  # (S, T, 16) f32 — pack.tri_verts16
+    sids: jnp.ndarray,  # (N,)
+    head: jnp.ndarray,  # (N, nt, ka) int32 packed nearest-first head
+    cntk: jnp.ndarray,  # (N, nt) int32 head counts (min(cnt1, ka))
+    nw: jnp.ndarray,  # (N, nt, 4, 3) world inward tile-plane normals
+    cam_pos: jnp.ndarray,  # (N, 3)
+    eps: float = -1e-3,
+    c: int = 32,
+    unroll: int = 32,
+    nslot: int = 2,
+) -> jnp.ndarray:
+    """Per-(head slot, tri) exact-cull pass mask (v16).
+
+    Returns (N, nt, ka, c) f32 — 1.0 where the triangle survives all four
+    tile planes AND is valid. Slots >= cntk hold garbage; callers must
+    gate by head position."""
+    from habitat_tpu.ops.raycast import VERTS16_VALID
+
+    N, nt, ka = head.shape
+    S, T, comp = verts16.shape
+    assert comp == 16 and T % c == 0
+    NCH = T // c
+    assert ka % 128 == 0, "SMEM head row DMA needs 128-multiple lanes"
+    mask, g1, need, g2 = _cull_consts(c)
+    G1C = g1.shape[1]
+    KC = c * 16
+
+    # component map M (16 rows, 16 kind cols); kind 3p+1/3p+2 columns sum
+    # v0+e1 / v0+e2 so every condition is a plain threshold on one column
+    M = jnp.zeros((N, nt, 16, 16), jnp.float32)
+    for p in range(4):
+        nw_p = nw[:, :, p, :]
+        M = M.at[:, :, 0:3, 3 * p].set(nw_p)
+        M = M.at[:, :, 0:3, 3 * p + 1].set(nw_p)
+        M = M.at[:, :, 3:6, 3 * p + 1].set(nw_p)
+        M = M.at[:, :, 0:3, 3 * p + 2].set(nw_p)
+        M = M.at[:, :, 6:9, 3 * p + 2].set(nw_p)
+    M = M.at[:, :, VERTS16_VALID, 12].set(1.0)
+    mexp = jnp.repeat(M, c, axis=-1).reshape(N * nt, 16, KC)
+    b = jnp.einsum("ntpf,nf->ntp", nw, cam_pos)  # cam.nw_p offsets
+    thr = jnp.full((N, nt, 16), -1e30, jnp.float32)
+    for k in range(12):
+        thr = thr.at[:, :, k].set(eps + b[:, :, k // 3])
+    thr = thr.at[:, :, 12].set(0.5)  # valid < 0.5 == invalidity event
+    thr = jnp.repeat(thr, c, axis=-1).reshape(N * nt, 1, KC)
+
+    rows = verts16.reshape(S * NCH, 1, c * 16)
+    head3 = head.reshape(N * nt, 1, ka)
+    cflat = jnp.minimum(cntk, ka).reshape(N * nt).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, KC), lambda i, j, s, cn: (i * nt + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 16, KC), lambda i, j, s, cn: (i * nt + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            # static operands: constant index -> fetched once, then the
+            # pipeline's same-block elision keeps them resident
+            pl.BlockSpec(
+                (1, c * 16, KC), lambda i, j, s, cn: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, KC, G1C), lambda i, j, s, cn: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, G1C), lambda i, j, s, cn: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, G1C, c), lambda i, j, s, cn: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, ka, c), lambda i, j, s, cn: (i * nt + j, 0, 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1, ka), jnp.int32),
+            pltpu.VMEM((nslot, unroll, 1, c * 16), jnp.float32),
+            pltpu.VMEM((c * 16, KC), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((nslot, unroll)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        functools.partial(
+            _cullmask_kernel_t,
+            c=c,
+            n_tiles=nt,
+            ka=ka,
+            unroll=unroll,
+            nslot=nslot,
+            nch=NCH,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((N * nt, ka, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * nt * ka * (KC * (c * 16 + G1C)),
+            bytes_accessed=N * nt * ka * (4 + c * 64 + c * 4),
+            transcendentals=0,
+        ),
+    )(
+        sids.astype(jnp.int32),
+        cflat,
+        thr,
+        mexp,
+        head3,
+        rows,
+        mask[None],
+        g1[None],
+        need[None],
+        g2[None],
+    )
+    return out.reshape(N, nt, ka, c)

@@ -216,3 +216,71 @@ def test_onehot_attrs_kernel_matches_xla():
     ) * (idx >= 0)[:, None, :]
     assert out.shape == (N, A, R)
     assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_cullmask_kernel_matches_xla_select():
+    """Round-5 v16: the in-kernel exact cull must produce the SAME survivor
+    sets and counts as the XLA L2 formulation (same head, same eps)."""
+    scene = generate_scan_apartment(
+        seed=3, extent=6.0, n_rooms_per_axis=2, n_clutter=6, tess=0.35
+    )
+    pack = pack_scenes([scene])
+    T = pack.tri_v0.shape[1]
+    parent_c = T // pack.chunk_bounds.shape[1]
+    N, H, W = 2, 32, 32
+    rng = np.random.RandomState(7)
+    pos = jnp.asarray(
+        np.array([[4.0, 1.25, 4.0]]) + rng.uniform(-1, 1, (N, 3)) * [1, 0, 1],
+        jnp.float32,
+    )
+    yaw = jnp.asarray(rng.uniform(-np.pi, np.pi, N).astype(np.float32))
+    pitch = jnp.zeros(N)
+    sids = jnp.zeros((N,), jnp.int32)
+    d_all = jax.vmap(
+        lambda y: camera_rays(y, jnp.float32(0.0), jnp.deg2rad(90.0), H, W)
+    )(yaw).reshape(N, H * W, 3)
+    o_all = jnp.broadcast_to(pos[:, None, :], d_all.shape)
+    planes = jnp.asarray(tile_plane_normals_cam(np.deg2rad(90.0), H, W, 32, 32))
+    ids0, cnt0 = select_chunks(
+        pack.chunk_bounds[sids], o_all, d_all, 1024, 64, with_cnt=True
+    )
+    ab = chunklet_aabbs(
+        pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid, c=32
+    )
+    verts16 = jnp.concatenate(
+        [
+            pack.tri_v0,
+            pack.tri_e1,
+            pack.tri_e2,
+            jnp.zeros(pack.tri_v0.shape[:-1] + (6,), jnp.float32),
+            pack.tri_valid[..., None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    common = dict(
+        parent_c=parent_c, c=32, verts16=verts16, k_exact=128
+    )
+    ids_x, cnt_x = select_chunklets_exact(
+        pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid, ab, sids,
+        pos, yaw, pitch, planes, ids0, cnt0, cull_backend="xla", **common
+    )
+    with pltpu.force_tpu_interpret_mode():
+        ids_p, cnt_p = select_chunklets_exact(
+            pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid, ab, sids,
+            pos, yaw, pitch, planes, ids0, cnt0, cull_backend="pallas",
+            **common
+        )
+    assert np.array_equal(np.asarray(cnt_x), np.asarray(cnt_p))
+    MASK = (1 << 18) - 1
+    for n in range(N):
+        for t in range(ids_x.shape[1]):
+            sx = (np.asarray(ids_x[n, t, : cnt_x[n, t]]) & MASK).tolist()
+            sp = (np.asarray(ids_p[n, t, : cnt_p[n, t]]) & MASK).tolist()
+            assert sx == sp, (n, t)
+    # the exact pass must actually have culled something
+    ids_l1, cnt_l1 = select_chunklets_exact(
+        pack.tri_v0, pack.tri_e1, pack.tri_e2, pack.tri_valid, ab, sids,
+        pos, yaw, pitch, planes, ids0, cnt0, skip_exact=True,
+        parent_c=parent_c, c=32,
+    )
+    assert int(jnp.sum(cnt_p)) < int(jnp.sum(cnt_l1))
