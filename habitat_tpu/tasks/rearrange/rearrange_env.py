@@ -16,12 +16,15 @@ kinematic_mode=True recipe) and "contacts" (the DEFAULT for config-built
 rearrange envs since round 3). Contacts carries full rotational rigid-body
 state since round 4/5: quaternion + angular-velocity lanes, solid-box
 inertia, 8-corner sequential-impulse floor contacts (tip/tumble/settle,
-rigid_body.py), and — contacts v5 — box-box and robot-box impulses applied
-at the pair contact point with both lever arms, so struck boxes can be
-knocked over. Box shapes for the pair SAT are upright-OBB covers of the
-current orientation (effective_upright_obb); grasp remains kinematic
-parenting. Live ForceTerminate throughout. Movable objects render through
-the dynamic pass of ops/raycast.render_batch.
+rigid_body.py), contacts v5 box-box and robot-box impulses applied at the
+pair contact point with both lever arms (struck boxes are knocked over),
+and — contacts v6 — box-box pair DETECTION by the full 15-axis OBB-OBB
+SAT on true orientations (3 face normals per box + 9 edge cross products,
+Bullet btBoxBoxDetector's axis set; tests/test_contacts_v6.py): a tipped
+box presents its real cross-section, not a fattened upright cover. The
+upright-OBB cover remains only for the robot-cylinder pushout; grasp
+remains kinematic parenting. Live ForceTerminate throughout. Movable
+objects render through the dynamic pass of ops/raycast.render_batch.
 """
 
 from __future__ import annotations
@@ -343,6 +346,132 @@ def contact_step(
         )
         return p, v, wv, jnp.any(support, axis=2)
 
+    def sat_boxbox_obb(p, v, q, wv, half, iw):
+        """Contacts v6 (round 5): FULL 15-axis OBB-OBB SAT for box-box
+        pairs — each body's true rotation matrix, not the upright-OBB
+        cover (reference: Bullet's btBoxBoxDetector axis set). Axes: 3
+        face normals per box + 9 edge-edge cross products (degenerate
+        cross axes are masked). Contact point = midpoint of the two
+        closest-surface points in full local frames; impulses are the v5
+        lever-arm machinery unchanged. A tipped box now presents its REAL
+        diamond cross-section to its neighbours instead of a fattened
+        upright cover."""
+        R = rigid.quat_to_matrix(q)  # (N,O,3,3), columns = box axes
+        d = p[:, :, None, :] - p[:, None, :, :]  # (N,O,O,3) i<-j
+        ax = jnp.swapaxes(R, -1, -2)  # (N,O,3axes,3comps) rows = axes
+        ax_i = ax[:, :, None]  # (N,O,1,3axes,3)
+        ax_j = ax[:, None, :]  # (N,1,O,3axes,3)
+        shp = d.shape[:-1]
+        axes = [jnp.broadcast_to(ax_i[..., k, :], shp + (3,)) for k in range(3)]
+        axes += [jnp.broadcast_to(ax_j[..., k, :], shp + (3,)) for k in range(3)]
+        for k in range(3):
+            for l in range(3):
+                axes.append(
+                    jnp.cross(
+                        jnp.broadcast_to(ax_i[..., k, :], shp + (3,)),
+                        jnp.broadcast_to(ax_j[..., l, :], shp + (3,)),
+                    )
+                )
+        axes = jnp.stack(axes, axis=0)  # (15,N,O,O,3)
+        nb = jnp.linalg.norm(axes, axis=-1)
+        valid = nb > 1e-6
+        axes = axes / jnp.maximum(nb, 1e-6)[..., None]
+
+        # projection radii with the TRUE half extents on both frames
+        Ri = R[:, :, None]  # (N,O,1,3,3)
+        Rj = R[:, None, :]
+        half_i = half[:, :, None]  # (N,O,1,3)
+        half_j = half[:, None, :]
+        ri = jnp.sum(
+            half_i[None] * jnp.abs(
+                jnp.einsum(
+                    "anopc,nopcl->anopl",
+                    axes,
+                    jnp.broadcast_to(Ri, shp + (3, 3)),
+                )
+            ),
+            axis=-1,
+        )
+        rj = jnp.sum(
+            half_j[None] * jnp.abs(
+                jnp.einsum("anopc,nopcl->anopl", axes, jnp.broadcast_to(Rj, shp + (3, 3)))
+            ), axis=-1,
+        )
+        sep = jnp.sum(axes * d[None], axis=-1)  # (15,N,O,O)
+        pen = jnp.where(valid, ri + rj - jnp.abs(sep), jnp.inf)
+        pair = free[:, :, None] & free[:, None, :] & ~eye
+        active = pair & jnp.all(pen > 0.0, axis=0) & (
+            jnp.min(pen, axis=0) < 1e9
+        )
+        which = jnp.argmin(pen, axis=0)  # (N,O,O)
+        pmin = jnp.min(pen, axis=0)
+        sgn = jnp.where(sep >= 0, 1.0, -1.0)[..., None]
+        nrm = jnp.take_along_axis(
+            axes * sgn, which[None, ..., None].astype(jnp.int32), axis=0
+        )[0]  # (N,O,O,3) pushes i away from j
+
+        # positional split: anchored bodies act kinematic (v5 logic, with
+        # "support" now defined by a mostly-vertical contact normal)
+        hw_y = jnp.sum(jnp.abs(R[..., 1, :]) * half, axis=-1)  # world AABB hy
+        base = ~free | (p[..., 1] <= fy_c + hw_y + 1e-3)
+        support = active & (nrm[..., 1] > 0.7)
+        sup_anchored = base | jnp.any(support & base[:, None, :], axis=2)
+        ai = base[:, :, None]
+        aj = sup_anchored[:, None, :]
+        wgt = jnp.where(aj & ~ai, 1.0, jnp.where(ai & ~aj, 0.0, 0.5))
+        corr = jnp.sum(
+            jnp.where(active[..., None], (wgt * pmin)[..., None] * nrm, 0.0),
+            axis=2,
+        )
+        p = p + corr
+
+        def closest_on_full(x_rel, Rb, halfb, pb):
+            """Closest point on box (Rb, halfb) centered at pb to the
+            point pb + x_rel, in full 3D local coordinates."""
+            l = jnp.einsum("...kc,...k->...c", Rb, x_rel)  # R^T x
+            lc = jnp.clip(l, -halfb, halfb)
+            return pb + jnp.einsum("...cl,...l->...c", Rb, lc)
+
+        pi = p[:, :, None, :]
+        pj = p[:, None, :, :]
+        cp_j = closest_on_full(
+            d, jnp.broadcast_to(Rj, shp + (3, 3)),
+            jnp.broadcast_to(half_j, shp + (3,)), pj,
+        )
+        cp_i = closest_on_full(
+            -d, jnp.broadcast_to(Ri, shp + (3, 3)),
+            jnp.broadcast_to(half_i, shp + (3,)), pi,
+        )
+        c = 0.5 * (cp_i + cp_j)
+        r_i = c - pi
+        r_j = c - pj
+        vr = (v[:, :, None, :] + jnp.cross(wv[:, :, None, :], r_i)) - (
+            v[:, None, :, :] + jnp.cross(wv[:, None, :, :], r_j)
+        )
+        vn = jnp.sum(vr * nrm, axis=-1)
+        mi = jnp.where(free, 1.0, 0.0)
+        rxn_i = jnp.cross(r_i, nrm)
+        rxn_j = jnp.cross(r_j, nrm)
+        ang_i = jnp.sum(
+            jnp.cross(jnp.einsum("noab,nopb->nopa", iw, rxn_i), r_i) * nrm, -1
+        )
+        ang_j = jnp.sum(
+            jnp.cross(jnp.einsum("npab,nopb->nopa", iw, rxn_j), r_j) * nrm, -1
+        )
+        k_n = (
+            mi[:, :, None]
+            + mi[:, None, :]
+            + ang_i * mi[:, :, None]
+            + ang_j * mi[:, None, :]
+        )
+        jn = jnp.where(active & (vn < 0.0), -vn / jnp.maximum(k_n, 1e-6), 0.0)
+        Ji = jn[..., None] * nrm
+        v = v + mi[..., None] * jnp.sum(Ji, axis=2)
+        wv = wv + mi[..., None] * jnp.einsum(
+            "noab,nob->noa", iw, jnp.sum(jnp.cross(r_i, Ji), axis=2)
+        )
+        return p, v, wv, jnp.any(support, axis=2)
+
     def robot_pushout(p, v, half_c, u_c, w_c, force, wv=None, iw=None,
                       sdt_c=None):
         """Robot cylinder vs OBB nearest footprint point -> pseudo force.
@@ -420,10 +549,10 @@ def contact_step(
             cy, sy = jnp.cos(yaw_eff), jnp.sin(yaw_eff)
             u_c = jnp.stack([cy, -sy], axis=-1)
             w_c = jnp.stack([sy, cy], axis=-1)
-            hy_c = half_eff[..., 1]
-            p, v, wv, supported = sat_boxbox(
-                p, v, half_eff, hy_c, u_c, w_c, True, wv=wv, iw=iw
-            )
+            # contacts v6: box-box pairs use the FULL 15-axis OBB SAT on
+            # true orientations (the upright-OBB cover remains only for
+            # the robot-cylinder pushout below)
+            p, v, wv, supported = sat_boxbox_obb(p, v, q, wv, half, iw)
             v = jnp.where(
                 supported[..., None], v * jnp.array([0.2, 0.0, 0.2]), v
             )

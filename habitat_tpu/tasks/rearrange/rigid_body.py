@@ -11,11 +11,11 @@ shapes (the 8-corner Gauss-Seidel pass is a compile-time unroll, not a
 dynamic constraint set like Bullet's).
 
 Scope (documented, honest): floor contacts generate torque here (tipping/
-tumbling/settling); box-box and robot-box contacts transfer torque through
-the contacts-v5 lever-arm impulses in rearrange_env.contact_step (contact
-point from the upright-OBB covers of each body's CURRENT orientation — no
-mesh/convex manifolds). Grasped objects are kinematic (reference
-kinematic_mode recipe).
+tumbling/settling); box-box contacts use the FULL 15-axis OBB-OBB SAT on
+true orientations with lever-arm impulses at the pair contact point
+(contacts v5/v6, rearrange_env.contact_step); the robot-cylinder pushout
+still uses the upright-OBB cover; no mesh/convex manifolds. Grasped
+objects are kinematic (reference kinematic_mode recipe).
 """
 
 from __future__ import annotations
