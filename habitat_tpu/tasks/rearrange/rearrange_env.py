@@ -21,9 +21,10 @@ pair contact point with both lever arms (struck boxes are knocked over),
 and — contacts v6 — box-box pair DETECTION by the full 15-axis OBB-OBB
 SAT on true orientations (3 face normals per box + 9 edge cross products,
 Bullet btBoxBoxDetector's axis set; tests/test_contacts_v6.py): a tipped
-box presents its real cross-section, not a fattened upright cover. The
-upright-OBB cover remains only for the robot-cylinder pushout; grasp
-remains kinematic parenting. Live ForceTerminate throughout. Movable
+box presents its real cross-section, not a fattened upright cover — and
+the robot-cylinder contact finds the TRUE closest point on the rotated
+box (segment-to-OBB ternary search), so its pushout force and lever-arm
+torque act at the real surface. Grasp remains kinematic parenting. Live ForceTerminate throughout. Movable
 objects render through the dynamic pass of ops/raycast.render_batch.
 """
 
@@ -531,6 +532,81 @@ def contact_step(
         wv = wv + jnp.einsum("noab,nob->noa", iw, jnp.cross(r, Jv))
         return p, v, wv, force
 
+    def robot_pushout_obb(p, v, q, wv, iw, force, sdt_c):
+        """Contacts v6: robot vertical-cylinder vs the TRUE rotated box.
+
+        Closest point between the robot's axis segment and the full OBB by
+        ternary search on the (convex) squared point-to-box distance along
+        the axis (16 unrolled halvings, batched over (N, O)); pushout,
+        pseudo force, and the v5 lever-arm impulse all act at the true
+        closest surface point — replacing the upright-OBB footprint cover
+        (reference: Bullet resolves robot-box contacts against the real
+        collision shape)."""
+        R = rigid.quat_to_matrix(q)  # (N,O,3,3)
+        rel = agent_pos[:, None, :] - p  # box-center -> agent base
+        a0 = jnp.einsum("...kc,...k->...c", R, rel)  # R^T rel (local)
+        dL = R[..., 1, :]  # R^T ŷ: world +y in box frame
+
+        def fdist(t):
+            l = a0 + t[..., None] * dL
+            cl = jnp.clip(l, -half, half)
+            return jnp.sum((l - cl) ** 2, axis=-1)
+
+        lo = jnp.full(p.shape[:-1], -1.2, jnp.float32)
+        hi = jnp.full(p.shape[:-1], 1.2, jnp.float32)
+        for _ in range(16):
+            m1 = lo + (hi - lo) / 3.0
+            m2 = hi - (hi - lo) / 3.0
+            f1, f2 = fdist(m1), fdist(m2)
+            pick1 = f1 < f2
+            hi = jnp.where(pick1, m2, hi)
+            lo = jnp.where(pick1, lo, m1)
+        t_s = 0.5 * (lo + hi)
+        l_s = a0 + t_s[..., None] * dL
+        c_local = jnp.clip(l_s, -half, half)
+        cb = p + jnp.einsum("...cl,...l->...c", R, c_local)  # world box pt
+        aw = agent_pos[:, None, :] + jnp.stack(
+            [jnp.zeros_like(t_s), t_s, jnp.zeros_like(t_s)], axis=-1
+        )
+        dxz = (cb - aw)[..., jnp.array([0, 2])]
+        dlen = jnp.sqrt(jnp.sum(dxz**2, -1))
+        # degenerate (axis inside the box): push along center-to-center
+        ctr_xz = (p - agent_pos[:, None, :])[..., jnp.array([0, 2])]
+        clen = jnp.sqrt(jnp.sum(ctr_xz**2, -1))
+        use_ctr = dlen < 1e-5
+        nxz = jnp.where(
+            use_ctr[..., None],
+            ctr_xz / jnp.maximum(clen, 1e-6)[..., None],
+            dxz / jnp.maximum(dlen, 1e-6)[..., None],
+        )
+        pen_a = jnp.where(free, AGENT_RADIUS - dlen, 0.0)
+        # vertical gate: the ternary search minimizes 3D distance, so when
+        # the box overlaps the cylinder's height span the optimum has
+        # cb_y == aw_y; a residual y gap means the box is above/below the
+        # robot and the xz distance alone must not trigger contact
+        in_h = jnp.abs(cb[..., 1] - aw[..., 1]) < 1e-2
+        hit_a = (pen_a > 0.0) & in_h
+        n3 = jnp.stack(
+            [nxz[..., 0], jnp.zeros_like(dlen), nxz[..., 1]], axis=-1
+        )
+        p = p + jnp.where(hit_a[..., None], pen_a[..., None] * n3, 0.0)
+        force = force + FORCE_K * jnp.sum(jnp.where(hit_a, pen_a, 0.0), 1)
+        r = cb - p
+        vn = jnp.sum((v + jnp.cross(wv, r)) * n3, -1)
+        vn_t = jnp.where(hit_a, 0.5 * pen_a / sdt_c, 0.0)
+        rxn = jnp.cross(r, n3)
+        ang = jnp.sum(
+            jnp.cross(jnp.einsum("noab,nob->noa", iw, rxn), r) * n3, -1
+        )
+        k_n = 1.0 + jnp.maximum(ang, 0.0)
+        jn = jnp.where(
+            hit_a & (vn < vn_t), (vn_t - vn) / jnp.maximum(k_n, 1e-6), 0.0
+        )
+        Jv = jn[..., None] * n3
+        v = v + Jv
+        wv = wv + jnp.einsum("noab,nob->noa", iw, jnp.cross(r, Jv))
+        return p, v, wv, force
+
     if quat is not None:
         # ---- contacts v4: rotational floor + translational box-box -------
         q, wv = quat, omega
@@ -556,8 +632,9 @@ def contact_step(
             v = jnp.where(
                 supported[..., None], v * jnp.array([0.2, 0.0, 0.2]), v
             )
-            p, v, wv, force = robot_pushout(
-                p, v, half_eff, u_c, w_c, force, wv=wv, iw=iw, sdt_c=sdt
+            # contacts v6: robot contact against the TRUE rotated box
+            p, v, wv, force = robot_pushout_obb(
+                p, v, q, wv, iw, force, sdt
             )
         return (
             p - center_off,

@@ -13,8 +13,8 @@ dynamic constraint set like Bullet's).
 Scope (documented, honest): floor contacts generate torque here (tipping/
 tumbling/settling); box-box contacts use the FULL 15-axis OBB-OBB SAT on
 true orientations with lever-arm impulses at the pair contact point
-(contacts v5/v6, rearrange_env.contact_step); the robot-cylinder pushout
-still uses the upright-OBB cover; no mesh/convex manifolds. Grasped
+(contacts v5/v6, rearrange_env.contact_step); the robot-cylinder contact
+acts at the true segment-to-OBB closest point; no mesh/convex manifolds. Grasped
 objects are kinematic (reference kinematic_mode recipe).
 """
 
