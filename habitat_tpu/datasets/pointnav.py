@@ -177,17 +177,25 @@ def make_procedural_pointnav(
     seed: int = 0,
     extent: float = 10.0,
     nav_res: float = 0.1,
+    episode_seed: int = None,
+    scene_kw: dict = None,
     **episode_kw,
 ) -> Tuple[List[SceneData], List[NavigationEpisode], Dict[str, np.ndarray]]:
-    """Procedural scenes + episodes (+ per-episode fields keyed by episode_id)."""
+    """Procedural scenes + episodes (+ per-episode fields keyed by
+    episode_id). episode_seed decouples the episode stream from the scene
+    set (same scenes, held-out start/goal pairs — the split evaluation
+    protocol)."""
     from habitat_tpu.sims.procedural import generate_apartment
 
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(seed if episode_seed is None else episode_seed)
     scenes: List[SceneData] = []
     episodes: List[NavigationEpisode] = []
     fields: Dict[str, np.ndarray] = {}
     for s in range(num_scenes):
-        scene = generate_apartment(seed=seed * 1000 + s, extent=extent, nav_res=nav_res)
+        scene = generate_apartment(
+            seed=seed * 1000 + s, extent=extent, nav_res=nav_res,
+            **(scene_kw or {}),
+        )
         scenes.append(scene)
         for e in range(episodes_per_scene):
             out = generate_pointnav_episode(

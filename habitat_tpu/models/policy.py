@@ -197,6 +197,8 @@ class PointNavResNetNet(nn.Module):
             "is_holding",
             "ee_pos",
             "relative_resting_position",
+            # referent-VLN candidate table (tasks/vln.py, round 5)
+            "vln_candidates",
         ):
             if k in obs:
                 parts.append(

@@ -37,7 +37,8 @@ VLN_VOCAB = {
     for i, w in enumerate(
         NUMBER_WORDS
         + "point walk meters forward back left right then to reach the "
-          "goal west east north south and until you".split()
+          "goal west east north south and until you "
+          "go red blue box".split()
     )
 }
 
@@ -176,6 +177,121 @@ def make_procedural_vln(
     return scenes, episodes, fields
 
 
+def make_referent_vln(
+    num_scenes: int = 2, episodes_per_scene: int = 8, seed: int = 0, **kw
+):
+    """Referent-grounding VLN (round 5, weak-#9 upgrade): episodes carry
+    TWO candidate goals; which one is the target is stated ONLY in the
+    instruction ("go to the red box" / "go to the blue box"), while the
+    observation exposes both candidates' positions and colors
+    symmetrically. Language is therefore LOAD-BEARING: a policy that
+    ignores the tokens cannot beat ~50% success, and an instruction
+    ablation of a trained policy must collapse to chance — unlike the
+    displacement instructions of make_procedural_vln, which a GPS-reading
+    agent could in principle follow without grounding words to the world.
+    (R2R analog: referring expressions disambiguate among visible
+    candidates.)"""
+    from habitat_tpu.datasets.pointnav import make_procedural_pointnav
+
+    scenes, pn_eps, fields = make_procedural_pointnav(
+        num_scenes=num_scenes, episodes_per_scene=episodes_per_scene,
+        seed=seed, **kw
+    )
+    scene_map = {s.scene_id: s for s in scenes}
+    es = kw.get("episode_seed") or seed
+    rng = np.random.default_rng(es + 777)
+    episodes = []
+    cand_rows = {}
+    for ep in pn_eps:
+        scene = scene_map[ep.scene_id]
+        g = np.asarray(ep.goals[0].position, np.float64)
+        # decoy: a navigable point well separated from the true goal
+        for _ in range(64):
+            d = np.asarray(scene.sample_navigable_point(rng), np.float64)
+            if np.linalg.norm((d - g)[[0, 2]]) > 2.0:
+                break
+        k_true = int(rng.integers(0, 2))
+        cands = [None, None]
+        cands[k_true] = g
+        cands[1 - k_true] = d
+        colors = ["red", "blue"] if rng.random() < 0.5 else ["blue", "red"]
+        color_true = colors[k_true]
+        text = f"go to the {color_true} box"
+        toks = [VLN_VOCAB.get(w, 0) for w in text.split()]
+        # WORLD coordinates; the sensor rotates into the CURRENT agent
+        # frame per step (a pointgoal-like representation per candidate,
+        # so only the instruction-conditioned SELECTION must be learned)
+        row = []
+        for ci, col in zip(cands, colors):
+            row += [float(ci[0]), float(ci[2]),
+                    1.0 if col == "red" else 0.0,
+                    1.0 if col == "blue" else 0.0]
+        eid = "vlnr_" + ep.episode_id
+        episodes.append(
+            VLNEpisode(
+                episode_id=eid,
+                scene_id=ep.scene_id,
+                start_position=ep.start_position,
+                start_rotation=ep.start_rotation,
+                info=dict(ep.info),
+                goals=ep.goals,  # the TRUE goal drives measures/teacher
+                instruction=InstructionData(text, toks),
+            )
+        )
+        cand_rows[eid] = np.asarray(row, np.float32)
+        fields[eid] = fields.pop(ep.episode_id)
+    return scenes, episodes, fields, cand_rows
+
+
+def referent_extras(episodes, cand_rows, max_len: int = MAX_INSTRUCTION_LEN):
+    ex = vln_extras(episodes, max_len)
+    ex["vln_candidates"] = jnp.asarray(
+        np.stack([cand_rows[ep.episode_id] for ep in episodes])
+    )
+    return ex
+
+
+class VLNCandidatesSensor(FunctionalSensor):
+    """(8,) = [fwd, right, is_red, is_blue] x 2 candidates in the CURRENT
+    agent frame — a pointgoal-like vector PER candidate, deliberately
+    SYMMETRIC between candidates so only the instruction disambiguates
+    which one is the target."""
+
+    uuid = "vln_candidates"
+
+    def __init__(self, config=None):
+        super().__init__(config)
+
+    def observation_space(self):
+        from gymnasium import spaces as gym_spaces
+
+        return gym_spaces.Box(
+            low=-np.inf, high=np.inf, shape=(8,), dtype=np.float32
+        )
+
+    def compute(self, ctx: StepContext) -> jnp.ndarray:
+        from habitat_tpu.utils.geometry import rotate_world_to_agent
+
+        rows = ctx.table.extras["vln_candidates"][ctx.ep_idx]  # (N, 8)
+        outs = []
+        for k in range(2):
+            cw = rows[:, 4 * k : 4 * k + 2]  # world (x, z)
+            rel = jnp.stack(
+                [
+                    cw[:, 0] - ctx.pos[:, 0],
+                    jnp.zeros_like(cw[:, 0]),
+                    cw[:, 1] - ctx.pos[:, 2],
+                ],
+                axis=-1,
+            )
+            ego = rotate_world_to_agent(rel, ctx.yaw)
+            outs.append(
+                jnp.stack([-ego[:, 2], ego[:, 0]], axis=-1)
+            )  # [fwd, right]
+            outs.append(rows[:, 4 * k + 2 : 4 * k + 4])
+        return jnp.concatenate(outs, axis=-1).astype(jnp.float32)
+
+
 def make_vln_env(
     num_envs: int = 4,
     seed: int = 0,
@@ -191,12 +307,21 @@ def make_vln_env(
     from habitat_tpu.core.registry import registry as reg
     from habitat_tpu.sims.scene import pack_scenes
 
-    scenes, episodes, fields = make_procedural_vln(seed=seed, **kw)
+    referent = kw.pop("referent", False)
+    if referent:
+        scenes, episodes, fields, cand_rows = make_referent_vln(seed=seed, **kw)
+    else:
+        scenes, episodes, fields = make_procedural_vln(seed=seed, **kw)
     scene_index = {s.scene_id: i for i, s in enumerate(scenes)}
     scene_map = {s.scene_id: s for s in scenes}
     pack = pack_scenes(scenes)
     table = build_episode_table(episodes, scene_map, scene_index, precomputed_fields=fields)
-    table = _dc.replace(table, extras=vln_extras(episodes))
+    table = _dc.replace(
+        table,
+        extras=referent_extras(episodes, cand_rows)
+        if referent
+        else vln_extras(episodes),
+    )
     order = build_env_episode_order(episodes, num_envs, seed=seed)
 
     actions = [
@@ -212,6 +337,8 @@ def make_vln_env(
         reg.get_sensor("GPSSensor")(None),
         reg.get_sensor("CompassSensor")(None),
     ]
+    if referent:
+        sensors.append(VLNCandidatesSensor(None))
     for name, cfg in visual_specs:
         sensors.append(reg.get_sensor(name)(cfg))
     if with_pointgoal:

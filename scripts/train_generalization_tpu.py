@@ -152,6 +152,7 @@ def main():
     u = 0
     next_eval = EVAL_EVERY_S if EVAL_EVERY_S > 0 else float("inf")
     curve = []
+    best_spl = -1.0
     while time.time() - t0 < BUDGET_S:
         ts, m = step(ts, data)
         u += 1
@@ -175,6 +176,23 @@ def main():
             )
             curve.append(pt)
             print("EVAL POINT:", json.dumps(pt), flush=True)
+            # best-checkpoint selection (the reference's own eval protocol:
+            # periodic checkpoints, report the best eval —
+            # habitat-baselines eval_ckpt over checkpoint series)
+            if CKPT_DIR and pt["unseen_spl"] > best_spl:
+                best_spl = pt["unseen_spl"]
+                import orbax.checkpoint as ocp
+
+                bpath = os.path.abspath(
+                    os.path.join(CKPT_DIR, "flagship_params_best")
+                )
+                ocp.StandardCheckpointer().save(
+                    bpath, cur_params(ts), force=True
+                )
+                print(
+                    f"BEST checkpoint saved (spl {best_spl}):", bpath,
+                    flush=True,
+                )
     steps_done = u * NUM_ENVS * 32
     if CKPT_DIR:
         import orbax.checkpoint as ocp

@@ -265,3 +265,47 @@ def test_instance_imagenav_reference_schema():
     ig = g.image_goals[ep.goal_image_id]
     assert ig.hfov == 90.0 and tuple(ig.image_dimensions) == (256, 256)
     assert g.view_points[0]["agent_state"]["position"] == [1.5, 0.0, 2.5]
+
+
+def test_referent_vln_candidates_egocentric():
+    """Referent VLN (round 5): two candidate goals, egocentric
+    [fwd, right, is_red, is_blue] per candidate; the TRUE goal's candidate
+    entry must point where the pointgoal sensor points, and the
+    instruction must name exactly that candidate's color."""
+    import numpy as np
+    import jax
+
+    from habitat_tpu.tasks.vln import VLN_VOCAB, make_vln_env
+
+    env = make_vln_env(
+        num_envs=4, num_scenes=2, episodes_per_scene=4,
+        with_pointgoal=True, referent=True, max_episode_steps=50,
+        scene_kw={"n_rooms_per_axis": 1, "n_clutter": 2},
+    )
+    state, obs = env.reset_fn(jax.random.PRNGKey(0))
+    cands = np.asarray(obs["vln_candidates"])  # (N, 8)
+    pg = np.asarray(obs["pointgoal_with_gps_compass"])  # (N, 2) [dist, ang]
+    toks = np.asarray(obs["instruction"])
+    red_id = VLN_VOCAB["red"]
+    blue_id = VLN_VOCAB["blue"]
+    for n in range(4):
+        # which candidate is the true goal: the one matching the pointgoal
+        d0 = np.hypot(cands[n, 0], cands[n, 1])
+        d1 = np.hypot(cands[n, 4], cands[n, 5])
+        dist = pg[n, 0]
+        k = 0 if abs(d0 - dist) < abs(d1 - dist) else 1
+        assert abs([d0, d1][k] - dist) < 1e-3
+        # egocentric angle agreement: atan2(right, fwd) vs pointgoal angle
+        fwd, right = cands[n, 4 * k], cands[n, 4 * k + 1]
+        ang = np.arctan2(-right, fwd)  # pointgoal angle convention (ccw+)
+        da = np.arctan2(np.sin(ang - pg[n, 1]), np.cos(ang - pg[n, 1]))
+        assert abs(da) < 1e-2, (n, ang, pg[n, 1])
+        # the instruction names the true candidate's color
+        is_red = cands[n, 4 * k + 2] > 0.5
+        has_red = red_id in toks[n]
+        has_blue = blue_id in toks[n]
+        assert has_red != has_blue
+        assert has_red == bool(is_red)
+        # candidates are symmetric: exactly one red and one blue
+        assert cands[n, 2] + cands[n, 6] == 1.0
+        assert cands[n, 3] + cands[n, 7] == 1.0
