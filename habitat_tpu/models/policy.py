@@ -199,6 +199,8 @@ class PointNavResNetNet(nn.Module):
             "relative_resting_position",
             # referent-VLN candidate table (tasks/vln.py, round 5)
             "vln_candidates",
+            # referent-EQA object table (tasks/eqa.py, round 5)
+            "eqa_objects",
         ):
             if k in obs:
                 parts.append(
@@ -214,8 +216,11 @@ class PointNavResNetNet(nn.Module):
         # tokens -> LSTM, final hidden state conditions the policy; here an
         # LSTM scan over the padded token sequence with the last VALID state
         # selected by length)
-        if "instruction" in obs:
-            toks = flat(obs["instruction"]).astype(jnp.int32)  # (B, L)
+        if "instruction" in obs or "question" in obs:
+            # same encoder serves the EQA question tokens (round 5)
+            toks = flat(
+                obs["instruction"] if "instruction" in obs else obs["question"]
+            ).astype(jnp.int32)  # (B, L)
             temb = nn.Embed(128, 32, name="instruction_embed")(toks)
             ScanLSTM = nn.scan(
                 nn.OptimizedLSTMCell,

@@ -309,3 +309,167 @@ def make_eqa_env(
     )
     env.answer_base = answer_base
     return env
+
+
+# ---------------------------------------------------------------------------
+# Referent-grounding EQA (round 5 — weak-#9 closure for the EQA half)
+# ---------------------------------------------------------------------------
+
+EQA_COLORS = ("red", "blue", "green", "yellow")
+
+
+def referent_eqa_vocab():
+    """Vocabulary for the referent questions: base words + categories +
+    colors (index 0 = pad)."""
+    from habitat_tpu.sims.procedural import OBJECT_CATEGORIES
+
+    words = ["what", "is", "the", "color", "of", "?"]
+    words += list(OBJECT_CATEGORIES) + list(EQA_COLORS)
+    return {w: i + 1 for i, w in enumerate(words)}
+
+
+def make_referent_eqa(
+    num_scenes: int = 4,
+    episodes_per_scene: int = 64,
+    seed: int = 0,
+    n_objects: int = 4,
+    episode_seed: int = None,
+):
+    """Referent EQA: each episode carries n_objects (category, color) pairs
+    exposed SYMMETRICALLY in the observation; the question names ONE
+    category ("what is the color of the sofa ?") and the answer is that
+    object's color. Language is load-bearing by construction: colors are
+    sampled independently of everything else, so without grounding the
+    category word an agent caps at chance (1/len(EQA_COLORS)) — unlike
+    make_procedural_eqa, whose constant question made the objectgoal
+    sensor sufficient. Returns (scenes, episodes, fields, obj_rows)."""
+    from habitat_tpu.datasets.pointnav import make_procedural_pointnav
+    from habitat_tpu.sims.procedural import OBJECT_CATEGORIES
+
+    vocab = referent_eqa_vocab()
+    scenes, pn_eps, fields = make_procedural_pointnav(
+        num_scenes=num_scenes, episodes_per_scene=episodes_per_scene,
+        seed=seed, episode_seed=episode_seed,
+    )
+    rng = np.random.default_rng((episode_seed or seed) + 31)
+    C = len(OBJECT_CATEGORIES)
+    K = n_objects
+    episodes = []
+    obj_rows = {}
+    for ep in pn_eps:
+        cats = rng.choice(C, K, replace=False)
+        # colors WITHOUT replacement: with repeats, 'always answer row
+        # 0's color' scores ~0.44 languagelessly (collision chance); a
+        # permutation pins the no-language baseline at exactly 1/K
+        cols = rng.permutation(len(EQA_COLORS))[:K]
+        k = int(rng.integers(0, K))
+        cat_word = OBJECT_CATEGORIES[cats[k]]
+        text = f"what is the color of the {cat_word} ?"
+        toks = [vocab[w] for w in text.split()]
+        eid = "eqar_" + ep.episode_id
+        episodes.append(
+            EQAEpisode(
+                episode_id=eid,
+                scene_id=ep.scene_id,
+                start_position=ep.start_position,
+                start_rotation=ep.start_rotation,
+                info=dict(ep.info),
+                goals=ep.goals,
+                question=QuestionData(
+                    question_text=text,
+                    question_tokens=toks,
+                    answer_text=EQA_COLORS[cols[k]],
+                    answer_token=int(cols[k]),
+                    question_type="color",
+                ),
+            )
+        )
+        # (K, C + n_colors) one-hot rows, row order SHUFFLED independently
+        # of which object the question names
+        row = np.zeros((K, C + len(EQA_COLORS)), np.float32)
+        for j in range(K):
+            row[j, cats[j]] = 1.0
+            row[j, C + cols[j]] = 1.0
+        obj_rows[eid] = row.reshape(-1)
+        fields[eid] = fields.pop(ep.episode_id)
+    return scenes, episodes, fields, obj_rows
+
+
+class EQAObjectsSensor(FunctionalSensor):
+    """Flattened (K, n_categories + n_colors) one-hot object table —
+    symmetric across objects; only the question says which row matters."""
+
+    uuid = "eqa_objects"
+
+    def __init__(self, config=None, dim: int = 0):
+        super().__init__(config)
+        self.dim = dim
+
+    def observation_space(self):
+        return spaces.Box(low=0.0, high=1.0, shape=(self.dim,), dtype=np.float32)
+
+    def compute(self, ctx: StepContext) -> jnp.ndarray:
+        return ctx.table.extras["eqa_objects"][ctx.ep_idx]
+
+
+def make_referent_eqa_env(
+    num_envs: int = 64,
+    num_scenes: int = 4,
+    episodes_per_scene: int = 64,
+    seed: int = 0,
+    episode_seed: int = None,
+    max_episode_steps: int = 10,
+):
+    """Referent-EQA env: question + object table ONLY (no objectgoal /
+    pointgoal leak), nav + len(EQA_COLORS) answer actions."""
+    from habitat_tpu.core.batched_env import BatchedEnv, RewardSpec
+    from habitat_tpu.core.dataset import build_env_episode_order, build_episode_table
+    from habitat_tpu.core.registry import registry as reg
+    from habitat_tpu.sims.scene import pack_scenes
+
+    scenes, episodes, fields, obj_rows = make_referent_eqa(
+        num_scenes=num_scenes, episodes_per_scene=episodes_per_scene,
+        seed=seed, episode_seed=episode_seed,
+    )
+    scene_index = {s.scene_id: i for i, s in enumerate(scenes)}
+    scene_map = {s.scene_id: s for s in scenes}
+    pack = pack_scenes(scenes)
+    table = build_episode_table(
+        episodes, scene_map, scene_index, precomputed_fields=fields
+    )
+    extras = eqa_extras(episodes)
+    extras["eqa_objects"] = jnp.asarray(
+        np.stack([obj_rows[ep.episode_id] for ep in episodes])
+    )
+    table = dataclasses.replace(table, extras=extras)
+    order = build_env_episode_order(episodes, num_envs, seed=seed)
+
+    nav_actions = [
+        reg.get_task_action(n)(None)
+        for n in ("MoveForwardAction", "TurnLeftAction", "TurnRightAction")
+    ]
+    answer_actions = [AnswerAction(None, answer_id=k) for k in range(len(EQA_COLORS))]
+    actions = nav_actions + answer_actions
+    answer_base = len(nav_actions)
+    dim = extras["eqa_objects"].shape[-1]
+    sensors = [QuestionSensor(None), EQAObjectsSensor(None, dim=dim)]
+    measures = [
+        reg.get_measure("DistanceToGoal")(None),
+        EpisodeInfo(None),
+        CorrectAnswer(None),
+        AnswerAccuracy({"answer_base": answer_base}),
+        reg.get_measure("NumSteps")(None),
+    ]
+    env = BatchedEnv(
+        pack, table, order, sensors, measures, actions,
+        max_episode_steps=max_episode_steps,
+        reward_spec=RewardSpec(
+            reward_measure="answer_accuracy",
+            success_measure="answer_accuracy",
+            slack_reward=-0.01,
+            success_reward=10.0,
+            end_on_success=True,
+        ),
+    )
+    env.answer_base = answer_base
+    return env

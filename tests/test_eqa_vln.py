@@ -309,3 +309,52 @@ def test_referent_vln_candidates_egocentric():
         # candidates are symmetric: exactly one red and one blue
         assert cands[n, 2] + cands[n, 6] == 1.0
         assert cands[n, 3] + cands[n, 7] == 1.0
+
+
+def test_referent_eqa_plumbing():
+    """Referent EQA (round 5): env builds; the object table is symmetric
+    (exactly one color per object, categories distinct); the question
+    names a category present in the table and the stored answer equals
+    that object's color. The GROUNDING proof (held-out accuracy vs
+    token-ablated collapse) runs on TPU in
+    scripts/train_eqa_referent_tpu.py — CPU-scale PPO transfers only
+    partially (0.27 at 256 train episodes, 0.44 at 2048; the trend needs
+    the 16k-episode TPU run)."""
+    import numpy as np
+    import jax
+
+    from habitat_tpu.sims.procedural import OBJECT_CATEGORIES
+    from habitat_tpu.tasks.eqa import (
+        EQA_COLORS,
+        make_referent_eqa_env,
+        referent_eqa_vocab,
+    )
+
+    env = make_referent_eqa_env(
+        num_envs=8, num_scenes=2, episodes_per_scene=8, max_episode_steps=6
+    )
+    state, obs = env.reset_fn(jax.random.PRNGKey(0))
+    q = np.asarray(obs["question"])
+    tbl = np.asarray(obs["eqa_objects"])
+    C = len(OBJECT_CATEGORIES)
+    K = 4
+    vocab = referent_eqa_vocab()
+    inv = {v: k for k, v in vocab.items()}
+    rows = tbl.reshape(8, K, C + len(EQA_COLORS))
+    # answer via the env's own measure table
+    ans = np.asarray(env.table.extras["answer"])[np.asarray(state.ep_idx)]
+    for n in range(8):
+        assert np.all(rows[n, :, :C].sum(-1) == 1.0)
+        assert np.all(rows[n, :, C:].sum(-1) == 1.0)
+        cats = rows[n, :, :C].argmax(-1)
+        assert len(set(cats.tolist())) == K  # distinct categories
+        words = [inv.get(t, "<pad>") for t in q[n] if t > 0]
+        named = [w for w in words if w in OBJECT_CATEGORIES]
+        assert len(named) == 1
+        k = int(np.where(cats == OBJECT_CATEGORIES.index(named[0]))[0][0])
+        assert int(rows[n, k, C:].argmax()) == int(ans[n])
+    # answering correctly ends the episode with accuracy 1 at that step
+    a = jnp.asarray(env.answer_base + ans[:8].astype(np.int32))
+    state2, obs2, r, done, info = env.step_fn(state, a)
+    assert bool(jnp.all(done))
+    assert float(jnp.mean(info["answer_accuracy"])) == 1.0
